@@ -1,0 +1,136 @@
+"""Model / adapter / training configuration dataclasses.
+
+The reference (BonnBytes/CaRA) hard-codes ViT-B/16 geometry everywhere
+(768 / 12 heads / 12 layers baked into ``src/cara/cara.py:112-125``).  Here every
+shape is derived from a :class:`ViTConfig`, so the same adapter code serves
+ViT-B/16, ViT-L/16 and CLIP ViT-L/14 (reference has no such generalization —
+SURVEY.md section 7 stage 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Vision-Transformer geometry.
+
+    Defaults reproduce timm ``vit_base_patch16_224_in21k`` as used by the
+    reference CLI (``image_classification/vit_cp.py:115,155``): 224x224 input,
+    16x16 patches, 12 layers, 768 wide, 12 heads, a 768-wide tanh
+    ``pre_logits`` representation layer, and drop-path 0.1.
+    """
+
+    image_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    repr_size: Optional[int] = 768
+    num_classes: int = 21843
+    drop_path_rate: float = 0.1
+    dropout_rate: float = 0.0
+    attn_dropout_rate: float = 0.0
+    layernorm_eps: float = 1e-6
+    # Global average pool instead of the CLS token (used by some CLIP variants).
+    use_cls_token: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        assert self.embed_dim % self.num_heads == 0
+        return self.embed_dim // self.num_heads
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.embed_dim * self.mlp_ratio
+
+    @property
+    def grid_size(self) -> int:
+        assert self.image_size % self.patch_size == 0
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + (1 if self.use_cls_token else 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class CaraConfig:
+    """CP-adapter (CaRA) hyper-parameters.
+
+    Mirrors the config dict consumed by ``cara()`` (``src/cara/cara.py:169-188``):
+    ``rank`` == ``--dim``, ``scale``/``l_mu``/``l_std`` come from the per-dataset
+    table (``image_classification/vtab_config.py``).  ``cp_order`` generalizes the
+    ablation CLI's ``--dims`` flag (``image_classification/dim_experiment.py:356-361``).
+    """
+
+    rank: int = 32
+    scale: float = 1.0
+    l_mu: float = 1.0
+    l_std: float = 0.0
+    # Dropout applied to the CP *delta weight* (reference: nn.Dropout(0.1) on the
+    # reconstructed tensor, src/cara/cara.py:35,57,81,92 — weight dropout, shared
+    # across the batch, NOT activation dropout).
+    weight_dropout: float = 0.1
+    # CP order of the QKV tensorisation: 4 = published method
+    # (dim_experiment.py:275-283); {2,3,5} are the ablations.
+    cp_order: int = 4
+    # "factorized": never materialize the dense delta — chain of rank-r
+    # contractions (the TPU-native path; algorithm family sketched-but-dead in
+    # dim_experiment.py:107-183).  "materialized": reconstruct the dense delta
+    # exactly like the reference hot loop (cara.py:27-35) — needed for exact
+    # weight-dropout semantics and used as the golden path in tests.
+    delta_impl: str = "factorized"
+
+    def trainable_param_count(self, model: ViTConfig) -> int:
+        """Number of trainable CP parameters (excl. classifier head).
+
+        For ViT-B/16 order-4 this reproduces the reference's printed count
+        ``2526*rank + 4608`` (shapes ``src/cara/cara.py:112-125``, print
+        ``image_classification/vit_cp.py:175-183``): rank 32 -> 85,440.
+        """
+        from cara_tpu.models.cara import cara_param_shapes
+
+        shapes = cara_param_shapes(model, self)
+        return sum(int(_prod(s)) for s in shapes.values())
+
+
+def _prod(xs: Tuple[int, ...]) -> int:
+    out = 1
+    for x in xs:
+        out *= x
+    return out
+
+
+# Model registry: name -> ViTConfig, mirroring the timm names the reference CLI
+# accepts via --model (vit_cp.py:115).
+MODEL_REGISTRY = {
+    "vit_base_patch16_224_in21k": ViTConfig(),
+    "vit_base_patch16_224": ViTConfig(repr_size=None, num_classes=1000),
+    "vit_large_patch16_224_in21k": ViTConfig(
+        embed_dim=1024, depth=24, num_heads=16, repr_size=1024
+    ),
+    "vit_large_patch14_224_clip": ViTConfig(
+        patch_size=14, embed_dim=1024, depth=24, num_heads=16, repr_size=None,
+        num_classes=0,
+    ),
+}
+
+
+def get_model_config(name: str, **overrides) -> ViTConfig:
+    if name not in MODEL_REGISTRY:
+        raise ValueError(
+            f"Unknown model '{name}'. Known: {sorted(MODEL_REGISTRY)}"
+        )
+    cfg = MODEL_REGISTRY[name]
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

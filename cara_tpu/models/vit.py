@@ -1,0 +1,319 @@
+"""Functional Vision Transformer with CaRA CP adapters, built for XLA/TPU.
+
+Replaces the reference's timm ViT + monkey-patched forwards
+(``src/cara/cara.py:146-166`` patches ``Attention.forward``/``Mlp.forward`` and
+reads adapter state off a module-global) with an explicit parameter pytree and
+a pure forward function:
+
+* All 12 (or ``depth``) transformer blocks are **stacked along a leading layer
+  axis and executed with ``lax.scan``** — one compiled block body, layer
+  weights streamed HBM->VMEM by XLA, and the CaRA "one tensor across layers"
+  structure maps directly onto per-layer slices that ride the scan.
+* Patch embedding is a reshape + matmul (mathematically identical to the
+  reference's 16x16/stride-16 conv, but hits the MXU as a plain GEMM).
+* The CP deltas plug into the same four sites as the reference hot loop
+  (SURVEY.md section 3.3): qkv (``cara.py:25-42``), attention projection
+  (``cara.py:50-58``), MLP up (``cara.py:75-82``), MLP down (``cara.py:87-93``).
+
+Layout conventions: images are NHWC; linear kernels are (in, out) so the
+forward is ``x @ W + b``; qkv kernel output axis is flattened (3, heads,
+head_dim) to match the timm fused-qkv layout the npz converter produces.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cara_tpu.config import CaraConfig, ViTConfig
+from cara_tpu.models import cara as cara_lib
+from cara_tpu.ops import cp as cp_ops
+from cara_tpu.ops.layers import drop_path, dropout, layer_norm, mha
+
+Params = Dict[str, Any]
+
+
+def _trunc_normal(rng, shape, std, dtype):
+    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, dtype)
+
+
+def _torch_linear_init(rng, in_dim, out_dim, dtype):
+    """torch ``nn.Linear`` default init (timm ``reset_classifier`` head,
+    ``vit_cp.py:166``): kaiming-uniform weight, uniform bias, both with
+    bound 1/sqrt(fan_in)."""
+    kw, kb = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(in_dim)
+    w = jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return {"kernel": w, "bias": b}
+
+
+def init_vit_params(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
+    """Random backbone init (tests / scratch training).
+
+    Real runs overwrite this with the pretrained ``ViT-B_16.npz`` weights via
+    :mod:`cara_tpu.models.npz` (the reference loads the same JAX-format file
+    through timm, ``vit_cp.py:155``).
+    """
+    e, l3 = cfg.embed_dim, 3 * cfg.embed_dim
+    hid = cfg.hidden_dim
+    keys = iter(jax.random.split(rng, 16))
+    patch_dim = cfg.patch_size * cfg.patch_size * cfg.in_chans
+
+    def lin(k, i, o):
+        return {
+            "kernel": _trunc_normal(k, (i, o), 0.02, dtype),
+            "bias": jnp.zeros((o,), dtype),
+        }
+
+    L = cfg.depth
+    kq, kp, k1, k2 = jax.random.split(next(keys), 4)
+
+    def stacked(k, i, o):
+        return {
+            "kernel": _trunc_normal(k, (L, i, o), 0.02, dtype),
+            "bias": jnp.zeros((L, o), dtype),
+        }
+
+    params: Params = {
+        "embed": lin(next(keys), patch_dim, e),
+        "cls": _trunc_normal(next(keys), (1, 1, e), 0.02, dtype)
+        if cfg.use_cls_token else None,
+        "pos_embed": _trunc_normal(next(keys), (1, cfg.seq_len, e), 0.02, dtype),
+        "blocks": {
+            "ln1_scale": jnp.ones((L, e), dtype),
+            "ln1_bias": jnp.zeros((L, e), dtype),
+            "qkv": stacked(kq, e, l3),
+            "proj": stacked(kp, e, e),
+            "ln2_scale": jnp.ones((L, e), dtype),
+            "ln2_bias": jnp.zeros((L, e), dtype),
+            "fc1": stacked(k1, e, hid),
+            "fc2": stacked(k2, hid, e),
+        },
+        "norm": {"scale": jnp.ones((e,), dtype), "bias": jnp.zeros((e,), dtype)},
+    }
+    if cfg.repr_size is not None:
+        params["pre_logits"] = lin(next(keys), e, cfg.repr_size)
+    head_in = cfg.repr_size if cfg.repr_size is not None else e
+    if cfg.num_classes > 0:
+        params["head"] = lin(next(keys), head_in, cfg.num_classes)
+    return params
+
+
+def reset_classifier(
+    params: Params, rng: jax.Array, cfg: ViTConfig, num_classes: int,
+    dtype=jnp.float32,
+) -> Params:
+    """Replace the head with a fresh ``num_classes`` linear layer
+    (``vit.reset_classifier(num_classes)``, ``vit_cp.py:166``)."""
+    head_in = cfg.repr_size if cfg.repr_size is not None else cfg.embed_dim
+    new = dict(params)
+    if num_classes > 0:
+        new["head"] = _torch_linear_init(rng, head_in, num_classes, dtype)
+    else:
+        new.pop("head", None)
+    return new
+
+
+def patch_embed(params: Params, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """(B, H, W, C) -> (B, num_patches, E) via reshape + GEMM.
+
+    Identical to the reference's Conv2d(patch, stride=patch) embedding but
+    expressed as a single MXU matmul.  Flatten order (ph, pw, c) matches the
+    HWIO npz conv kernel flattening.
+    """
+    b = x.shape[0]
+    p, g = cfg.patch_size, cfg.grid_size
+    x = x.reshape(b, g, p, g, p, cfg.in_chans)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * cfg.in_chans)
+    return x @ params["embed"]["kernel"] + params["embed"]["bias"]
+
+
+def _block(
+    x: jax.Array,
+    bp: Dict[str, jax.Array],
+    f1: Optional[jax.Array],
+    p1: Optional[jax.Array],
+    dpr: jax.Array,
+    key: Optional[jax.Array],
+    cfg: ViTConfig,
+    cara_params: Optional[Dict[str, jax.Array]],
+    cara_cfg: Optional[CaraConfig],
+    attn_impl: str,
+) -> jax.Array:
+    """One transformer block with optional CaRA deltas (reference hot loop,
+    SURVEY.md section 3.3)."""
+    e, h, d = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+    mr = cfg.mlp_ratio
+    if key is not None:
+        k_wd_qkv, k_wd_proj, k_wd_up, k_wd_down, k_dp1, k_dp2, k_attn = (
+            jax.random.split(key, 7)
+        )
+    else:
+        k_wd_qkv = k_wd_proj = k_wd_up = k_wd_down = k_dp1 = k_dp2 = k_attn = None
+
+    use_cara = cara_params is not None
+    if use_cara:
+        s = cara_cfg.scale
+        materialized = cara_cfg.delta_impl == "materialized"
+
+    # --- Attention ---------------------------------------------------------
+    xa = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
+    b, n = xa.shape[:2]
+    qkv = xa @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
+    qkv = qkv.reshape(b, n, 3, h, d)
+    if use_cara:
+        delta = cara_lib.qkv_delta(
+            xa, cara_params, f1, cfg, cara_cfg,
+            materialized=materialized, drop_rng=k_wd_qkv,
+        )
+        qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B, H, N, Dh)
+    attn_out = mha(
+        q, k, v, d ** -0.5, cfg.attn_dropout_rate, k_attn
+    )  # (B, N, E)
+
+    proj = attn_out @ bp["proj"]["kernel"] + bp["proj"]["bias"]
+    if use_cara:
+        if materialized:
+            mask = cp_ops.weight_dropout_mask(
+                k_wd_proj, (e, e), cara_cfg.weight_dropout, x.dtype)
+            pd = cp_ops.rows_delta_out_materialized(
+                attn_out, p1[0:1], cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], mask)
+        else:
+            comp = cp_ops.weight_dropout_mask(
+                k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            pd = cp_ops.rows_delta_out_factorized(
+                attn_out, p1[0:1], cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp)
+        proj = proj + (pd + cara_params["bias1"]) * s  # cara.py:57-58
+    proj = dropout(proj, cfg.dropout_rate, None)
+    x = x + drop_path(proj, dpr, k_dp1)
+
+    # --- MLP ---------------------------------------------------------------
+    xm = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
+    up = xm @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
+    if use_cara:
+        p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
+        if materialized:
+            mask = cp_ops.weight_dropout_mask(
+                k_wd_up, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
+            ud = cp_ops.rows_delta_out_materialized(
+                xm, p1_up, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], mask)
+        else:
+            comp = cp_ops.weight_dropout_mask(
+                k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            ud = cp_ops.rows_delta_out_factorized(
+                xm, p1_up, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp)
+        up = up + (ud + cara_params["bias2"]) * s  # cara.py:81-82
+    act = jax.nn.gelu(up, approximate=False)
+    act = dropout(act, cfg.dropout_rate, None)
+    down = act @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
+    if use_cara:
+        if materialized:
+            mask = cp_ops.weight_dropout_mask(
+                k_wd_down, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
+            dd = cp_ops.rows_delta_in_materialized(
+                act, p1_down, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], mask)
+        else:
+            comp = cp_ops.weight_dropout_mask(
+                k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            dd = cp_ops.rows_delta_in_factorized(
+                act, p1_down, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp)
+        down = down + (dd + cara_params["bias3"]) * s  # cara.py:92-93
+    down = dropout(down, cfg.dropout_rate, None)
+    x = x + drop_path(down, dpr, k_dp2)
+    return x
+
+
+def vit_forward(
+    params: Params,
+    x: jax.Array,
+    cfg: ViTConfig,
+    *,
+    cara_params: Optional[Dict[str, jax.Array]] = None,
+    cara_cfg: Optional[CaraConfig] = None,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    remat: bool = False,
+    attn_impl: str = "xla",
+) -> jax.Array:
+    """Full forward: images (B, H, W, C) NHWC -> logits (B, num_classes).
+
+    ``train=True`` with an ``rng`` enables drop-path and the CaRA weight
+    dropout; eval is fully deterministic.  ``remat`` wraps the per-layer body
+    in ``jax.checkpoint`` to trade FLOPs for HBM during training.
+    """
+    if (cara_params is None) != (cara_cfg is None):
+        raise ValueError("cara_params and cara_cfg must be provided together")
+    use_rng = train and rng is not None
+    L = cfg.depth
+
+    tokens = patch_embed(params, x, cfg)
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(
+            params["cls"], (tokens.shape[0], 1, cfg.embed_dim)
+        ).astype(tokens.dtype)
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+    tokens = tokens + params["pos_embed"].astype(tokens.dtype)
+
+    dpr = jnp.linspace(0.0, cfg.drop_path_rate, L)  # timm per-block rates
+    if cara_params is not None:
+        a1_stack, p1_stack = cara_lib.stacked_layer_slices(
+            cara_params, cfg, cara_cfg)
+    else:
+        a1_stack = p1_stack = jnp.zeros((L, 1, 1), tokens.dtype)  # unused
+
+    keys = jax.random.split(rng, L) if use_rng else None
+
+    def body(carry, xs):
+        if use_rng:
+            bp, f1, p1, dpr_l, key = xs
+        else:
+            bp, f1, p1, dpr_l = xs
+            key = None
+        out = _block(
+            carry, bp, f1, p1, dpr_l, key, cfg, cara_params, cara_cfg, attn_impl
+        )
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    xs = (params["blocks"], a1_stack, p1_stack, dpr)
+    if use_rng:
+        xs = xs + (keys,)
+    tokens, _ = jax.lax.scan(body, tokens, xs)
+
+    tokens = layer_norm(
+        tokens, params["norm"]["scale"], params["norm"]["bias"], cfg.layernorm_eps
+    )
+    feat = tokens[:, 0] if cfg.use_cls_token else jnp.mean(tokens, axis=1)
+    if cfg.repr_size is not None:
+        pl_ = params["pre_logits"]
+        feat = jnp.tanh(feat @ pl_["kernel"] + pl_["bias"])
+    if "head" not in params:
+        return feat
+    return feat @ params["head"]["kernel"] + params["head"]["bias"]
+
+
+# Convenience: a jitted eval forward factory.
+def make_eval_fn(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None):
+    @partial(jax.jit, static_argnames=())
+    def eval_fn(params, cara_params, x):
+        return vit_forward(
+            params, x, cfg, cara_params=cara_params,
+            cara_cfg=cara_cfg if cara_params is not None else None,
+            train=False,
+        )
+    return eval_fn
