@@ -1,0 +1,144 @@
+"""Model-level tests, mirroring + extending the reference suite
+(``tests/test_cara.py``: attr existence, zero-init, smoke forward)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cara_tpu.config import CaraConfig, ViTConfig
+from cara_tpu.models import cara as cara_lib
+from cara_tpu.models import vit as vit_lib
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = ViTConfig(
+        image_size=32, patch_size=8, embed_dim=64, depth=3, num_heads=4,
+        repr_size=48, num_classes=11, drop_path_rate=0.1,
+    )
+    cara_cfg = CaraConfig(rank=6, scale=1.0, l_mu=1.0, l_std=0.0)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara_params = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    return cfg, cara_cfg, params, cara_params
+
+
+def test_forward_shape(tiny):
+    """Smoke forward, analogous to reference test_cara_forward
+    (test_cara.py:93-98) but parameterized."""
+    cfg, cara_cfg, params, cara_params = tiny
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+    out = vit_lib.vit_forward(params, x, cfg)
+    assert out.shape == (2, 11)
+    out2 = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg)
+    assert out2.shape == (2, 11)
+
+
+def test_cara_identity_at_init(tiny):
+    """Zero-initialized contract modes => adapted forward == plain forward
+    at step 0 (cara.py:128,132 zero-init semantics)."""
+    cfg, cara_cfg, params, cara_params = tiny
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    plain = vit_lib.vit_forward(params, x, cfg)
+    adapted = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(adapted), atol=1e-5)
+
+
+def test_delta_impls_agree_in_eval(tiny):
+    """factorized == materialized end-to-end when dropout is off (eval)."""
+    cfg, cara_cfg, params, cara_params = tiny
+    # Make the delta non-zero.
+    cara_params = dict(cara_params)
+    cara_params["A2"] = 0.02 * jax.random.normal(
+        jax.random.key(7), cara_params["A2"].shape)
+    cara_params["P2"] = 0.02 * jax.random.normal(
+        jax.random.key(8), cara_params["P2"].shape)
+    x = jax.random.normal(jax.random.key(4), (2, 32, 32, 3))
+    import dataclasses
+    out_f = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params,
+        cara_cfg=dataclasses.replace(cara_cfg, delta_impl="factorized"))
+    out_m = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params,
+        cara_cfg=dataclasses.replace(cara_cfg, delta_impl="materialized"))
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_m), atol=2e-4)
+    # And the delta actually does something:
+    plain = vit_lib.vit_forward(params, x, cfg)
+    assert float(jnp.abs(out_f - plain).max()) > 1e-4
+
+
+def test_train_mode_stochastic(tiny):
+    """Train mode consumes RNG: different keys => different outputs
+    (drop-path + weight dropout active)."""
+    cfg, cara_cfg, params, cara_params = tiny
+    x = jax.random.normal(jax.random.key(5), (4, 32, 32, 3))
+    o1 = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+        train=True, rng=jax.random.key(10))
+    o2 = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+        train=True, rng=jax.random.key(11))
+    assert float(jnp.abs(o1 - o2).max()) > 1e-6
+    # Same key => deterministic.
+    o3 = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+        train=True, rng=jax.random.key(10))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o3), atol=1e-6)
+
+
+def test_remat_matches(tiny):
+    cfg, cara_cfg, params, cara_params = tiny
+    x = jax.random.normal(jax.random.key(6), (2, 32, 32, 3))
+    a = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg, remat=False)
+    b = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grads_flow_only_through_trainables(tiny):
+    """jax.grad over (cara, head) replaces the reference's requires_grad
+    freezing (vit_cp.py:176-182); check grads are nonzero where expected."""
+    cfg, cara_cfg, params, cara_params = tiny
+    x = jax.random.normal(jax.random.key(12), (2, 32, 32, 3))
+    y = jnp.array([1, 3])
+
+    def loss_fn(trainable):
+        p = dict(params)
+        p["head"] = trainable["head"]
+        logits = vit_lib.vit_forward(
+            p, x, cfg, cara_params=trainable["cara"], cara_cfg=cara_cfg,
+            train=True, rng=jax.random.key(0))
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    grads = jax.grad(loss_fn)({"cara": cara_params, "head": params["head"]})
+    # Head and the CP factor A1 (via chain through zero A2? A2's grad is
+    # nonzero even though A2 itself is zero) receive gradient.
+    assert float(jnp.abs(grads["head"]["kernel"]).max()) > 0
+    assert float(jnp.abs(grads["cara"]["A2"]).max()) > 0
+    assert float(jnp.abs(grads["cara"]["P2"]).max()) > 0
+    # A1's grad is zero at init (delta is multiplicatively gated by A2==0)
+    # but must be finite.
+    assert np.all(np.isfinite(np.asarray(grads["cara"]["A1"])))
+
+
+def test_no_cls_token_pooling():
+    cfg = ViTConfig(
+        image_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+        repr_size=None, num_classes=7, use_cls_token=False,
+    )
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    assert vit_lib.vit_forward(params, x, cfg).shape == (2, 7)
+
+
+def test_reset_classifier(tiny):
+    cfg, _, params, _ = tiny
+    new = vit_lib.reset_classifier(params, jax.random.key(9), cfg, 5)
+    assert new["head"]["kernel"].shape == (48, 5)
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+    assert vit_lib.vit_forward(new, x, cfg).shape[-1] == 5
