@@ -1,0 +1,93 @@
+"""Device mesh + sharding rules (the distributed layer the reference lacks).
+
+Reference accounting (SURVEY.md section 2.6): the reference has **no**
+parallelism — one commented-out ``DataParallel`` line
+(``image_classification/dim_experiment.py:419``) is its only multi-device
+artifact.  The TPU-native equivalent is GSPMD: a ``Mesh`` with a ``data`` axis
+(batch sharding — the primary parallelism for this workload) and an optional
+``model`` axis (Megatron-style tensor parallelism for ViT-L-class backbones),
+with every collective (gradient psum, activation all-reduce) inserted by XLA
+from ``NamedSharding`` annotations — no hand-written NCCL analog.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, int]] = None, devices=None
+) -> Mesh:
+    """Create a (data, model) mesh.  Default: all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    d, m = shape
+    if d * m != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.asarray(devices).reshape(d, m)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS)
+
+
+def replicated_spec() -> P:
+    return P()
+
+
+def vit_param_specs(params: Dict[str, Any], tensor_parallel: bool) -> Dict[str, Any]:
+    """PartitionSpec pytree matching a ViT param pytree.
+
+    With ``tensor_parallel`` the attention and MLP weights are sharded
+    Megatron-style over the ``model`` axis (column-parallel qkv/fc1,
+    row-parallel proj/fc2), everything else replicated.  CaRA factors are
+    tiny (O(E*r)) and always replicated.
+    """
+
+    def rep(tree):
+        return jax.tree_util.tree_map(lambda _: P(), tree)
+
+    if not tensor_parallel:
+        return rep(params)
+
+    specs = rep(params)
+    blocks = {
+        "ln1_scale": P(), "ln1_bias": P(),
+        # stacked (L, in, out) kernels
+        "qkv": {"kernel": P(None, None, MODEL_AXIS), "bias": P(None, MODEL_AXIS)},
+        "proj": {"kernel": P(None, MODEL_AXIS, None), "bias": P()},
+        "ln2_scale": P(), "ln2_bias": P(),
+        "fc1": {"kernel": P(None, None, MODEL_AXIS), "bias": P(None, MODEL_AXIS)},
+        "fc2": {"kernel": P(None, MODEL_AXIS, None), "bias": P()},
+    }
+    specs["blocks"] = blocks
+    return specs
+
+
+def shardings_for(mesh: Mesh, spec_tree):
+    """PartitionSpec pytree -> NamedSharding pytree."""
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def put_batch(mesh: Mesh, batch):
+    """Host numpy batch -> device arrays sharded along the data axis."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def put_replicated(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,155 @@
+"""Jitted train / eval steps.
+
+Replaces the reference's eager loop (``vit_cp.py:19-70``: forward,
+cross-entropy, backward, AdamW step, per-batch scheduler poke) with a single
+compiled function: loss + grads over **only** the trainable leaves (CaRA
+factors + classifier head — the functional equivalent of the
+``requires_grad=False`` freeze at ``vit_cp.py:176-182``), optax AdamW
+(lr 1e-3, wd 1e-4 — ``vit_cp.py:185``), schedule baked into the optimizer,
+metrics computed on-device.
+
+The trainable/frozen split also means the optimizer state is O(adapter), not
+O(backbone): AdamW moments exist only for ~85K CaRA params + head.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cara_tpu.config import CaraConfig, ViTConfig
+from cara_tpu.models.vit import vit_forward
+from cara_tpu.train.schedule import cara_cosine_schedule
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    step: jax.Array                 # scalar int32
+    trainable: Params               # {"cara": ..., "head": {...}}
+    opt_state: Any
+
+
+def split_trainable(params: Params, cara_params: Params) -> Tuple[Params, Params]:
+    """(frozen_backbone, trainable) — trainable = CP adapter + head, matching
+    the reference's name-based freeze ("CP" or "head" in name,
+    ``vit_cp.py:176-182``)."""
+    frozen = {k: v for k, v in params.items() if k != "head"}
+    trainable = {"cara": cara_params, "head": params["head"]}
+    return frozen, trainable
+
+
+def merge_params(frozen: Params, trainable: Params) -> Params:
+    full = dict(frozen)
+    full["head"] = trainable["head"]
+    return full
+
+
+def make_optimizer(
+    base_lr: float,
+    steps_per_epoch: int,
+    total_epochs: int = 100,
+    weight_decay: float = 1e-4,
+) -> optax.GradientTransformation:
+    """AdamW with the reference's effective cosine schedule.
+
+    torch AdamW applies weight decay to every param in the group (lambdas and
+    biases included) — optax.adamw without a mask matches that.
+    """
+    sched = cara_cosine_schedule(base_lr, steps_per_epoch, total_epochs)
+    return optax.adamw(learning_rate=sched, weight_decay=weight_decay)
+
+
+def init_train_state(
+    tx: optax.GradientTransformation, params: Params, cara_params: Params
+) -> Tuple[Params, TrainState]:
+    frozen, trainable = split_trainable(params, cara_params)
+    opt_state = tx.init(trainable)
+    return frozen, TrainState(jnp.zeros((), jnp.int32), trainable, opt_state)
+
+
+def make_train_step(
+    cfg: ViTConfig,
+    cara_cfg: CaraConfig,
+    tx: optax.GradientTransformation,
+    *,
+    remat: bool = True,
+    compute_dtype=None,
+):
+    """Build the jittable train step: (state, frozen, batch, rng) -> (state, metrics).
+
+    ``rng`` is a base key; the per-step key is derived by folding in the step
+    counter, so a single key drives the whole run deterministically.
+    ``compute_dtype`` (e.g. bfloat16) casts activations+weights for the
+    forward/backward while keeping params and optimizer state in fp32.
+    """
+
+    def train_step(state: TrainState, frozen: Params, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(trainable):
+            p = merge_params(frozen, trainable)
+            cara = trainable["cara"]
+            if compute_dtype is not None:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, p)
+                cara = jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype), cara)
+                x = batch["image"].astype(compute_dtype)
+            else:
+                x = batch["image"]
+            logits = vit_forward(
+                p, x, cfg, cara_params=cara, cara_cfg=cara_cfg,
+                train=True, rng=step_rng, remat=remat,
+            ).astype(jnp.float32)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch["label"]).mean()
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        acc = jnp.mean(
+            (jnp.argmax(logits, axis=-1) == batch["label"]).astype(jnp.float32))
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(state.step + 1, trainable, opt_state)
+        return new_state, {"loss": loss, "accuracy": acc, "grad_norm": gnorm}
+
+    return train_step
+
+
+def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
+                   compute_dtype=None):
+    """(params, cara, batch) -> per-batch (num_correct, num_total).
+
+    Equivalent of the reference eval loop's avalanche ``Accuracy.update``
+    (``vit_cp.py:73-82``); accuracy = correct/total accumulated by the caller
+    (plain mean(argmax==y), SURVEY.md section 7 "avalanche semantics").
+    Supports a ``valid`` mask so padded final batches don't skew accuracy.
+    """
+
+    def eval_step(params: Params, cara_params, batch):
+        p, cara, x = params, cara_params, batch["image"]
+        if compute_dtype is not None:
+            cast = lambda a: a.astype(compute_dtype) \
+                if jnp.issubdtype(a.dtype, jnp.floating) else a
+            p = jax.tree_util.tree_map(cast, p)
+            if cara is not None:
+                cara = jax.tree_util.tree_map(cast, cara)
+            x = x.astype(compute_dtype)
+        logits = vit_forward(
+            p, x, cfg, cara_params=cara,
+            cara_cfg=cara_cfg if cara is not None else None, train=False)
+        pred = jnp.argmax(logits, axis=-1)
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones_like(batch["label"], jnp.float32)
+        correct = jnp.sum((pred == batch["label"]).astype(jnp.float32) * valid)
+        return correct, jnp.sum(valid)
+
+    return eval_step

@@ -1,0 +1,142 @@
+"""Training-step tests: schedule golden values, learning on synthetic data,
+and multi-device (8 virtual CPU) data/tensor-parallel equivalence — the
+integration coverage the reference entirely lacks (SURVEY.md section 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cara_tpu.config import CaraConfig, ViTConfig
+from cara_tpu.models import cara as cara_lib
+from cara_tpu.models import vit as vit_lib
+from cara_tpu.parallel import mesh as mesh_lib
+from cara_tpu.train import steps as steps_lib
+from cara_tpu.train.schedule import cara_cosine_schedule
+
+
+def test_schedule_reference_curve():
+    """Golden values of the effective reference LR curve
+    (CosineLRScheduler(t_initial=100, warmup_t=10, lr_min=1e-5,
+    warmup_lr_init=1e-6) stepped per-epoch, frozen after epoch 50 —
+    vit_cp.py:55-59,187)."""
+    spe = 15  # steps/epoch for train800val200 @ bs64 drop_last
+    s = cara_cosine_schedule(1e-3, spe)
+    # epoch 0: warmup_lr_init
+    assert np.isclose(float(s(0)), 1e-6)
+    # epoch 5: linear warmup
+    want5 = 1e-6 + 5 * (1e-3 - 1e-6) / 10
+    assert np.isclose(float(s(5 * spe)), want5, rtol=1e-6)
+    # epoch 10: cosine at t=10 (warmup_prefix=False -> raw epoch index)
+    want10 = 1e-5 + 0.5 * (1e-3 - 1e-5) * (1 + np.cos(np.pi * 10 / 100))
+    assert np.isclose(float(s(10 * spe)), want10, rtol=1e-6)
+    # epochs > 50 frozen at the epoch-50 value
+    want50 = 1e-5 + 0.5 * (1e-3 - 1e-5) * (1 + np.cos(np.pi * 50 / 100))
+    for e in (50, 51, 75, 99):
+        assert np.isclose(float(s(e * spe)), want50, rtol=1e-6), e
+    # piecewise-constant within an epoch
+    assert float(s(7 * spe)) == float(s(7 * spe + spe - 1))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ViTConfig(
+        image_size=16, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+        repr_size=None, num_classes=4, drop_path_rate=0.0,
+    )
+    cara_cfg = CaraConfig(rank=4, scale=1.0, l_mu=1.0, l_std=0.0,
+                          weight_dropout=0.0)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara_params = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    return cfg, cara_cfg, params, cara_params
+
+
+def _synthetic_batch(key, n, cfg, num_classes):
+    kx, ky = jax.random.split(key)
+    y = jax.random.randint(ky, (n,), 0, num_classes)
+    # Class-dependent mean so the task is learnable.
+    x = jax.random.normal(kx, (n, cfg.image_size, cfg.image_size, 3))
+    x = x + (y[:, None, None, None] - num_classes / 2) * 0.5
+    return {"image": x, "label": y}
+
+
+def test_loss_decreases(setup):
+    cfg, cara_cfg, params, cara_params = setup
+    tx = steps_lib.make_optimizer(1e-2, steps_per_epoch=10, total_epochs=100)
+    frozen, state = steps_lib.init_train_state(tx, params, cara_params)
+    train_step = jax.jit(steps_lib.make_train_step(cfg, cara_cfg, tx))
+    batch = _synthetic_batch(jax.random.key(5), 32, cfg, 4)
+    rng = jax.random.key(7)
+    first = None
+    for i in range(30):
+        state, metrics = train_step(state, frozen, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first * 0.8, (first, last)
+    assert int(state.step) == 30
+    # Backbone must be untouched (frozen by construction).
+    np.testing.assert_array_equal(
+        np.asarray(frozen["blocks"]["qkv"]["kernel"]),
+        np.asarray(params["blocks"]["qkv"]["kernel"]))
+
+
+def test_eval_step_counts(setup):
+    cfg, cara_cfg, params, cara_params = setup
+    eval_step = jax.jit(steps_lib.make_eval_step(cfg, cara_cfg))
+    batch = _synthetic_batch(jax.random.key(6), 16, cfg, 4)
+    batch["valid"] = jnp.concatenate(
+        [jnp.ones(12, jnp.float32), jnp.zeros(4, jnp.float32)])
+    correct, total = eval_step(params, cara_params, batch)
+    assert float(total) == 12.0
+    assert 0.0 <= float(correct) <= 12.0
+
+
+def test_data_parallel_matches_single_device(setup):
+    """Batch-sharded step over an 8-device mesh == single-device step."""
+    cfg, cara_cfg, params, cara_params = setup
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=10)
+    frozen, state = steps_lib.init_train_state(tx, params, cara_params)
+    step_fn = steps_lib.make_train_step(cfg, cara_cfg, tx)
+    batch = _synthetic_batch(jax.random.key(5), 16, cfg, 4)
+    rng = jax.random.key(7)
+
+    ref_state, ref_metrics = jax.jit(step_fn)(state, frozen, batch, rng)
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    sharded_batch = mesh_lib.put_batch(mesh, batch)
+    frozen_r = mesh_lib.put_replicated(mesh, frozen)
+    state_r = mesh_lib.put_replicated(mesh, state)
+    got_state, got_metrics = jax.jit(step_fn)(state_r, frozen_r, sharded_batch, rng)
+
+    np.testing.assert_allclose(
+        float(ref_metrics["loss"]), float(got_metrics["loss"]), rtol=1e-5)
+    a = np.asarray(ref_state.trainable["cara"]["A2"])
+    b = np.asarray(got_state.trainable["cara"]["A2"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_tensor_parallel_matches(setup):
+    """(4 data x 2 model) mesh with Megatron-style weight sharding produces
+    the same loss — GSPMD inserts all collectives from the PartitionSpecs."""
+    cfg, cara_cfg, params, cara_params = setup
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=10)
+    frozen, state = steps_lib.init_train_state(tx, params, cara_params)
+    step_fn = steps_lib.make_train_step(cfg, cara_cfg, tx)
+    batch = _synthetic_batch(jax.random.key(5), 16, cfg, 4)
+    rng = jax.random.key(7)
+    ref_state, ref_metrics = jax.jit(step_fn)(state, frozen, batch, rng)
+
+    mesh = mesh_lib.make_mesh((4, 2))
+    specs = mesh_lib.vit_param_specs(params, tensor_parallel=True)
+    specs.pop("head")
+    frozen_sh = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        frozen, specs, is_leaf=lambda x: isinstance(x, P))
+    state_r = mesh_lib.put_replicated(mesh, state)
+    sharded_batch = mesh_lib.put_batch(mesh, batch)
+    got_state, got_metrics = jax.jit(step_fn)(
+        state_r, frozen_sh, sharded_batch, rng)
+    np.testing.assert_allclose(
+        float(ref_metrics["loss"]), float(got_metrics["loss"]), rtol=1e-4)
