@@ -1,0 +1,251 @@
+"""VTAB-1k data pipeline: file-list datasets -> static-shape NHWC batches.
+
+Reference behavior being reproduced (``image_classification/vtab.py``):
+
+* 19 VTAB-1k tasks with caffe-style ``impath label`` file lists under
+  ``<root>/<task>/{train800,val200,train800val200,test}.txt`` (``vtab.py:40-50,76-107``).
+* Transform: bicubic resize to 224x224, scale to [0,1], ImageNet
+  normalization (``vtab.py:79-82``).
+* Protocol: ``evaluate=True`` trains on the 1000-image ``train800val200``
+  split (bs 64, shuffled, drop_last) and tests on the full ``test`` split
+  (bs 256) (``vtab.py:83-94``); ``evaluate=False`` is the 800/200 dev split.
+
+TPU-native differences: batches are NHWC float32 numpy with **static shapes**
+(the final eval batch is padded and carries a ``valid`` mask instead of being
+ragged), decode/resize runs on a thread pool overlapped with device compute,
+and a synthetic in-memory source provides data-free tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+# Task registry: name -> number of classes (``vtab.py:9-34``).
+VTAB_TASKS: Dict[str, int] = {
+    "cifar": 100,
+    "caltech101": 102,
+    "dtd": 47,
+    "oxford_flowers102": 102,
+    "oxford_iiit_pet": 37,
+    "svhn": 10,
+    "sun397": 397,
+    "patch_camelyon": 2,
+    "eurosat": 10,
+    "resisc45": 45,
+    "diabetic_retinopathy": 5,
+    "clevr_count": 8,
+    "clevr_dist": 6,
+    "dmlab": 6,
+    "kitti": 4,
+    "dsprites_loc": 16,
+    "dsprites_ori": 16,
+    "smallnorb_azi": 18,
+    "smallnorb_ele": 9,
+}
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def get_classes_num(task: str) -> int:
+    return VTAB_TASKS[task]
+
+
+def read_file_list(path: str) -> List[Tuple[str, int]]:
+    """Parse ``impath label`` lines (``vtab.py:40-50``)."""
+    out: List[Tuple[str, int]] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            impath, label = line.rsplit(maxsplit=1)
+            out.append((impath, int(label)))
+    return out
+
+
+def _load_image_pil(path: str, size: int) -> np.ndarray:
+    """Decode + bicubic resize + [0,1] float32 HWC (``vtab.py:36-37,79-81``)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((size, size), Image.BICUBIC)
+        return np.asarray(im, np.float32) / 255.0
+
+
+def normalize(x: np.ndarray) -> np.ndarray:
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class FileListSource:
+    """A decoded-on-demand image source backed by a file list."""
+
+    def __init__(self, root: str, flist: str, image_size: int = 224,
+                 num_workers: int = 8, decode_fn=None):
+        self.root = root
+        self.items = read_file_list(flist)
+        self.image_size = image_size
+        self.num_workers = num_workers
+        self._decode = decode_fn or _load_image_pil
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    @property
+    def labels(self) -> np.ndarray:
+        return np.array([lab for _, lab in self.items], np.int32)
+
+    def load(self, idx: int) -> np.ndarray:
+        path = os.path.join(self.root, self.items[idx][0])
+        return normalize(self._decode(path, self.image_size))
+
+
+class ArraySource:
+    """In-memory source (synthetic data / tests / benchmarks)."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        assert images.ndim == 4 and len(images) == len(labels)
+        self.images = images.astype(np.float32)
+        self._labels = labels.astype(np.int32)
+        self.image_size = images.shape[1]
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    @property
+    def labels(self) -> np.ndarray:
+        return self._labels
+
+    def load(self, idx: int) -> np.ndarray:
+        return self.images[idx]
+
+
+def synthetic_source(num: int, num_classes: int, image_size: int = 224,
+                     seed: int = 0) -> ArraySource:
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, num_classes, size=(num,)).astype(np.int32)
+    x = rng.randn(num, image_size, image_size, 3).astype(np.float32) * 0.5
+    x += (y[:, None, None, None].astype(np.float32) / num_classes - 0.5)
+    return ArraySource(x, y)
+
+
+class BatchLoader:
+    """Thread-pooled batch iterator with static shapes.
+
+    train mode: shuffle each epoch (numpy RNG), drop the ragged tail
+    (``drop_last=True``, ``vtab.py:87``).  eval mode: sequential, final batch
+    zero-padded with a ``valid`` mask so jit sees one batch shape.
+    """
+
+    def __init__(self, source, batch_size: int, *, train: bool,
+                 seed: int = 0, num_workers: int = 8):
+        self.source = source
+        self.batch_size = batch_size
+        self.train = train
+        self.rng = np.random.RandomState(seed)
+        self.num_workers = num_workers
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._lock = threading.Lock()
+
+    def _pool_get(self) -> ThreadPoolExecutor:
+        with self._lock:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            return self._pool
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.source)
+        if self.train:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.source)
+        order = np.arange(n)
+        if self.train:
+            self.rng.shuffle(order)
+            order = order[: (n // self.batch_size) * self.batch_size]
+        pool = self._pool_get()
+        labels = self.source.labels
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            idx = order[start:start + bs]
+            imgs = list(pool.map(self.source.load, idx))
+            valid = np.ones(len(idx), np.float32)
+            lab = labels[idx]
+            if len(idx) < bs:  # eval tail: pad to static shape
+                pad = bs - len(idx)
+                imgs += [np.zeros_like(imgs[0])] * pad
+                lab = np.concatenate([lab, np.zeros(pad, np.int32)])
+                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+            yield {
+                "image": np.stack(imgs),
+                "label": lab,
+                "valid": valid,
+            }
+
+
+def get_data(
+    task: str,
+    root: str = "./data/vtab-1k",
+    evaluate: bool = True,
+    batch_size: int = 64,
+    eval_batch_size: int = 256,
+    image_size: int = 224,
+    seed: int = 0,
+    num_workers: int = 8,
+    synthetic: bool = False,
+    synthetic_size: int = 1000,
+) -> Tuple[BatchLoader, BatchLoader]:
+    """(train_loader, eval_loader) with the reference split protocol
+    (``vtab.py:76-107``).  ``synthetic=True`` swaps in generated data with the
+    task's class count — used when no VTAB data is on disk."""
+    ncls = get_classes_num(task)
+    if synthetic:
+        train_src = synthetic_source(synthetic_size, ncls, image_size, seed)
+        test_src = synthetic_source(
+            max(synthetic_size // 4, eval_batch_size), ncls, image_size, seed + 1)
+    else:
+        tdir = os.path.join(root, task)
+        train_list = "train800val200.txt" if evaluate else "train800.txt"
+        test_list = "test.txt" if evaluate else "val200.txt"
+        train_src = FileListSource(
+            tdir, os.path.join(tdir, train_list), image_size, num_workers)
+        test_src = FileListSource(
+            tdir, os.path.join(tdir, test_list), image_size, num_workers)
+    train = BatchLoader(train_src, batch_size, train=True, seed=seed,
+                        num_workers=num_workers)
+    test = BatchLoader(test_src, eval_batch_size, train=False, seed=seed,
+                       num_workers=num_workers)
+    return train, test
+
+
+def prefetch(iterator, put_fn, depth: int = 2):
+    """Overlap host decode + H2D transfer with device compute.
+
+    ``put_fn`` maps a numpy batch to device arrays (e.g.
+    ``parallel.mesh.put_batch``).  The reference relies on torch DataLoader
+    ``pin_memory`` + implicit ``.cuda()`` per batch (``vit_cp.py:45``); here
+    transfers for the next ``depth`` batches are issued ahead of use.
+    """
+    import collections
+
+    queue = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(put_fn(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put_fn(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,178 @@
+"""Checkpointing: single-artifact model export + mid-training resume.
+
+Reference semantics preserved (SURVEY.md section 5):
+
+* "one file restores everything": the reference saves the **full**
+  ``state_dict`` (frozen backbone + CP params + head) keyed on best val
+  accuracy, deleting the previous best
+  (``image_classification/vit_cp.py:63-66``), filename
+  ``vit_{dataset}_{acc}_seed_{seed}``.  We keep the convention with ``.npz``.
+* ``--evaluate=<path>`` restores that single artifact (``vit_cp.py:168-173``).
+
+New capabilities the reference lacks:
+
+* **adapter-only export** (CP factors + head — ~100KB instead of ~350MB),
+* **mid-training resume** via orbax (step, trainable params, optimizer state
+  — the reference never saves optimizer state, SURVEY.md section 5),
+  good enough for preemptible TPU VMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# --- flat npz <-> nested pytree -------------------------------------------
+
+
+def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return tree
+
+
+# --- single-artifact model checkpoints ------------------------------------
+
+
+def save_model(
+    path: str,
+    params: Dict[str, Any],
+    cara_params: Optional[Dict[str, Any]] = None,
+    meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Full-model single file (backbone + head [+ adapter])."""
+    flat = flatten_tree({"params": params})
+    if cara_params is not None:
+        flat.update(flatten_tree({"cara": cara_params}))
+    if meta is not None:
+        flat["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load_model(path: str) -> Tuple[Dict, Optional[Dict], Dict]:
+    """Returns (params, cara_params_or_None, meta)."""
+    z = np.load(path)
+    flat = {k: z[k] for k in z.files if k != "__meta__"}
+    meta = {}
+    if "__meta__" in z.files:
+        meta = json.loads(bytes(z["__meta__"].tolist()).decode())
+    tree = unflatten_tree(flat)
+    return tree.get("params", {}), tree.get("cara"), meta
+
+
+def save_adapter(
+    path: str,
+    cara_params: Dict[str, Any],
+    head: Optional[Dict[str, Any]] = None,
+    meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Adapter-only artifact: CP factors (+ classifier head)."""
+    flat = flatten_tree({"cara": cara_params})
+    if head is not None:
+        flat.update(flatten_tree({"head": head}))
+    if meta is not None:
+        flat["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load_adapter(path: str) -> Tuple[Dict, Optional[Dict], Dict]:
+    z = np.load(path)
+    flat = {k: z[k] for k in z.files if k != "__meta__"}
+    meta = {}
+    if "__meta__" in z.files:
+        meta = json.loads(bytes(z["__meta__"].tolist()).decode())
+    tree = unflatten_tree(flat)
+    return tree.get("cara", {}), tree.get("head"), meta
+
+
+class BestCheckpointKeeper:
+    """Best-accuracy rotation with the reference filename convention
+    (save new best, delete previous — ``vit_cp.py:61-66``)."""
+
+    def __init__(self, out_dir: str, dataset: str, seed: int):
+        self.out_dir = out_dir
+        self.dataset = dataset
+        self.seed = seed
+        self.best_acc = 0.0
+        self.best_path: Optional[str] = None
+
+    def update(self, acc: float, params, cara_params, meta=None) -> Optional[str]:
+        if acc <= self.best_acc:
+            return None
+        self.best_acc = acc
+        new_path = os.path.join(
+            self.out_dir,
+            f"vit_{self.dataset}_{round(acc, 5)}_seed_{self.seed}.npz",
+        )
+        os.makedirs(self.out_dir, exist_ok=True)
+        save_model(new_path, params, cara_params,
+                   {**(meta or {}), "acc": acc, "seed": self.seed})
+        if self.best_path and os.path.exists(self.best_path):
+            os.remove(self.best_path)
+        self.best_path = new_path
+        return new_path
+
+
+# --- mid-training resume (orbax) ------------------------------------------
+
+
+def save_train_state(ckpt_dir: str, step: int, state, extra=None) -> None:
+    """Orbax save of the resumable state (trainable + optimizer + step)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    if extra is not None:
+        with open(os.path.join(path, "extra.json"), "w") as f:
+            json.dump(extra, f)
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
+        if d.startswith("step_")
+    ]
+    return max(steps) if steps else None
+
+
+def restore_train_state(ckpt_dir: str, step: int, template):
+    """Restore into the structure of ``template`` (from ``init_train_state``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=jax.device_get(template))
+    extra = None
+    extra_path = os.path.join(path, "extra.json")
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            extra = json.load(f)
+    return restored, extra
