@@ -1,0 +1,93 @@
+"""High-level model construction API.
+
+The reference's public surface is a single function ``cara(config)`` taking
+``{model, rank, scale, l_mu, l_std}`` and returning the patched module
+(``src/cara/cara.py:169-188``).  The functional equivalent here returns a
+:class:`CaraModel` bundle: backbone params (frozen), adapter params
+(trainable), and both configs — everything the train/eval/merge entry points
+consume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cara_tpu.config import CaraConfig, ViTConfig, get_model_config
+from cara_tpu.models import cara as cara_lib
+from cara_tpu.models import npz as npz_lib
+from cara_tpu.models import vit as vit_lib
+
+
+@dataclasses.dataclass
+class CaraModel:
+    cfg: ViTConfig
+    cara_cfg: CaraConfig
+    params: Dict[str, Any]        # backbone + head (head is trainable)
+    cara_params: Dict[str, Any]   # CP adapter (trainable)
+
+    def forward(self, x, *, train=False, rng=None, remat=False):
+        return vit_lib.vit_forward(
+            self.params, x, self.cfg, cara_params=self.cara_params,
+            cara_cfg=self.cara_cfg, train=train, rng=rng, remat=remat)
+
+    def merged(self) -> Dict[str, Any]:
+        from cara_tpu.models.merge import merge_cara
+
+        return merge_cara(self.params, self.cara_params, self.cfg, self.cara_cfg)
+
+    @property
+    def trainable_count(self) -> int:
+        """CP params only, head excluded — matches the reference's printed
+        "Total parameters" (``vit_cp.py:175-183``)."""
+        return cara_lib.count_params(self.cara_params)
+
+
+def build_model(
+    model_name: str = "vit_base_patch16_224_in21k",
+    *,
+    rank: int = 32,
+    scale: float = 1.0,
+    l_mu: float = 1.0,
+    l_std: float = 0.0,
+    num_classes: Optional[int] = None,
+    seed: int = 0,
+    backbone_path: Optional[str] = None,
+    cp_order: int = 4,
+    delta_impl: str = "factorized",
+    weight_dropout: float = 0.1,
+    dtype=jnp.float32,
+    model_overrides: Optional[Dict[str, Any]] = None,
+) -> CaraModel:
+    """Build backbone + adapter, mirroring the reference driver's sequence
+    (``vit_cp.py:155-166``): create model (npz checkpoint if available),
+    apply CaRA, reset classifier."""
+    cfg = get_model_config(model_name, **(model_overrides or {}))
+    cara_cfg = CaraConfig(
+        rank=rank, scale=scale, l_mu=l_mu, l_std=l_std,
+        cp_order=cp_order, delta_impl=delta_impl,
+        weight_dropout=weight_dropout,
+    )
+    root = jax.random.key(seed)
+    k_backbone, k_cara, k_head = jax.random.split(root, 3)
+
+    if backbone_path and os.path.exists(backbone_path):
+        params = npz_lib.load_npz_backbone(backbone_path, cfg, dtype)
+        params = npz_lib.maybe_resize_pos_embed(params, cfg)
+        if "head" not in params and cfg.num_classes > 0:
+            head_in = cfg.repr_size or cfg.embed_dim
+            params["head"] = vit_lib._torch_linear_init(
+                k_head, head_in, cfg.num_classes, dtype)
+    else:
+        params = vit_lib.init_vit_params(k_backbone, cfg, dtype)
+
+    cara_params = cara_lib.init_cara_params(k_cara, cfg, cara_cfg, dtype)
+
+    if num_classes is not None:
+        params = vit_lib.reset_classifier(params, k_head, cfg, num_classes, dtype)
+        cfg = dataclasses.replace(cfg, num_classes=num_classes)
+    return CaraModel(cfg, cara_cfg, params, cara_params)

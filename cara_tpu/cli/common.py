@@ -1,0 +1,76 @@
+"""Shared CLI plumbing for the two training entry points."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cara_tpu.data.vtab import VTAB_TASKS
+
+DATASET_CHOICES = sorted(VTAB_TASKS)
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    """Flags shared with the reference CLIs (``vit_cp.py:85-116``) plus the
+    TPU-native extras (mesh, dtype, synthetic data, profiling...)."""
+    p.add_argument("--lr", default=1e-3, type=float, help="Learning rate")
+    p.add_argument("--dataset", default="svhn", type=str,
+                   choices=DATASET_CHOICES, help="VTAB-1k task to train")
+    p.add_argument("--model", type=str, default="vit_base_patch16_224_in21k")
+    # --- extensions over the reference surface ---
+    p.add_argument("--data-root", default="./data/vtab-1k", type=str)
+    p.add_argument("--backbone", default="./ViT-B_16.npz", type=str,
+                   help="Pretrained JAX-format npz (same file the reference "
+                        "uses, vit_cp.py:155). Random init if missing.")
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--batch-size", default=64, type=int)
+    p.add_argument("--eval-batch-size", default=256, type=int)
+    p.add_argument("--seed", default=None, type=int,
+                   help="Override the per-dataset seed from the config table")
+    p.add_argument("--synthetic", action="store_true",
+                   help="Generated data (no VTAB files needed)")
+    p.add_argument("--synthetic-size", default=1000, type=int)
+    p.add_argument("--delta-impl", default="factorized",
+                   choices=["factorized", "materialized"],
+                   help="CP delta path: factorized = rank-space chain "
+                        "(fast); materialized = exact reference semantics "
+                        "incl. element-wise weight dropout")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="Compute dtype (params/optimizer stay fp32)")
+    p.add_argument("--mesh", default=None, type=str,
+                   help="data,model mesh shape, e.g. '8,1' (default: all "
+                        "devices on the data axis)")
+    p.add_argument("--no-remat", action="store_true",
+                   help="Disable per-layer rematerialization")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--profile-dir", default=None, type=str,
+                   help="Write a jax.profiler trace here")
+    p.add_argument("--out-dir", default=".", type=str)
+    p.add_argument("--resume-dir", default=None, type=str,
+                   help="Orbax resume checkpoints (mid-training restart)")
+    p.add_argument("--resume-every-steps", default=0, type=int)
+    p.add_argument("--log-every", default=10, type=int)
+    p.add_argument("--nan-check", action="store_true",
+                   help="Enable jax_debug_nans (numerics sanitizer)")
+
+
+def resolve_dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def resolve_mesh(spec: Optional[str]):
+    from cara_tpu.parallel.mesh import make_mesh
+
+    if spec is None:
+        return make_mesh()
+    d, m = (int(v) for v in spec.split(","))
+    return make_mesh((d, m))
+
+
+def setup_runtime(args) -> None:
+    if args.nan_check:
+        jax.config.update("jax_debug_nans", True)

@@ -122,6 +122,11 @@ MODEL_REGISTRY = {
         patch_size=14, embed_dim=1024, depth=24, num_heads=16, repr_size=None,
         num_classes=0,
     ),
+    # Small geometry for smoke tests / CI (not a reference model).
+    "vit_tiny_test": ViTConfig(
+        image_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+        repr_size=None, num_classes=10, drop_path_rate=0.1,
+    ),
 }
 
 

@@ -1,0 +1,150 @@
+"""High-level fit/evaluate loops.
+
+Mirrors the reference protocol (``image_classification/vit_cp.py:19-70``):
+N epochs over the train loader, eval every ``eval_every`` epochs (skipping
+epoch 0), best-checkpoint rotation, and a final re-eval — with TPU-native
+mechanics: one jitted train step, sharded batches prefetched to device,
+metrics fetched asynchronously, optional profiler tracing, and periodic
+orbax resume checkpoints (a capability the reference lacks).
+
+Eval cadence flavors (SURVEY.md section 2.2):
+* ``vit_cp.py:57``      — every 10 epochs, epoch != 0      (main CLI)
+* ``dim_experiment.py:60`` — every 5 epochs, epoch >= 50   (ablation CLI)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from cara_tpu.data.vtab import BatchLoader, prefetch
+from cara_tpu.parallel import mesh as mesh_lib
+from cara_tpu.train import checkpoint as ckpt_lib
+from cara_tpu.train import steps as steps_lib
+from cara_tpu.utils.logging import MetricLogger
+from cara_tpu.utils.profiling import StepTimer, trace
+
+
+@dataclasses.dataclass
+class FitConfig:
+    epochs: int = 100
+    eval_every: int = 10
+    eval_start: int = 1          # vit_cp: any epoch != 0; dim_experiment: >= 50
+    log_every: int = 10          # steps between metric log lines
+    lambda_telemetry: bool = False
+    profile_dir: Optional[str] = None
+    resume_dir: Optional[str] = None
+    resume_every_steps: int = 0  # 0 = disabled
+    prefetch_depth: int = 2
+
+
+def evaluate(
+    eval_step: Callable,
+    params,
+    cara_params,
+    loader: BatchLoader,
+    mesh=None,
+) -> float:
+    """Accuracy over a loader: sum(correct)/sum(valid) — the plain-mean
+    equivalent of the reference's avalanche Accuracy (``vit_cp.py:73-82``)."""
+    put = (lambda b: mesh_lib.put_batch(mesh, b)) if mesh is not None else (
+        lambda b: b)
+    correct = total = 0.0
+    for batch in prefetch(loader, put):
+        c, t = eval_step(params, cara_params, batch)
+        correct += float(c)
+        total += float(t)
+    return correct / max(total, 1.0)
+
+
+def fit(
+    *,
+    cfg,
+    cara_cfg,
+    frozen,
+    state: steps_lib.TrainState,
+    tx,
+    train_loader: BatchLoader,
+    eval_loader: BatchLoader,
+    rng: jax.Array,
+    fit_cfg: FitConfig = FitConfig(),
+    mesh=None,
+    logger: Optional[MetricLogger] = None,
+    keeper: Optional[ckpt_lib.BestCheckpointKeeper] = None,
+    train_step: Optional[Callable] = None,
+    eval_step: Optional[Callable] = None,
+    compute_dtype=None,
+) -> Dict[str, Any]:
+    """Run the fine-tuning protocol; returns summary dict with best accuracy."""
+    logger = logger or MetricLogger(enabled=False)
+    train_step = train_step or jax.jit(
+        steps_lib.make_train_step(cfg, cara_cfg, tx, compute_dtype=compute_dtype),
+        donate_argnums=(0,))
+    eval_step = eval_step or jax.jit(
+        steps_lib.make_eval_step(cfg, cara_cfg, compute_dtype=compute_dtype))
+
+    put = (lambda b: mesh_lib.put_batch(mesh, b)) if mesh is not None else (
+        lambda b: b)
+    if mesh is not None:
+        frozen = mesh_lib.put_replicated(mesh, frozen)
+        state = mesh_lib.put_replicated(mesh, state)
+
+    timer = StepTimer(train_loader.batch_size)
+    best_acc = 0.0
+    last_metrics: Dict[str, Any] = {}
+
+    with trace(fit_cfg.profile_dir):
+        for epoch in range(fit_cfg.epochs):
+            for batch in prefetch(train_loader, put, fit_cfg.prefetch_depth):
+                with timer:
+                    state, metrics = train_step(state, frozen, batch, rng)
+                step = int(state.step)
+                if step % fit_cfg.log_every == 0:
+                    rec = {"epoch": epoch,
+                           "loss": float(metrics["loss"]),
+                           "accuracy": float(metrics["accuracy"]),
+                           "images_per_sec": timer.images_per_sec}
+                    if fit_cfg.lambda_telemetry:
+                        rec.update(logger.lambda_stats(
+                            jax.device_get(state.trainable["cara"])))
+                    logger.log(rec, step=step)
+                if (fit_cfg.resume_dir and fit_cfg.resume_every_steps
+                        and step % fit_cfg.resume_every_steps == 0):
+                    ckpt_lib.save_train_state(
+                        fit_cfg.resume_dir, step, state, {"epoch": epoch})
+                last_metrics = metrics
+
+            if (epoch % fit_cfg.eval_every == 0 and epoch != 0
+                    and epoch >= fit_cfg.eval_start):
+                params_now = steps_lib.merge_params(frozen, state.trainable)
+                acc = evaluate(
+                    eval_step, params_now, state.trainable["cara"],
+                    eval_loader, mesh)
+                logger.log({"epoch": epoch, "val_acc": acc}, step=int(state.step))
+                if acc > best_acc:
+                    best_acc = acc
+                    if keeper is not None:
+                        host_params = jax.device_get(params_now)
+                        host_cara = jax.device_get(state.trainable["cara"])
+                        keeper.update(acc, host_params, host_cara)
+
+    # Final evaluation on a fresh pass (vit_cp.py:189-196).
+    params_now = steps_lib.merge_params(frozen, state.trainable)
+    final_acc = evaluate(
+        eval_step, params_now, state.trainable["cara"], eval_loader, mesh)
+    if final_acc > best_acc:
+        best_acc = final_acc
+        if keeper is not None:
+            keeper.update(final_acc, jax.device_get(params_now),
+                          jax.device_get(state.trainable["cara"]))
+    return {
+        "best_acc": best_acc,
+        "final_acc": final_acc,
+        "state": state,
+        "frozen": frozen,
+        "images_per_sec": timer.images_per_sec,
+        "last_loss": float(last_metrics["loss"]) if last_metrics else None,
+    }

@@ -1,0 +1,72 @@
+"""Profiling / tracing hooks (absent in the reference — SURVEY.md section 5).
+
+* :class:`StepTimer` — wall-clock per-step timing and images/sec (the
+  BASELINE.json north-star metric).
+* :func:`trace` — ``jax.profiler`` trace context behind a flag, producing a
+  TensorBoard-loadable xplane dump.
+* :func:`annotate` — named trace spans for the step phases.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+
+class StepTimer:
+    """Tracks step wall time with warmup exclusion; reports images/sec."""
+
+    def __init__(self, batch_size: int, warmup_steps: int = 2):
+        self.batch_size = batch_size
+        self.warmup_steps = warmup_steps
+        self.reset()
+
+    def reset(self):
+        self._count = 0
+        self._total = 0.0
+        self._last: Optional[float] = None
+
+    def __enter__(self):
+        self._last = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self._last
+        self._count += 1
+        if self._count > self.warmup_steps:
+            self._total += dt
+        return False
+
+    @property
+    def steps_timed(self) -> int:
+        return max(self._count - self.warmup_steps, 0)
+
+    @property
+    def mean_step_time(self) -> float:
+        return self._total / self.steps_timed if self.steps_timed else 0.0
+
+    @property
+    def images_per_sec(self) -> float:
+        t = self.mean_step_time
+        return self.batch_size / t if t > 0 else 0.0
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str]):
+    """``jax.profiler`` trace when ``log_dir`` is set; no-op otherwise."""
+    if not log_dir:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named span inside a trace (shows up in the profiler timeline)."""
+    return jax.profiler.TraceAnnotation(name)

@@ -1,0 +1,46 @@
+"""End-to-end CLI smoke tests on synthetic data (tiny model, CPU mesh).
+
+Covers the full reference workflow (SURVEY.md section 3.1): config lookup ->
+loaders -> model build -> adapter injection -> train loop with eval cadence ->
+best-checkpoint save -> eval-only mode restoring the single artifact."""
+
+import glob
+import os
+
+import pytest
+
+from cara_tpu.cli import dim_experiment as dim_cli
+from cara_tpu.cli import vit_cp as cli
+
+
+def _common(tmp_path, extra):
+    return [
+        "--synthetic", "--dataset", "patch_camelyon", "--model", "vit_tiny_test",
+        "--batch-size", "8", "--eval-batch-size", "8",
+        "--synthetic-size", "64", "--dtype", "float32",
+        "--backbone", str(tmp_path / "missing.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000",
+    ] + extra
+
+
+def test_vit_cp_train_and_eval_roundtrip(tmp_path):
+    acc = cli.main(_common(tmp_path, ["--dim", "4", "--epochs", "12"]))
+    assert 0.0 <= acc <= 1.0
+    ckpts = glob.glob(str(tmp_path / "vit_patch_camelyon_*_seed_89.npz"))
+    assert len(ckpts) == 1, ckpts
+
+    # Eval-only mode restores the single artifact (vit_cp.py:168-173).
+    acc2 = cli.main(_common(tmp_path, [
+        "--dim", "4", "--evaluate", ckpts[0]]))
+    assert acc2 == pytest.approx(acc, abs=1e-6)
+
+    # Merged-weight inference gives the same accuracy.
+    acc3 = cli.main(_common(tmp_path, [
+        "--dim", "4", "--evaluate", ckpts[0], "--merged-eval"]))
+    assert acc3 == pytest.approx(acc, abs=1e-6)
+
+
+def test_dim_experiment_order3(tmp_path):
+    acc = dim_cli.main(_common(tmp_path, [
+        "--ranks", "4", "--dims", "3", "--epochs", "2"]))
+    assert 0.0 <= acc <= 1.0
