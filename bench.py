@@ -1,0 +1,127 @@
+"""Headline benchmark: CaRA fine-tune training throughput (images/sec/chip).
+
+Measures the full jitted train step (fwd + bwd + AdamW update) for ViT-B/16
+with a rank-8 CaRA adapter at batch 64 — the BASELINE.json north-star
+configuration — on whatever accelerator JAX exposes (the driver runs this on
+one real TPU chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against the reference implementation measured on
+this machine's CPU via ``benchmarks/reference_torch.py`` (the reference repo
+publishes no numbers and no GPU exists here — BASELINE.md protocol); the
+measured reference number is cached in ``BASELINE_LOCAL.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def measure_train_step(model_name: str, rank: int, batch_size: int,
+                       steps: int, dtype, delta_impl: str,
+                       remat: bool) -> float:
+    from cara_tpu import api
+    from cara_tpu.train import steps as steps_lib
+
+    model = api.build_model(
+        model_name, rank=rank, scale=1.0, num_classes=100, seed=0,
+        delta_impl=delta_impl)
+    cfg = model.cfg
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=15)
+    frozen, state = steps_lib.init_train_state(
+        tx, model.params, model.cara_params)
+    frozen = steps_lib.cast_floating(frozen, dtype)
+    train_step = jax.jit(
+        steps_lib.make_train_step(cfg, model.cara_cfg, tx,
+                                  compute_dtype=dtype, remat=remat),
+        donate_argnums=(0,))
+
+    rng = jax.random.key(0)
+    batch = {
+        "image": jax.random.normal(
+            jax.random.key(1),
+            (batch_size, cfg.image_size, cfg.image_size, 3), dtype),
+        "label": jax.random.randint(
+            jax.random.key(2), (batch_size,), 0, 100),
+    }
+    # Warmup / compile.  NB: on the tunneled TPU backend block_until_ready
+    # returns before remote execution finishes — fetch a value to sync.
+    for _ in range(3):
+        state, metrics = train_step(state, frozen, batch, rng)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, frozen, batch, rng)
+    float(metrics["loss"])  # device->host fetch = hard sync
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def reference_baseline(batch_size: int) -> dict:
+    """Load (or lazily measure) the torch-CPU reference throughput."""
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_LOCAL.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    try:
+        from benchmarks.reference_torch import measure_reference
+
+        imgs = measure_reference(batch_size=min(batch_size, 16), steps=2)
+        rec = {"reference_images_per_sec": imgs,
+               "hardware": "cpu (torch reference replica)",
+               "note": "reference repo publishes no numbers; measured via "
+                       "benchmarks/reference_torch.py on this machine"}
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        return rec
+    except Exception as exc:  # torch missing etc.
+        return {"reference_images_per_sec": None, "note": f"unavailable: {exc}"}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="vit_base_patch16_224_in21k")
+    p.add_argument("--rank", default=8, type=int)
+    p.add_argument("--batch-size", default=64, type=int)
+    p.add_argument("--steps", default=30, type=int)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--delta-impl", default="factorized",
+                   choices=["factorized", "materialized"])
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--skip-reference", action="store_true")
+    args = p.parse_args()
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
+    imgs = measure_train_step(
+        args.model, args.rank, args.batch_size, args.steps, dtype,
+        args.delta_impl, args.remat)
+
+    ref = {} if args.skip_reference else reference_baseline(args.batch_size)
+    ref_imgs = ref.get("reference_images_per_sec")
+    vs = round(imgs / ref_imgs, 3) if ref_imgs else None
+
+    print(json.dumps({
+        "metric": "VTAB-1k fine-tune images/sec/chip (ViT-B/16, rank 8)",
+        "value": round(imgs, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs,
+        "device": str(jax.devices()[0]),
+        "dtype": args.dtype,
+        "delta_impl": args.delta_impl,
+        "batch_size": args.batch_size,
+        "baseline_note": ref.get("note", "n/a"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,8 +42,9 @@ def drop_path(x: jax.Array, rate, rng: Optional[jax.Array]):
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
-    # When rate==0 this is exactly x (mask==1, keep==1).
-    return x * mask / keep
+    # When rate==0 this is exactly x (mask==1, keep==1).  Cast keep to x's
+    # dtype so a traced f32 rate cannot promote a bf16 residual stream.
+    return x * mask / jnp.asarray(keep, x.dtype)
 
 
 def mha(

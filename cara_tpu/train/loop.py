@@ -91,6 +91,10 @@ def fit(
     if mesh is not None:
         frozen = mesh_lib.put_replicated(mesh, frozen)
         state = mesh_lib.put_replicated(mesh, state)
+    # Pre-cast the static backbone once; keep the fp32 original for
+    # checkpoint artifacts.
+    frozen_compute = (steps_lib.cast_floating(frozen, compute_dtype)
+                      if compute_dtype is not None else frozen)
 
     timer = StepTimer(train_loader.batch_size)
     best_acc = 0.0
@@ -100,7 +104,7 @@ def fit(
         for epoch in range(fit_cfg.epochs):
             for batch in prefetch(train_loader, put, fit_cfg.prefetch_depth):
                 with timer:
-                    state, metrics = train_step(state, frozen, batch, rng)
+                    state, metrics = train_step(state, frozen_compute, batch, rng)
                 step = int(state.step)
                 if step % fit_cfg.log_every == 0:
                     rec = {"epoch": epoch,
@@ -119,7 +123,8 @@ def fit(
 
             if (epoch % fit_cfg.eval_every == 0 and epoch != 0
                     and epoch >= fit_cfg.eval_start):
-                params_now = steps_lib.merge_params(frozen, state.trainable)
+                params_now = steps_lib.merge_params(
+                    frozen_compute, state.trainable)
                 acc = evaluate(
                     eval_step, params_now, state.trainable["cara"],
                     eval_loader, mesh)
@@ -127,19 +132,22 @@ def fit(
                 if acc > best_acc:
                     best_acc = acc
                     if keeper is not None:
-                        host_params = jax.device_get(params_now)
+                        host_params = jax.device_get(
+                            steps_lib.merge_params(frozen, state.trainable))
                         host_cara = jax.device_get(state.trainable["cara"])
                         keeper.update(acc, host_params, host_cara)
 
     # Final evaluation on a fresh pass (vit_cp.py:189-196).
-    params_now = steps_lib.merge_params(frozen, state.trainable)
+    params_now = steps_lib.merge_params(frozen_compute, state.trainable)
     final_acc = evaluate(
         eval_step, params_now, state.trainable["cara"], eval_loader, mesh)
     if final_acc > best_acc:
         best_acc = final_acc
         if keeper is not None:
-            keeper.update(final_acc, jax.device_get(params_now),
-                          jax.device_get(state.trainable["cara"]))
+            keeper.update(
+                final_acc,
+                jax.device_get(steps_lib.merge_params(frozen, state.trainable)),
+                jax.device_get(state.trainable["cara"]))
     return {
         "best_acc": best_acc,
         "final_acc": final_acc,

@@ -71,6 +71,14 @@ def init_train_state(
     return frozen, TrainState(jnp.zeros((), jnp.int32), trainable, opt_state)
 
 
+def cast_floating(tree, dtype):
+    """Cast floating leaves (e.g. pre-cast the frozen backbone to bf16 once,
+    instead of paying the fp32->bf16 HBM traffic every step)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+
 def make_train_step(
     cfg: ViTConfig,
     cara_cfg: CaraConfig,
@@ -83,25 +91,23 @@ def make_train_step(
 
     ``rng`` is a base key; the per-step key is derived by folding in the step
     counter, so a single key drives the whole run deterministically.
-    ``compute_dtype`` (e.g. bfloat16) casts activations+weights for the
-    forward/backward while keeping params and optimizer state in fp32.
+    ``compute_dtype`` (e.g. bfloat16) casts the (tiny) trainable leaves and
+    the batch for forward/backward while params and optimizer state stay
+    fp32; pass ``frozen`` already cast via :func:`cast_floating` — it is
+    static across training, so the cast should happen once, not per step.
     """
 
     def train_step(state: TrainState, frozen: Params, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(trainable):
-            p = merge_params(frozen, trainable)
-            cara = trainable["cara"]
             if compute_dtype is not None:
-                p = jax.tree_util.tree_map(
-                    lambda a: a.astype(compute_dtype)
-                    if jnp.issubdtype(a.dtype, jnp.floating) else a, p)
-                cara = jax.tree_util.tree_map(
-                    lambda a: a.astype(compute_dtype), cara)
+                trainable = cast_floating(trainable, compute_dtype)
                 x = batch["image"].astype(compute_dtype)
             else:
                 x = batch["image"]
+            p = merge_params(frozen, trainable)
+            cara = trainable["cara"]
             logits = vit_forward(
                 p, x, cfg, cara_params=cara, cara_cfg=cara_cfg,
                 train=True, rng=step_rng, remat=remat,
