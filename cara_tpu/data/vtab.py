@@ -83,15 +83,29 @@ def normalize(x: np.ndarray) -> np.ndarray:
 
 
 class FileListSource:
-    """A decoded-on-demand image source backed by a file list."""
+    """A decoded-on-demand image source backed by a file list.
+
+    ``backend="auto"`` uses the native C++ loader (libjpeg/libpng decode +
+    bicubic resize on a thread pool, :mod:`cara_tpu.data.native`) when it
+    builds, else PIL.
+    """
 
     def __init__(self, root: str, flist: str, image_size: int = 224,
-                 num_workers: int = 8, decode_fn=None):
+                 num_workers: int = 8, decode_fn=None, backend: str = "auto"):
         self.root = root
         self.items = read_file_list(flist)
         self.image_size = image_size
         self.num_workers = num_workers
         self._decode = decode_fn or _load_image_pil
+        self._native = None
+        if decode_fn is None and backend in ("auto", "native"):
+            try:
+                from cara_tpu.data.native import NativeBatchDecoder
+
+                self._native = NativeBatchDecoder(image_size, num_workers)
+            except Exception:
+                if backend == "native":
+                    raise
 
     def __len__(self) -> int:
         return len(self.items)
@@ -102,7 +116,17 @@ class FileListSource:
 
     def load(self, idx: int) -> np.ndarray:
         path = os.path.join(self.root, self.items[idx][0])
+        if self._native is not None:
+            return self._native.decode_one(path)
         return normalize(self._decode(path, self.image_size))
+
+    def load_batch(self, indices) -> np.ndarray:
+        """Batch decode — one C call, threading inside the native pool."""
+        if self._native is not None:
+            paths = [os.path.join(self.root, self.items[i][0])
+                     for i in indices]
+            return self._native.decode_batch(paths)
+        raise AttributeError("no native batch path")
 
 
 class ArraySource:
@@ -170,21 +194,27 @@ class BatchLoader:
         if self.train:
             self.rng.shuffle(order)
             order = order[: (n // self.batch_size) * self.batch_size]
-        pool = self._pool_get()
         labels = self.source.labels
         bs = self.batch_size
+        use_native = getattr(self.source, "_native", None) is not None
+        pool = None if use_native else self._pool_get()
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
-            imgs = list(pool.map(self.source.load, idx))
+            if use_native:
+                stacked = self.source.load_batch(idx)
+            else:
+                stacked = np.stack(list(pool.map(self.source.load, idx)))
             valid = np.ones(len(idx), np.float32)
             lab = labels[idx]
             if len(idx) < bs:  # eval tail: pad to static shape
                 pad = bs - len(idx)
-                imgs += [np.zeros_like(imgs[0])] * pad
+                stacked = np.concatenate(
+                    [stacked, np.zeros((pad,) + stacked.shape[1:],
+                                       stacked.dtype)])
                 lab = np.concatenate([lab, np.zeros(pad, np.int32)])
                 valid = np.concatenate([valid, np.zeros(pad, np.float32)])
             yield {
-                "image": np.stack(imgs),
+                "image": stacked,
                 "label": lab,
                 "valid": valid,
             }

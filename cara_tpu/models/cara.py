@@ -216,11 +216,15 @@ def qkv_delta(
         )
     if order == 5:
         lam = params["R1"] * f1[0] if comp is None else params["R1"] * f1[0] * comp
-        z = jnp.einsum("bne,er->bnr", x, params["A3"])  # A3 is the zero/embed mode
-        kh = jnp.einsum("kr,hr->khr", params["A2"] * lam[None, :], params["A4"])
-        return jnp.einsum("bnr,khr,dr->bnkhd", z, kh, params["A5"])
+        z = x @ params["A3"]  # A3 is the zero/embed mode
+        m = ((params["A2"] * lam[None, :])[:, None, None, :]
+             * params["A4"][None, :, None, :]
+             * params["A5"][None, None, :, :])              # (3, H, Dh, r)
+        m = m.reshape(3 * e, cara.rank).T
+        return (z @ m).reshape(b, n, 3, h, d)
     # order == 3
     lam = params["R1"] if comp is None else params["R1"] * comp
-    z = jnp.einsum("bne,er->bnr", x, params["A2"])
-    delta = jnp.einsum("bnr,kr,er->bnke", z * lam[None, None, :], f1, params["A3"])
-    return delta.reshape(b, n, 3, h, d)
+    z = x @ params["A2"]
+    m = ((f1 * lam[None, :])[:, None, :] * params["A3"][None, :, :])  # (3,E,r)
+    m = m.reshape(3 * e, cara.rank).T
+    return (z @ m).reshape(b, n, 3, h, d)

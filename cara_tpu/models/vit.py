@@ -174,9 +174,15 @@ def _block(
         qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B, H, N, Dh)
-    attn_out = mha(
-        q, k, v, d ** -0.5, cfg.attn_dropout_rate, k_attn
-    )  # (B, N, E)
+    if attn_impl == "flash" and cfg.attn_dropout_rate == 0.0:
+        from cara_tpu.ops.pallas.flash_attention import flash_attention
+
+        o = flash_attention(q, k, v, d ** -0.5)
+        attn_out = o.transpose(0, 2, 1, 3).reshape(b, n, e)
+    else:
+        attn_out = mha(
+            q, k, v, d ** -0.5, cfg.attn_dropout_rate, k_attn
+        )  # (B, N, E)
 
     proj = attn_out @ bp["proj"]["kernel"] + bp["proj"]["bias"]
     if use_cara:
@@ -246,16 +252,20 @@ def vit_forward(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ) -> jax.Array:
     """Full forward: images (B, H, W, C) NHWC -> logits (B, num_classes).
 
     ``train=True`` with an ``rng`` enables drop-path and the CaRA weight
     dropout; eval is fully deterministic.  ``remat`` wraps the per-layer body
     in ``jax.checkpoint`` to trade FLOPs for HBM during training.
+    ``attn_impl``: "flash" (fused Pallas kernel), "xla", or "auto"
+    (flash on TPU, xla elsewhere).
     """
     if (cara_params is None) != (cara_cfg is None):
         raise ValueError("cara_params and cara_cfg must be provided together")
+    if attn_impl == "auto":
+        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
     use_rng = train and rng is not None
     L = cfg.depth
 

@@ -102,11 +102,21 @@ def qkv_delta_factorized(
     """Rank-space chain, never materializes (3,E,E): returns (B, N, 3, H, Dh).
 
     ``y[b,n,k,h,d] = sum_r (x @ a2)[b,n,r] * (r1*f1)[k,r] * a3[h,r] * a4[d,r]``
+
+    Structured as two MXU GEMMs: the token-independent factor product is
+    collapsed into one (r, 3*E) matrix (O(E*r) work) so the per-token cost is
+    ``x @ a2`` then ``z @ M`` — clean large matmuls, no 5-D intermediates.
     """
     lam = r1 if comp_mask is None else r1 * comp_mask
-    z = jnp.einsum("bne,er->bnr", x, a2)                   # (B, N, r)
-    kh = jnp.einsum("kr,hr->khr", f1 * lam[None, :], a3)   # (3, H, r)
-    return jnp.einsum("bnr,khr,dr->bnkhd", z, kh, a4)
+    b, n, e = x.shape
+    k, r = f1.shape
+    h, d = a3.shape[0], a4.shape[0]
+    z = x @ a2                                             # (B, N, r)
+    # M[r, (k,h,d)] = lam*f1[k,r] * a3[h,r] * a4[d,r]
+    m = ((f1 * lam[None, :])[:, None, None, :]
+         * a3[None, :, None, :] * a4[None, None, :, :])    # (3, H, Dh, r)
+    m = m.reshape(k * h * d, r).T                          # (r, 3E)
+    return (z @ m).reshape(b, n, k, h, d)
 
 
 # ---------------------------------------------------------------------------
@@ -143,12 +153,19 @@ def rows_delta_out_factorized(
     r2: jax.Array,          # (r,)
     comp_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Factorized ``x @ T.T``: contract x with the p3 mode. (B, N, rows*E)."""
+    """Factorized ``x @ T.T``: contract x with the p3 mode. (B, N, rows*E).
+
+    Two GEMMs: ``z = x @ p3`` then ``z @ M`` with the (rows, E) output modes
+    collapsed into one token-independent (r, rows*E) matrix.
+    """
     lam = r2 if comp_mask is None else r2 * comp_mask
-    z = jnp.einsum("bne,er->bnr", x, p3)                   # contract p3 mode
-    out = jnp.einsum("bnr,ir,er->bnie", z * lam[None, None, :], p1, p2)
     b, n = x.shape[:2]
-    return out.reshape(b, n, -1)
+    rows, r = p1.shape
+    e = p2.shape[0]
+    z = x @ p3                                             # contract p3 mode
+    m = ((p1 * lam[None, :])[:, None, :] * p2[None, :, :])  # (rows, E, r)
+    m = m.reshape(rows * e, r).T                            # (r, rows*E)
+    return (z @ m).reshape(b, n, rows * e)
 
 
 def rows_delta_in_materialized(
@@ -179,11 +196,15 @@ def rows_delta_in_factorized(
     r2: jax.Array,          # (r,)
     comp_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Factorized ``x @ T``: contract x's (rows, p2) modes, emit p3 mode."""
+    """Factorized ``x @ T``: contract x's (rows, p2) modes, emit p3 mode.
+
+    Two GEMMs: the (rows, E) input modes collapse into one (rows*E, r)
+    matrix, then ``(x @ M * lam) @ p3.T``.
+    """
     lam = r2 if comp_mask is None else r2 * comp_mask
     b, n = x.shape[:2]
-    rows = p1.shape[0]
+    rows, r = p1.shape
     e2 = p2.shape[0]
-    x4 = x.reshape(b, n, rows, e2)
-    z = jnp.einsum("bnie,ir,er->bnr", x4, p1, p2)
-    return jnp.einsum("bnr,er->bne", z * lam[None, None, :], p3)
+    m = (p1[:, None, :] * p2[None, :, :]).reshape(rows * e2, r)
+    z = x @ m                                               # (B, N, r)
+    return (z * lam[None, None, :]) @ p3.T
