@@ -1,0 +1,98 @@
+"""FGVC fine-tuning CLI (CUB-200 / Stanford Cars / Oxford Flowers / ...).
+
+New surface relative to the reference (which names FGVC in its README but
+ships no loader — SURVEY.md section 2.3); protocol mirrors the VTAB CLI with
+the FGVC data pipeline (full train split, augmentation) from
+:mod:`cara_tpu.data.fgvc`.
+
+Run:  ``python -m cara_tpu.cli.fgvc --dataset=cub2011 --dim=32``
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from cara_tpu import api
+from cara_tpu.cli import common
+from cara_tpu.data import fgvc as fgvc_lib
+from cara_tpu.train import checkpoint as ckpt_lib
+from cara_tpu.train import loop as loop_lib
+from cara_tpu.train import steps as steps_lib
+from cara_tpu.utils.logging import MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--dim", default=32, type=int, help="CP rank")
+    p.add_argument("--scale", default=1.0, type=float, help="Delta scale s")
+    p.add_argument("--init-mean", default=1.0, type=float)
+    p.add_argument("--init-std", default=0.0, type=float)
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--evaluate", default=None, type=str)
+    common.add_common_args(p)
+    p.set_defaults(dataset="cub2011", data_root="./data/fgvc", epochs=100)
+    # Replace the VTAB dataset choices with the FGVC registry.
+    for a in p._actions:
+        if a.dest == "dataset":
+            a.choices = sorted(fgvc_lib.FGVC_TASKS)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> float:
+    args = parse_args(argv)
+    common.setup_runtime(args)
+    print(args)
+    seed = args.seed if args.seed is not None else 42
+    num_classes = fgvc_lib.get_classes_num(args.dataset)
+
+    model = api.build_model(
+        args.model, rank=args.dim, scale=args.scale, l_mu=args.init_mean,
+        l_std=args.init_std, num_classes=num_classes, seed=seed,
+        backbone_path=args.backbone, delta_impl=args.delta_impl)
+    train_loader, eval_loader = fgvc_lib.get_data(
+        args.dataset, root=args.data_root, batch_size=args.batch_size,
+        eval_batch_size=args.eval_batch_size,
+        image_size=model.cfg.image_size, seed=seed,
+        augment=not args.no_augment, synthetic=args.synthetic,
+        synthetic_size=args.synthetic_size)
+
+    mesh = common.resolve_mesh(args.mesh)
+    dtype = common.resolve_dtype(args.dtype)
+    logger = MetricLogger(use_wandb=args.wandb, enabled=True)
+
+    if args.evaluate is not None:
+        params, cara_params, _ = ckpt_lib.load_model(args.evaluate)
+        eval_step = jax.jit(steps_lib.make_eval_step(
+            model.cfg, model.cara_cfg if cara_params is not None else None,
+            compute_dtype=dtype))
+        acc = loop_lib.evaluate(eval_step, params, cara_params, eval_loader,
+                                mesh)
+        print(f"Accuracy: {acc}")
+        return acc
+
+    print(f"Total parameters: {model.trainable_count}")
+    tx = steps_lib.make_optimizer(
+        args.lr, train_loader.steps_per_epoch(), total_epochs=args.epochs)
+    frozen, state = steps_lib.init_train_state(
+        tx, model.params, model.cara_params)
+    keeper = ckpt_lib.BestCheckpointKeeper(args.out_dir, args.dataset, seed)
+    fit_cfg = loop_lib.FitConfig(
+        epochs=args.epochs, eval_every=10, eval_start=1,
+        log_every=args.log_every, profile_dir=args.profile_dir,
+        resume_dir=args.resume_dir,
+        resume_every_steps=args.resume_every_steps)
+    result = loop_lib.fit(
+        cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,
+        tx=tx, train_loader=train_loader, eval_loader=eval_loader,
+        rng=jax.random.key(seed), fit_cfg=fit_cfg, mesh=mesh, logger=logger,
+        keeper=keeper, compute_dtype=dtype)
+    print(f"Accuracy: {result['best_acc']}")
+    logger.finish()
+    return result["best_acc"]
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""19-task VTAB-1k benchmark sweep runner.
+
+The reference has no sweep driver — each task is a separate manual CLI
+invocation (``vit_cp.py`` per dataset).  This runner executes the full
+VTAB-1k suite (or a subset) in one process, reusing the loaded backbone and
+compiled step functions across tasks wherever shapes allow, and writes a
+per-task results JSON + mean summary.
+
+Run:  ``python -m cara_tpu.cli.sweep --tasks cifar,svhn --dim 8``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+from cara_tpu import api
+from cara_tpu.cli import common
+from cara_tpu.data import vtab as vtab_lib
+from cara_tpu.data.vtab_config import get_task_hparams
+from cara_tpu.train import checkpoint as ckpt_lib
+from cara_tpu.train import loop as loop_lib
+from cara_tpu.train import steps as steps_lib
+from cara_tpu.utils.logging import MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--dim", default=32, type=int, help="CP rank")
+    p.add_argument("--tasks", default="all", type=str,
+                   help="'all' or comma-separated VTAB task names")
+    p.add_argument("--results", default="vtab_results.json", type=str)
+    common.add_common_args(p)
+    return p.parse_args(argv)
+
+
+def run_task(task: str, args, results: dict) -> float:
+    hp = get_task_hparams(task)
+    seed = args.seed if args.seed is not None else hp.seed
+    num_classes = vtab_lib.get_classes_num(task)
+    model = api.build_model(
+        args.model, rank=args.dim, scale=hp.scale, l_mu=hp.init_mean,
+        l_std=hp.init_std, num_classes=num_classes, seed=seed,
+        backbone_path=args.backbone, delta_impl=args.delta_impl,
+        weight_dropout=hp.weight_dropout)
+    train_loader, eval_loader = vtab_lib.get_data(
+        task, root=args.data_root, evaluate=True,
+        batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
+        image_size=model.cfg.image_size, seed=seed,
+        synthetic=args.synthetic, synthetic_size=args.synthetic_size)
+    tx = steps_lib.make_optimizer(
+        args.lr, train_loader.steps_per_epoch(), total_epochs=args.epochs)
+    frozen, state = steps_lib.init_train_state(
+        tx, model.params, model.cara_params)
+    keeper = ckpt_lib.BestCheckpointKeeper(args.out_dir, task, seed)
+    fit_cfg = loop_lib.FitConfig(
+        epochs=args.epochs, eval_every=10, eval_start=1,
+        log_every=args.log_every)
+    t0 = time.time()
+    out = loop_lib.fit(
+        cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,
+        tx=tx, train_loader=train_loader, eval_loader=eval_loader,
+        rng=jax.random.key(seed), fit_cfg=fit_cfg,
+        mesh=common.resolve_mesh(args.mesh),
+        logger=MetricLogger(enabled=False), keeper=keeper,
+        compute_dtype=common.resolve_dtype(args.dtype))
+    results[task] = {
+        "top1": out["best_acc"],
+        "seed": seed,
+        "images_per_sec": out["images_per_sec"],
+        "minutes": round((time.time() - t0) / 60, 2),
+        "ckpt": keeper.best_path,
+    }
+    return out["best_acc"]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    common.setup_runtime(args)
+    tasks = (sorted(vtab_lib.VTAB_TASKS) if args.tasks == "all"
+             else args.tasks.split(","))
+    results: dict = {}
+    for task in tasks:
+        print(f"=== {task} ===")
+        acc = run_task(task, args, results)
+        print(f"{task}: top-1 {acc:.4f}")
+        with open(os.path.join(args.out_dir, args.results), "w") as f:
+            json.dump(results, f, indent=1)
+    accs = [r["top1"] for r in results.values()]
+    summary = {"mean_top1": sum(accs) / len(accs), "tasks": len(accs)}
+    results["__summary__"] = summary
+    with open(os.path.join(args.out_dir, args.results), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(summary))
+    return results
+
+
+if __name__ == "__main__":
+    main()
