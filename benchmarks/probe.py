@@ -1,9 +1,12 @@
-"""Perf probe battery: times model variants, appends JSON lines to a file.
+"""Perf probe battery: async-dispatch timing of model variants.
 
-Usage: python benchmarks/probe.py <variant> [out_file]
+Usage: python benchmarks/probe.py <variant>[,<variant>...] [out_file]
 
-Each invocation measures one variant (so a crash/timeout doesn't lose the
-rest); the persistent compilation cache makes repeat invocations cheap.
+Timing protocol for the tunneled TPU backend: per-call roundtrip latency is
+high and variable, but dispatch is asynchronous — so we enqueue N calls
+back-to-back (serialized through a data dependency where needed) and sync
+once at the end with a scalar fetch.  Device execution time dominates for
+ops >~2ms.
 """
 
 import json
@@ -12,14 +15,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
 import jax.numpy as jnp
 import optax
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 from cara_tpu import api  # noqa: E402
 from cara_tpu.models.vit import vit_forward  # noqa: E402
@@ -37,25 +36,21 @@ def build(delta_impl="factorized"):
     return model, p, c, x, y
 
 
-def bench_scan(fn, x64, K=20, reps=3):
-    """fn: x -> scalar; serialized K times inside one jit (CSE-proof)."""
-    @jax.jit
-    def rep():
-        def body(acc, _):
-            out = fn(x64 + acc * 1e-24)
-            return out.astype(jnp.float32), None
-        o, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
-        return o
-
+def bench_async(step, state0, N=30):
+    """step: state -> state (device arrays); serialized via the state dep."""
     t0 = time.perf_counter()
-    jax.device_get(rep())
+    s = step(state0)
+    jax.device_get(jax.tree_util.tree_leaves(s)[0]).ravel()[:1]
     compile_s = time.perf_counter() - t0
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.device_get(rep())
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / K, compile_s
+    # One pass to warm, then timed run.
+    for _ in range(3):
+        s = step(s)
+    jax.device_get(jax.tree_util.tree_leaves(s)[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    for _ in range(N):
+        s = step(s)
+    jax.device_get(jax.tree_util.tree_leaves(s)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / N, compile_s
 
 
 def loss_make(model, p, y, train, impl):
@@ -70,62 +65,53 @@ def loss_make(model, p, y, train, impl):
     return loss_fn
 
 
-def train_step_time(model, delta_impl, remat, impl_note="", K=20):
-    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=15)
-    frozen, state = steps_lib.init_train_state(
-        tx, model.params, model.cara_params)
-    frozen = steps_lib.cast_floating(frozen, jnp.bfloat16)
-    x = jax.random.normal(jax.random.key(1), (64, 224, 224, 3), jnp.bfloat16)
-    batch = {"image": x,
-             "label": jax.random.randint(jax.random.key(2), (64,), 0, 100)}
-    step_fn = steps_lib.make_train_step(
-        model.cfg, model.cara_cfg, tx, compute_dtype=jnp.bfloat16, remat=remat)
-
-    @jax.jit
-    def multi(state):
-        def body(s, _):
-            s2, m = step_fn(s, frozen, batch, jax.random.key(0))
-            return s2, m["loss"]
-        s, losses = jax.lax.scan(body, state, None, length=K)
-        return losses[-1]
-
-    t0 = time.perf_counter()
-    jax.device_get(multi(state))
-    compile_s = time.perf_counter() - t0
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.device_get(multi(state))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / K, compile_s
-
-
-def main():
-    variant = sys.argv[1]
-    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.bench_probe.jsonl"
-
+def run_variant(variant):
     if variant.startswith("step"):
-        # step:<delta_impl>:<remat>
         _, delta_impl, remat = variant.split(":")
         model, p, c, x, y = build(delta_impl)
-        dt, cs = train_step_time(model, delta_impl, remat == "remat")
-        rec = {"variant": variant, "ms": dt * 1e3, "imgs": 64 / dt,
-               "compile_s": cs}
+        tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=15)
+        frozen, state = steps_lib.init_train_state(
+            tx, model.params, model.cara_params)
+        frozen = steps_lib.cast_floating(frozen, jnp.bfloat16)
+        batch = {"image": x, "label": y}
+        step_fn = jax.jit(steps_lib.make_train_step(
+            model.cfg, model.cara_cfg, tx, compute_dtype=jnp.bfloat16,
+            remat=remat == "remat"), donate_argnums=(0,))
+        dt, cs = bench_async(
+            lambda s: step_fn(s, frozen, batch, jax.random.key(0))[0], state)
     else:
-        # fwd/grad:<train|eval>:<impl>
         kind, mode, impl = variant.split(":")
         model, p, c, x, y = build()
         loss_fn = loss_make(model, p, y, mode == "train", impl)
         if kind == "fwd":
-            fn = lambda xx: loss_fn(c, xx)
+            f = jax.jit(lambda c, x: loss_fn(c, x))
+            # serialize via x perturbation from previous loss
+            def step(carry):
+                l, = carry
+                return (f(c, x + l * 1e-24),)
+            dt, cs = bench_async(step, (jnp.float32(0),))
         else:
-            fn = lambda xx: jax.value_and_grad(loss_fn)(c, xx)[0]
-        dt, cs = bench_scan(fn, x)
-        rec = {"variant": variant, "ms": dt * 1e3, "imgs": 64 / dt,
-               "compile_s": cs}
-    with open(out, "a") as f:
-        f.write(json.dumps(rec) + "\n")
-    print(rec)
+            g = jax.jit(lambda c, x: jax.grad(loss_fn)(c, x))
+            def step(carry):
+                grads = g(carry, x)
+                return jax.tree_util.tree_map(
+                    lambda a, b: a + b * 1e-24, c, grads)
+            dt, cs = bench_async(step, c)
+    return {"variant": variant, "ms": round(dt * 1e3, 2),
+            "imgs_per_s": round(64 / dt, 1), "compile_s": round(cs, 1)}
+
+
+def main():
+    variants = sys.argv[1].split(",")
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.bench_probe.jsonl"
+    for v in variants:
+        try:
+            rec = run_variant(v)
+        except Exception as exc:
+            rec = {"variant": v, "error": repr(exc)[:200]}
+        with open(out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(rec, flush=True)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,11 @@ class ViTConfig:
     layernorm_eps: float = 1e-6
     # Global average pool instead of the CLS token (used by some CLIP variants).
     use_cls_token: bool = True
+    # CLIP-style options: LayerNorm before the transformer stack, quickGELU
+    # activation, and a final linear projection of the pooled feature.
+    ln_pre: bool = False
+    activation: str = "gelu"          # "gelu" (exact erf) | "quick_gelu"
+    proj_dim: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -120,7 +125,8 @@ MODEL_REGISTRY = {
     ),
     "vit_large_patch14_224_clip": ViTConfig(
         patch_size=14, embed_dim=1024, depth=24, num_heads=16, repr_size=None,
-        num_classes=0,
+        num_classes=0, ln_pre=True, activation="quick_gelu", proj_dim=768,
+        layernorm_eps=1e-5, drop_path_rate=0.0,
     ),
     # Small geometry for smoke tests / CI (not a reference model).
     "vit_tiny_test": ViTConfig(

@@ -96,12 +96,27 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params
         },
         "norm": {"scale": jnp.ones((e,), dtype), "bias": jnp.zeros((e,), dtype)},
     }
+    if cfg.ln_pre:
+        params["ln_pre"] = {
+            "scale": jnp.ones((e,), dtype), "bias": jnp.zeros((e,), dtype)}
     if cfg.repr_size is not None:
         params["pre_logits"] = lin(next(keys), e, cfg.repr_size)
-    head_in = cfg.repr_size if cfg.repr_size is not None else e
+    if cfg.proj_dim is not None:
+        params["proj_out"] = {
+            "kernel": _trunc_normal(next(keys), (e, cfg.proj_dim),
+                                    e ** -0.5, dtype)}
+    head_in = _head_in_dim(cfg)
     if cfg.num_classes > 0:
         params["head"] = lin(next(keys), head_in, cfg.num_classes)
     return params
+
+
+def _head_in_dim(cfg: ViTConfig) -> int:
+    if cfg.proj_dim is not None:
+        return cfg.proj_dim
+    if cfg.repr_size is not None:
+        return cfg.repr_size
+    return cfg.embed_dim
 
 
 def reset_classifier(
@@ -110,7 +125,7 @@ def reset_classifier(
 ) -> Params:
     """Replace the head with a fresh ``num_classes`` linear layer
     (``vit.reset_classifier(num_classes)``, ``vit_cp.py:166``)."""
-    head_in = cfg.repr_size if cfg.repr_size is not None else cfg.embed_dim
+    head_in = _head_in_dim(cfg)
     new = dict(params)
     if num_classes > 0:
         new["head"] = _torch_linear_init(rng, head_in, num_classes, dtype)
@@ -220,7 +235,10 @@ def _block(
                 xm, p1_up, cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp)
         up = up + (ud + cara_params["bias2"]) * s  # cara.py:81-82
-    act = jax.nn.gelu(up, approximate=False)
+    if cfg.activation == "quick_gelu":  # CLIP: x * sigmoid(1.702 x)
+        act = up * jax.nn.sigmoid(1.702 * up)
+    else:
+        act = jax.nn.gelu(up, approximate=False)
     act = dropout(act, cfg.dropout_rate, None)
     down = act @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
     if use_cara:
@@ -276,6 +294,9 @@ def vit_forward(
         ).astype(tokens.dtype)
         tokens = jnp.concatenate([cls, tokens], axis=1)
     tokens = tokens + params["pos_embed"].astype(tokens.dtype)
+    if cfg.ln_pre:
+        tokens = layer_norm(tokens, params["ln_pre"]["scale"],
+                            params["ln_pre"]["bias"], cfg.layernorm_eps)
 
     dpr = jnp.linspace(0.0, cfg.drop_path_rate, L)  # timm per-block rates
     if cara_params is not None:
@@ -312,6 +333,8 @@ def vit_forward(
     if cfg.repr_size is not None:
         pl_ = params["pre_logits"]
         feat = jnp.tanh(feat @ pl_["kernel"] + pl_["bias"])
+    if cfg.proj_dim is not None:
+        feat = feat @ params["proj_out"]["kernel"]
     if "head" not in params:
         return feat
     return feat @ params["head"]["kernel"] + params["head"]["bias"]
