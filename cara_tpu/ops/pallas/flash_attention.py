@@ -149,6 +149,8 @@ def _fwd(q, k, v, scale, block_g, interpret):
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((g, np_, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=_resolve_interpret(interpret),
     )(qp, kp, vp)
     out = out.reshape(b, h, np_, d)[:, :, :n]
@@ -178,6 +180,8 @@ def _bwd_rule(scale, block_g, interpret, res, g_out):
         out_specs=(spec, spec, spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((g, np_, d), q.dtype) for _ in range(3)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=_resolve_interpret(interpret),
     )(qp, kp, vp, dop)
     unpad = lambda t: t.reshape(b, h, np_, d)[:, :, :n]

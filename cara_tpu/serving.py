@@ -1,0 +1,111 @@
+"""Inference / serving path.
+
+The reference's only inference surface is the ``--evaluate`` flag on the
+training CLI (``image_classification/vit_cp.py:109-114,168-173``), which
+still reconstructs every CP delta per batch.  This module is the deployment
+story the TPU build adds (SURVEY.md section 0): load a checkpoint once, fold
+the adapter into dense weights (exact in eval mode), jit a fixed-batch
+predict function, and serve padded batches of any size — optionally sharded
+over a device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cara_tpu.config import CaraConfig, ViTConfig
+from cara_tpu.models.merge import merge_cara
+from cara_tpu.models.vit import vit_forward
+from cara_tpu.train.steps import cast_floating
+
+
+class Predictor:
+    """Batched image classifier over a merged (or adapter) CaRA model."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: ViTConfig,
+        *,
+        cara_params: Optional[Dict[str, Any]] = None,
+        cara_cfg: Optional[CaraConfig] = None,
+        merge: bool = True,
+        batch_size: int = 64,
+        dtype=jnp.bfloat16,
+        mesh=None,
+    ):
+        if merge and cara_params is not None:
+            params = merge_cara(params, cara_params, cfg, cara_cfg)
+            cara_params = cara_cfg = None
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self._dtype = dtype
+        self._mesh = mesh
+        params = cast_floating(params, dtype)
+        if cara_params is not None:
+            cara_params = cast_floating(cara_params, dtype)
+        if mesh is not None:
+            from cara_tpu.parallel import mesh as mesh_lib
+
+            params = mesh_lib.put_replicated(mesh, params)
+            if cara_params is not None:
+                cara_params = mesh_lib.put_replicated(mesh, cara_params)
+        self._params = params
+        self._cara = cara_params
+        self._cara_cfg = cara_cfg
+
+        def fwd(params, cara, x):
+            return vit_forward(
+                params, x, cfg, cara_params=cara,
+                cara_cfg=cara_cfg if cara is not None else None, train=False)
+
+        self._fwd = jax.jit(fwd)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: ViTConfig,
+                        cara_cfg: Optional[CaraConfig] = None, **kw):
+        from cara_tpu.train.checkpoint import load_model
+
+        params, cara_params, meta = load_model(path)
+        if cara_params is not None and cara_cfg is None:
+            rank = int(cara_params["R1"].shape[0])
+            cara_cfg = CaraConfig(rank=rank,
+                                  scale=float(meta.get("scale", 1.0)))
+        return cls(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+                   **kw)
+
+    def logits(self, images: np.ndarray) -> np.ndarray:
+        """(N, H, W, C) -> (N, num_classes); any N (internally padded)."""
+        n = len(images)
+        bs = self.batch_size
+        outs = []
+        for start in range(0, n, bs):
+            chunk = images[start:start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            x = jnp.asarray(chunk, self._dtype)
+            if self._mesh is not None:
+                from cara_tpu.parallel import mesh as mesh_lib
+
+                x = mesh_lib.put_batch(self._mesh, x)
+            out = self._fwd(self._params, self._cara, x)
+            outs.append(np.asarray(out[:bs - pad] if pad else out,
+                                   np.float32))
+        return np.concatenate(outs)
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        return np.argmax(self.logits(images), axis=-1)
+
+    def predict_iter(self, batches: Iterable[Dict[str, np.ndarray]]):
+        """Stream over a BatchLoader-style iterator; yields (pred, label,
+        valid) numpy triples."""
+        for b in batches:
+            lg = self.logits(b["image"])
+            yield np.argmax(lg, -1), b["label"], b.get(
+                "valid", np.ones(len(lg), np.float32))

@@ -1,0 +1,51 @@
+"""Serving Predictor: merge-on-load, ragged batch padding, checkpoint load."""
+
+import numpy as np
+import jax
+import pytest
+
+from cara_tpu.config import CaraConfig, ViTConfig
+from cara_tpu.models import cara as cara_lib
+from cara_tpu.models import vit as vit_lib
+from cara_tpu.serving import Predictor
+from cara_tpu.train import checkpoint as ckpt_lib
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ViTConfig(
+        image_size=16, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+        repr_size=None, num_classes=6, drop_path_rate=0.0)
+    cara_cfg = CaraConfig(rank=4, scale=1.5, l_mu=1.0, l_std=0.0)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara_params = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    cara_params["A2"] = 0.05 * jax.random.normal(
+        jax.random.key(2), cara_params["A2"].shape)
+    return cfg, cara_cfg, params, cara_params
+
+
+def test_merged_matches_adapter(setup):
+    cfg, cara_cfg, params, cara_params = setup
+    imgs = np.random.RandomState(0).randn(10, 16, 16, 3).astype(np.float32)
+    merged = Predictor(params, cfg, cara_params=cara_params,
+                       cara_cfg=cara_cfg, merge=True, batch_size=4,
+                       dtype=np.float32)
+    adapter = Predictor(params, cfg, cara_params=cara_params,
+                        cara_cfg=cara_cfg, merge=False, batch_size=4,
+                        dtype=np.float32)
+    np.testing.assert_allclose(
+        merged.logits(imgs), adapter.logits(imgs), atol=2e-4)
+    # Ragged input (10 images, batch 4) handled via padding.
+    assert merged.predict(imgs).shape == (10,)
+
+
+def test_from_checkpoint(setup, tmp_path):
+    cfg, cara_cfg, params, cara_params = setup
+    path = str(tmp_path / "m.npz")
+    ckpt_lib.save_model(path, params, cara_params, {"scale": cara_cfg.scale})
+    pred = Predictor.from_checkpoint(path, cfg, batch_size=4,
+                                     dtype=np.float32)
+    imgs = np.random.RandomState(1).randn(3, 16, 16, 3).astype(np.float32)
+    ref = Predictor(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+                    batch_size=4, dtype=np.float32)
+    np.testing.assert_allclose(pred.logits(imgs), ref.logits(imgs), atol=2e-4)
