@@ -179,25 +179,44 @@ def _block(
     # --- Attention ---------------------------------------------------------
     xa = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
     b, n = xa.shape[:2]
-    qkv = xa @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
-    qkv = qkv.reshape(b, n, 3, h, d)
-    if use_cara:
-        delta = cara_lib.qkv_delta(
-            xa, cara_params, f1, cfg, cara_cfg,
-            materialized=materialized, drop_rng=k_wd_qkv,
-        )
-        qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B, H, N, Dh)
-    if attn_impl == "flash" and cfg.attn_dropout_rate == 0.0:
-        from cara_tpu.ops.pallas.flash_attention import flash_attention
+    if attn_impl == "fused" and cfg.attn_dropout_rate == 0.0:
+        # Layout-native path: pad the token axis once, keep the qkv GEMM
+        # output layout all the way through the Pallas kernel (no 5-D
+        # transposes), slice back before the projection.
+        from cara_tpu.ops.pallas.fused_qkv_attention import (
+            fused_qkv_attention)
 
-        o = flash_attention(q, k, v, d ** -0.5)
-        attn_out = o.transpose(0, 2, 1, 3).reshape(b, n, e)
+        npad = -(-n // 128) * 128
+        xa_p = jnp.pad(xa, ((0, 0), (0, npad - n), (0, 0))) \
+            if npad != n else xa
+        qkv = xa_p @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
+        if use_cara:
+            delta = cara_lib.qkv_delta(
+                xa_p, cara_params, f1, cfg, cara_cfg,
+                materialized=materialized, drop_rng=k_wd_qkv,
+            ).reshape(b, npad, 3 * e)
+            qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
+        attn_out = fused_qkv_attention(qkv, h, d ** -0.5, n)[:, :n, :]
     else:
-        attn_out = mha(
-            q, k, v, d ** -0.5, cfg.attn_dropout_rate, k_attn
-        )  # (B, N, E)
+        qkv = xa @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
+        qkv = qkv.reshape(b, n, 3, h, d)
+        if use_cara:
+            delta = cara_lib.qkv_delta(
+                xa, cara_params, f1, cfg, cara_cfg,
+                materialized=materialized, drop_rng=k_wd_qkv,
+            )
+            qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B,H,N,Dh)
+        if attn_impl == "flash" and cfg.attn_dropout_rate == 0.0:
+            from cara_tpu.ops.pallas.flash_attention import flash_attention
+
+            o = flash_attention(q, k, v, d ** -0.5)
+            attn_out = o.transpose(0, 2, 1, 3).reshape(b, n, e)
+        else:
+            attn_out = mha(
+                q, k, v, d ** -0.5, cfg.attn_dropout_rate, k_attn
+            )  # (B, N, E)
 
     proj = attn_out @ bp["proj"]["kernel"] + bp["proj"]["bias"]
     if use_cara:
@@ -283,7 +302,7 @@ def vit_forward(
     if (cara_params is None) != (cara_cfg is None):
         raise ValueError("cara_params and cara_cfg must be provided together")
     if attn_impl == "auto":
-        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     use_rng = train and rng is not None
     L = cfg.depth
 
