@@ -154,6 +154,69 @@ def stacked_layer_slices(
     return a1, p1
 
 
+def qkv_uv(
+    params: Dict[str, jax.Array],
+    f1: jax.Array,
+    model: ViTConfig,
+    cara: CaraConfig,
+    comp_mask: Optional[jax.Array] = None,
+):
+    """Collapse the qkv CP factors into the (U, V) pair consumed by the fused
+    ``cp_dense`` kernel: ``delta = (x @ U) @ V`` with U (E, r), V (r, 3E).
+
+    Supported for orders 3/4/5 (order 2 has no rank-space contraction —
+    callers fall back to the materialized path).
+    """
+    e, h, d, r = model.embed_dim, model.num_heads, model.head_dim, cara.rank
+    order = cara.cp_order
+    if order == 4:
+        lam = params["R1"] if comp_mask is None else params["R1"] * comp_mask
+        u = params["A2"]
+        m = ((f1 * lam[None, :])[:, None, None, :]
+             * params["A3"][None, :, None, :]
+             * params["A4"][None, None, :, :])
+        v = m.reshape(3 * e, r).T
+        return u, v
+    if order == 5:
+        lam = params["R1"] * f1[0]
+        if comp_mask is not None:
+            lam = lam * comp_mask
+        u = params["A3"]
+        m = ((params["A2"] * lam[None, :])[:, None, None, :]
+             * params["A4"][None, :, None, :]
+             * params["A5"][None, None, :, :])
+        v = m.reshape(3 * e, r).T
+        return u, v
+    if order == 3:
+        lam = params["R1"] if comp_mask is None else params["R1"] * comp_mask
+        u = params["A2"]
+        m = (f1 * lam[None, :])[:, None, :] * params["A3"][None, :, :]
+        v = m.reshape(3 * e, r).T
+        return u, v
+    raise ValueError(f"qkv_uv unsupported for cp_order={order}")
+
+
+def rows_out_uv(p1, p2, p3, r2, comp_mask=None):
+    """(U, V) for the ``x @ T.T`` sites (attention projection, MLP up):
+    U = p3 (E, r), V (r, rows*E)."""
+    lam = r2 if comp_mask is None else r2 * comp_mask
+    rows, r = p1.shape
+    e = p2.shape[0]
+    v = ((p1 * lam[None, :])[:, None, :] * p2[None, :, :]).reshape(
+        rows * e, r).T
+    return p3, v
+
+
+def rows_in_uv(p1, p2, p3, r2, comp_mask=None):
+    """(U, V) for the ``x @ T`` site (MLP down): U (rows*E, r), V (r, E)."""
+    lam = r2 if comp_mask is None else r2 * comp_mask
+    rows, r = p1.shape
+    e = p2.shape[0]
+    u = (p1[:, None, :] * p2[None, :, :]).reshape(rows * e, r)
+    v = lam[:, None] * p3.T
+    return u, v
+
+
 def qkv_delta(
     x: jax.Array,
     params: Dict[str, jax.Array],

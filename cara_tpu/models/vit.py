@@ -159,6 +159,7 @@ def _block(
     cara_params: Optional[Dict[str, jax.Array]],
     cara_cfg: Optional[CaraConfig],
     attn_impl: str,
+    dense_impl: str = "xla",
 ) -> jax.Array:
     """One transformer block with optional CaRA deltas (reference hot loop,
     SURVEY.md section 3.3)."""
@@ -175,6 +176,10 @@ def _block(
     if use_cara:
         s = cara_cfg.scale
         materialized = cara_cfg.delta_impl == "materialized"
+    fused_dense = (dense_impl == "fused" and use_cara and not materialized
+                   and cara_cfg.cp_order != 2)
+    if fused_dense:
+        from cara_tpu.ops.pallas.cp_dense import cp_dense
 
     # --- Attention ---------------------------------------------------------
     xa = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
@@ -189,13 +194,22 @@ def _block(
         npad = -(-n // 128) * 128
         xa_p = jnp.pad(xa, ((0, 0), (0, npad - n), (0, 0))) \
             if npad != n else xa
-        qkv = xa_p @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
-        if use_cara:
-            delta = cara_lib.qkv_delta(
-                xa_p, cara_params, f1, cfg, cara_cfg,
-                materialized=materialized, drop_rng=k_wd_qkv,
-            ).reshape(b, npad, 3 * e)
-            qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
+        if fused_dense:
+            comp = cp_ops.weight_dropout_mask(
+                k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            u, vmat = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg, comp)
+            qkv = cp_dense(
+                xa_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
+                u.astype(x.dtype), vmat.astype(x.dtype),
+                jnp.zeros((3 * e,), x.dtype), s)  # cara.py:42, fused
+        else:
+            qkv = xa_p @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
+            if use_cara:
+                delta = cara_lib.qkv_delta(
+                    xa_p, cara_params, f1, cfg, cara_cfg,
+                    materialized=materialized, drop_rng=k_wd_qkv,
+                ).reshape(b, npad, 3 * e)
+                qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
         attn_out = fused_qkv_attention(qkv, h, d ** -0.5, n)[:, :n, :]
     else:
         qkv = xa @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
@@ -218,8 +232,19 @@ def _block(
                 q, k, v, d ** -0.5, cfg.attn_dropout_rate, k_attn
             )  # (B, N, E)
 
-    proj = attn_out @ bp["proj"]["kernel"] + bp["proj"]["bias"]
-    if use_cara:
+    if fused_dense:
+        comp = cp_ops.weight_dropout_mask(
+            k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+        u, vmat = cara_lib.rows_out_uv(
+            p1[0:1], cara_params["P2"], cara_params["P3"],
+            cara_params["R2"], comp)
+        proj = cp_dense(
+            attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
+            u.astype(x.dtype), vmat.astype(x.dtype),
+            cara_params["bias1"].astype(x.dtype), s)  # cara.py:57-58, fused
+    else:
+      proj = attn_out @ bp["proj"]["kernel"] + bp["proj"]["bias"]
+      if use_cara:
         if materialized:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_proj, (e, e), cara_cfg.weight_dropout, x.dtype)
@@ -238,9 +263,21 @@ def _block(
 
     # --- MLP ---------------------------------------------------------------
     xm = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
-    up = xm @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
     if use_cara:
         p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
+    if fused_dense:
+        comp = cp_ops.weight_dropout_mask(
+            k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+        u, vmat = cara_lib.rows_out_uv(
+            p1_up, cara_params["P2"], cara_params["P3"],
+            cara_params["R2"], comp)
+        up = cp_dense(
+            xm, bp["fc1"]["kernel"], bp["fc1"]["bias"],
+            u.astype(x.dtype), vmat.astype(x.dtype),
+            cara_params["bias2"].astype(x.dtype), s)  # cara.py:81-82, fused
+    else:
+      up = xm @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
+      if use_cara:
         if materialized:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_up, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
@@ -259,8 +296,19 @@ def _block(
     else:
         act = jax.nn.gelu(up, approximate=False)
     act = dropout(act, cfg.dropout_rate, None)
-    down = act @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
-    if use_cara:
+    if fused_dense:
+        comp = cp_ops.weight_dropout_mask(
+            k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+        u, vmat = cara_lib.rows_in_uv(
+            p1_down, cara_params["P2"], cara_params["P3"],
+            cara_params["R2"], comp)
+        down = cp_dense(
+            act, bp["fc2"]["kernel"], bp["fc2"]["bias"],
+            u.astype(x.dtype), vmat.astype(x.dtype),
+            cara_params["bias3"].astype(x.dtype), s)  # cara.py:92-93, fused
+    else:
+      down = act @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
+      if use_cara:
         if materialized:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_down, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
@@ -290,6 +338,7 @@ def vit_forward(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     attn_impl: str = "auto",
+    dense_impl: str = "auto",
 ) -> jax.Array:
     """Full forward: images (B, H, W, C) NHWC -> logits (B, num_classes).
 
@@ -303,6 +352,11 @@ def vit_forward(
         raise ValueError("cara_params and cara_cfg must be provided together")
     if attn_impl == "auto":
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if dense_impl == "auto":
+        dense_impl = "fused" if (
+            jax.default_backend() == "tpu" and cara_params is not None
+            and cara_cfg.delta_impl == "factorized" and cara_cfg.cp_order != 2
+        ) else "xla"
     use_rng = train and rng is not None
     L = cfg.depth
 
@@ -333,7 +387,8 @@ def vit_forward(
             bp, f1, p1, dpr_l = xs
             key = None
         out = _block(
-            carry, bp, f1, p1, dpr_l, key, cfg, cara_params, cara_cfg, attn_impl
+            carry, bp, f1, p1, dpr_l, key, cfg, cara_params, cara_cfg,
+            attn_impl, dense_impl
         )
         return out, None
 
