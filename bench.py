@@ -97,14 +97,16 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--delta-impl", default="factorized",
                    choices=["factorized", "materialized"])
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--no-remat", action="store_true",
+                   help="Disable rematerialization (remat measured faster "
+                        "on v5e: residual HBM traffic outweighs recompute)")
     p.add_argument("--skip-reference", action="store_true")
     args = p.parse_args()
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
     imgs = measure_train_step(
         args.model, args.rank, args.batch_size, args.steps, dtype,
-        args.delta_impl, args.remat)
+        args.delta_impl, not args.no_remat)
 
     ref = {} if args.skip_reference else reference_baseline(args.batch_size)
     ref_imgs = ref.get("reference_images_per_sec")

@@ -55,12 +55,14 @@ def bench_async(step, state0, N=30):
 
 def loss_make(model, p, y, train, impl):
     rngk = jax.random.key(5)
+    attn_impl, _, dense_impl = impl.partition("+")
 
     def loss_fn(c, x):
         lg = vit_forward(
             p, x, model.cfg, cara_params=c, cara_cfg=model.cara_cfg,
             train=train, rng=rngk if train else None,
-            attn_impl=impl).astype(jnp.float32)
+            attn_impl=attn_impl,
+            dense_impl=dense_impl or "xla").astype(jnp.float32)
         return optax.softmax_cross_entropy_with_integer_labels(lg, y).mean()
     return loss_fn
 

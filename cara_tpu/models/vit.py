@@ -353,10 +353,10 @@ def vit_forward(
     if attn_impl == "auto":
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
-        dense_impl = "fused" if (
-            jax.default_backend() == "tpu" and cara_params is not None
-            and cara_cfg.delta_impl == "factorized" and cara_cfg.cp_order != 2
-        ) else "xla"
+        # Measured on v5e: the fused cp_dense kernel currently loses to XLA's
+        # pipelined GEMMs in the backward pass, so the default stays "xla";
+        # pass dense_impl="fused" explicitly to use the Pallas path.
+        dense_impl = "xla"
     use_rng = train and rng is not None
     L = cfg.depth
 
