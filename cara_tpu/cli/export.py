@@ -1,0 +1,68 @@
+"""Checkpoint export CLI: full -> merged / adapter-only artifacts.
+
+New capability vs the reference (whose only artifact is the full state dict,
+``vit_cp.py:66``):
+
+* ``--mode merged``  folds the CP adapter into the dense backbone (exact in
+  eval mode) — a plain ViT for serving, zero adapter overhead.
+* ``--mode adapter`` extracts just the CP factors + head (~100KB vs ~350MB).
+* ``--mode full``    re-saves a (backbone, adapter) pair as one artifact.
+
+Run:  ``python -m cara_tpu.cli.export --ckpt vit_cifar_*.npz --mode merged \\
+         --out merged.npz --model vit_base_patch16_224_in21k --dim 32``
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from cara_tpu.config import CaraConfig, get_model_config
+from cara_tpu.train import checkpoint as ckpt_lib
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--ckpt", required=True, type=str,
+                   help="Input full-model checkpoint (.npz)")
+    p.add_argument("--out", required=True, type=str)
+    p.add_argument("--mode", default="merged",
+                   choices=["merged", "adapter", "full"])
+    p.add_argument("--model", default="vit_base_patch16_224_in21k")
+    p.add_argument("--dim", default=32, type=int, help="CP rank")
+    p.add_argument("--scale", default=None, type=float,
+                   help="Delta scale (default: from checkpoint meta)")
+    p.add_argument("--cp-order", default=4, type=int, choices=[2, 3, 4, 5])
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> str:
+    args = parse_args(argv)
+    params, cara_params, meta = ckpt_lib.load_model(args.ckpt)
+    if cara_params is None and args.mode != "full":
+        raise SystemExit("checkpoint has no adapter subtree")
+    scale = args.scale if args.scale is not None else float(
+        meta.get("scale", 1.0))
+
+    if args.mode == "adapter":
+        ckpt_lib.save_adapter(args.out, cara_params, params.get("head"),
+                              {**meta, "scale": scale})
+    elif args.mode == "merged":
+        from cara_tpu.models.merge import merge_cara
+
+        num_classes = params["head"]["kernel"].shape[-1] \
+            if "head" in params else 0
+        cfg = get_model_config(args.model, num_classes=num_classes)
+        rank = int(cara_params["R1"].shape[0])
+        cara_cfg = CaraConfig(rank=rank, scale=scale, cp_order=args.cp_order)
+        merged = merge_cara(params, cara_params, cfg, cara_cfg)
+        ckpt_lib.save_model(args.out, merged, None,
+                            {**meta, "merged": True, "scale": scale})
+    else:
+        ckpt_lib.save_model(args.out, params, cara_params, meta)
+    print(f"wrote {args.out} ({args.mode})")
+    return args.out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Export CLI: merged / adapter artifacts from a training checkpoint."""
+
+import numpy as np
+import jax
+
+from cara_tpu.cli import export as export_cli
+from cara_tpu.config import CaraConfig, ViTConfig, MODEL_REGISTRY
+from cara_tpu.models import cara as cara_lib
+from cara_tpu.models import vit as vit_lib
+from cara_tpu.train import checkpoint as ckpt_lib
+
+
+def test_export_modes(tmp_path, monkeypatch):
+    cfg = MODEL_REGISTRY["vit_tiny_test"]
+    import dataclasses
+    cfg = dataclasses.replace(cfg, num_classes=7, drop_path_rate=0.0)
+    cara_cfg = CaraConfig(rank=4, scale=2.0)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara_params = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    cara_params["A2"] = 0.05 * jax.random.normal(
+        jax.random.key(2), cara_params["A2"].shape)
+    src = str(tmp_path / "full.npz")
+    ckpt_lib.save_model(src, params, cara_params, {"scale": 2.0})
+
+    # adapter export
+    out_a = str(tmp_path / "adapter.npz")
+    export_cli.main(["--ckpt", src, "--out", out_a, "--mode", "adapter",
+                     "--model", "vit_tiny_test", "--dim", "4"])
+    c2, head, meta = ckpt_lib.load_adapter(out_a)
+    assert meta["scale"] == 2.0 and head is not None
+    assert set(c2) == set(cara_params)
+
+    # merged export == adapter forward
+    out_m = str(tmp_path / "merged.npz")
+    export_cli.main(["--ckpt", src, "--out", out_m, "--mode", "merged",
+                     "--model", "vit_tiny_test", "--dim", "4"])
+    merged_params, none_cara, meta = ckpt_lib.load_model(out_m)
+    assert none_cara is None and meta["merged"]
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    ref = vit_lib.vit_forward(params, x, cfg, cara_params=cara_params,
+                              cara_cfg=cara_cfg)
+    got = vit_lib.vit_forward(merged_params, x, cfg)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-4)
