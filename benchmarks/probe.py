@@ -69,7 +69,9 @@ def loss_make(model, p, y, train, impl):
 
 def run_variant(variant):
     if variant.startswith("step"):
-        _, delta_impl, remat = variant.split(":")
+        parts = variant.split(":")
+        _, delta_impl, remat = parts[:3]
+        dense_impl = parts[3] if len(parts) > 3 else "auto"
         model, p, c, x, y = build(delta_impl)
         tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=15)
         frozen, state = steps_lib.init_train_state(
@@ -78,7 +80,8 @@ def run_variant(variant):
         batch = {"image": x, "label": y}
         step_fn = jax.jit(steps_lib.make_train_step(
             model.cfg, model.cara_cfg, tx, compute_dtype=jnp.bfloat16,
-            remat=remat == "remat"), donate_argnums=(0,))
+            remat=remat == "remat", dense_impl=dense_impl),
+            donate_argnums=(0,))
         dt, cs = bench_async(
             lambda s: step_fn(s, frozen, batch, jax.random.key(0))[0], state)
     else:

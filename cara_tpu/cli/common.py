@@ -56,6 +56,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-every", default=10, type=int)
     p.add_argument("--nan-check", action="store_true",
                    help="Enable jax_debug_nans (numerics sanitizer)")
+    p.add_argument("--distributed", action="store_true",
+                   help="Multi-host: call jax.distributed.initialize() "
+                        "(TPU pod slices; single-host runs don't need it)")
+    p.add_argument("--compilation-cache", default=None, type=str,
+                   help="Persistent XLA compilation cache directory")
 
 
 def resolve_dtype(name: str):
@@ -72,5 +77,9 @@ def resolve_mesh(spec: Optional[str]):
 
 
 def setup_runtime(args) -> None:
+    if getattr(args, "distributed", False):
+        jax.distributed.initialize()
     if args.nan_check:
         jax.config.update("jax_debug_nans", True)
+    if getattr(args, "compilation_cache", None):
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)

@@ -271,10 +271,13 @@ def _block(
         u, vmat = cara_lib.rows_out_uv(
             p1_up, cara_params["P2"], cara_params["P3"],
             cara_params["R2"], comp)
-        up = cp_dense(
+        # GELU fused into the kernel epilogue — the (B,N,4E) pre-activation
+        # never round-trips HBM (cara.py:81-84 in one pass).
+        act = cp_dense(
             xm, bp["fc1"]["kernel"], bp["fc1"]["bias"],
             u.astype(x.dtype), vmat.astype(x.dtype),
-            cara_params["bias2"].astype(x.dtype), s)  # cara.py:81-82, fused
+            cara_params["bias2"].astype(x.dtype), s,
+            256, 768, 256, None, cfg.activation)
     else:
       up = xm @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
       if use_cara:
@@ -291,9 +294,9 @@ def _block(
                 xm, p1_up, cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp)
         up = up + (ud + cara_params["bias2"]) * s  # cara.py:81-82
-    if cfg.activation == "quick_gelu":  # CLIP: x * sigmoid(1.702 x)
+      if cfg.activation == "quick_gelu":  # CLIP: x * sigmoid(1.702 x)
         act = up * jax.nn.sigmoid(1.702 * up)
-    else:
+      else:
         act = jax.nn.gelu(up, approximate=False)
     act = dropout(act, cfg.dropout_rate, None)
     if fused_dense:

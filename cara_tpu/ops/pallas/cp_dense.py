@@ -32,8 +32,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _apply_act(y, act):
+    """Activation epilogue in fp32 (fused into the GEMM output tile)."""
+    if act is None:
+        return y
+    if act == "gelu":
+        return jax.nn.gelu(y, approximate=False)
+    if act == "quick_gelu":
+        return y * jax.nn.sigmoid(1.702 * y)
+    raise ValueError(act)
+
+
+def _act_grad(y, act):
+    """d(act)/dy at pre-activation y (fp32)."""
+    if act == "gelu":
+        cdf = 0.5 * (1.0 + jax.lax.erf(y / jnp.sqrt(2.0).astype(y.dtype)))
+        pdf = jnp.exp(-0.5 * y * y) / jnp.sqrt(2.0 * jnp.pi).astype(y.dtype)
+        return cdf + y * pdf
+    if act == "quick_gelu":
+        sig = jax.nn.sigmoid(1.702 * y)
+        return sig + 1.702 * y * sig * (1.0 - sig)
+    raise ValueError(act)
+
+
 def _cp_dense_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, o_ref,
-                     acc_ref, z_ref, *, s, nk):
+                     acc_ref, z_ref, *, s, nk, act=None):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -52,7 +75,33 @@ def _cp_dense_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, o_ref,
             z, v_ref[...], preferred_element_type=jnp.float32)
         y = acc_ref[...] + b_ref[...].astype(jnp.float32) \
             + s * (delta + cb_ref[...].astype(jnp.float32))
-        o_ref[...] = y.astype(o_ref.dtype)
+        o_ref[...] = _apply_act(y, act).astype(o_ref.dtype)
+
+
+def _cp_dense_dact_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, g_ref,
+                          o_ref, acc_ref, z_ref, *, s, nk, act):
+    """Backward helper: recompute the pre-activation tile and emit
+    ``dpre = g * act'(pre)`` — one pass, the pre-activation never hits HBM."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        z_ref[...] = jnp.zeros_like(z_ref)
+
+    x = x_ref[...]
+    acc_ref[...] += jax.lax.dot(
+        x, w_ref[...], preferred_element_type=jnp.float32)
+    z_ref[...] += jax.lax.dot(
+        x, u_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _finish():
+        z = z_ref[...].astype(x_ref.dtype)
+        delta = jax.lax.dot(
+            z, v_ref[...], preferred_element_type=jnp.float32)
+        pre = acc_ref[...] + b_ref[...].astype(jnp.float32) \
+            + s * (delta + cb_ref[...].astype(jnp.float32))
+        dpre = g_ref[...].astype(jnp.float32) * _act_grad(pre, act)
+        o_ref[...] = dpre.astype(o_ref.dtype)
 
 
 def _resolve_interpret(interpret):
@@ -69,30 +118,41 @@ def _pad_rank(u, v, rp=128):
             jnp.pad(v, ((0, rp - r), (0, 0))))
 
 
-def _cp_dense_raw(x, w, b, u, v, cb, s, bm, bn, bk, interpret):
+def _cp_dense_raw(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act=None,
+                  g=None):
     m, k = x.shape
     n = w.shape[1]
     u, v = _pad_rank(u, v)
     rp = u.shape[1]
     nk = k // bk
     grid = (pl.cdiv(m, bm), n // bn, nk)
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, rp), lambda i, j, kk: (kk, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp, bn), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, w, b.reshape(1, n), u, v, cb.reshape(1, n)]
+    if g is None:
+        kernel = functools.partial(_cp_dense_kernel, s=s, nk=nk, act=act)
+    else:
+        kernel = functools.partial(
+            _cp_dense_dact_kernel, s=s, nk=nk, act=act)
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(g)
     out = pl.pallas_call(
-        functools.partial(_cp_dense_kernel, s=s, nk=nk),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, rp), lambda i, j, kk: (kk, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, bn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
@@ -103,15 +163,21 @@ def _cp_dense_raw(x, w, b, u, v, cb, s, bm, bn, bk, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_resolve_interpret(interpret),
-    )(x, w, b.reshape(1, n), u, v, cb.reshape(1, n))
+    )(*args)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def cp_dense(x, w, b, u, v, cb, s: float, bm: int = 256, bn: int = 768,
-             bk: int = 256, interpret: Optional[bool] = None):
-    """Fused ``x@W + b + s*((x@U)@V + cb)``; x (..., K) any leading dims."""
-    out, _ = _fwd(x, w, b, u, v, cb, s, bm, bn, bk, interpret)
+             bk: int = 256, interpret: Optional[bool] = None,
+             act: Optional[str] = None):
+    """Fused ``act(x@W + b + s*((x@U)@V + cb))``; x (..., K) any leading dims.
+
+    ``act`` in {None, "gelu", "quick_gelu"} fuses the activation into the
+    output tile — the pre-activation never touches HBM (fwd or bwd; the
+    backward recomputes it in VMEM via ``_cp_dense_dact_kernel``).
+    """
+    out, _ = _fwd(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act)
     return out
 
 
@@ -127,24 +193,30 @@ def _dims(x, w, bm, bn, bk):
     return bm, bn, bk
 
 
-def _fwd(x, w, b, u, v, cb, s, bm, bn, bk, interpret):
+def _fwd(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act=None):
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     bm_, bn_, bk_ = _dims(x2, w, bm, bn, bk)
-    out = _cp_dense_raw(x2, w, b, u, v, cb, s, bm_, bn_, bk_, interpret)
-    return out.reshape(*lead, w.shape[1]), (x2, w, u, v, lead)
+    out = _cp_dense_raw(x2, w, b, u, v, cb, s, bm_, bn_, bk_, interpret, act)
+    return out.reshape(*lead, w.shape[1]), (x2, w, b, u, v, cb, lead)
 
 
-def _fwd_rule(x, w, b, u, v, cb, s, bm, bn, bk, interpret):
-    return _fwd(x, w, b, u, v, cb, s, bm, bn, bk, interpret)
+def _fwd_rule(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act=None):
+    return _fwd(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act)
 
 
-def _bwd_rule(s, bm, bn, bk, interpret, res, g):
-    x2, w, u, v, lead = res
+def _bwd_rule(s, bm, bn, bk, interpret, act, res, g):
+    x2, w, b, u, v, cb, lead = res
     n = w.shape[1]
     k = w.shape[0]
     g2 = g.reshape(-1, n)
+    if act is not None:
+        # Recompute the pre-activation in VMEM and fold in act' — one fused
+        # pass, pre-activation never written to HBM.
+        bm_, bn_, bk_ = _dims(x2, w, bm, bn, bk)
+        g2 = _cp_dense_raw(x2, w, b, u, v, cb, s, bm_, bn_, bk_, interpret,
+                           act, g=g2)
     # dx = g W^T + s (g V^T) U^T — same fused structure, transposed operands.
     zerok = jnp.zeros((k,), g2.dtype)
     bm_, bn_, bk_ = _dims(g2, w.T, bm, bn, bk)

@@ -96,21 +96,33 @@ def fit(
     frozen_compute = (steps_lib.cast_floating(frozen, compute_dtype)
                       if compute_dtype is not None else frozen)
 
-    timer = StepTimer(train_loader.batch_size)
     best_acc = 0.0
     last_metrics: Dict[str, Any] = {}
+    # Throughput from wall time between metric syncs (the float() fetches
+    # below force device sync — per-step dispatch timing would be inflated
+    # by async execution).
+    import time as _time
+
+    sync_t = _time.perf_counter()
+    sync_step = 0
+    imgs_per_sec = 0.0
+    bs = train_loader.batch_size
 
     with trace(fit_cfg.profile_dir):
         for epoch in range(fit_cfg.epochs):
             for batch in prefetch(train_loader, put, fit_cfg.prefetch_depth):
-                with timer:
-                    state, metrics = train_step(state, frozen_compute, batch, rng)
+                state, metrics = train_step(state, frozen_compute, batch, rng)
                 step = int(state.step)
                 if step % fit_cfg.log_every == 0:
+                    loss_val = float(metrics["loss"])  # device sync
+                    now = _time.perf_counter()
+                    if step > sync_step:
+                        imgs_per_sec = (step - sync_step) * bs / (now - sync_t)
+                    sync_t, sync_step = now, step
                     rec = {"epoch": epoch,
-                           "loss": float(metrics["loss"]),
+                           "loss": loss_val,
                            "accuracy": float(metrics["accuracy"]),
-                           "images_per_sec": timer.images_per_sec}
+                           "images_per_sec": imgs_per_sec}
                     if fit_cfg.lambda_telemetry:
                         rec.update(logger.lambda_stats(
                             jax.device_get(state.trainable["cara"])))

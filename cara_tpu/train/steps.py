@@ -86,6 +86,8 @@ def make_train_step(
     *,
     remat: bool = True,
     compute_dtype=None,
+    attn_impl: str = "auto",
+    dense_impl: str = "auto",
 ):
     """Build the jittable train step: (state, frozen, batch, rng) -> (state, metrics).
 
@@ -111,6 +113,7 @@ def make_train_step(
             logits = vit_forward(
                 p, x, cfg, cara_params=cara, cara_cfg=cara_cfg,
                 train=True, rng=step_rng, remat=remat,
+                attn_impl=attn_impl, dense_impl=dense_impl,
             ).astype(jnp.float32)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, batch["label"]).mean()

@@ -45,14 +45,29 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
-    def lambda_stats(self, cara_params) -> Dict[str, float]:
-        """CP-weight diagnostics (vit_cp.py:30-44 equivalents)."""
+    def lambda_stats(self, cara_params, histogram: bool = False) -> Dict[str, Any]:
+        """CP-weight diagnostics (vit_cp.py:30-44 equivalents): mean/std of
+        the lambda vectors, plus optional 16-bin histograms (the stdout
+        analog of the reference's wandb.Histogram telemetry)."""
         r1 = np.asarray(cara_params["R1"])
         r2 = np.asarray(cara_params["R2"])
-        return {
+        out: Dict[str, Any] = {
             "r1_mean": float(r1.mean()), "r1_std": float(r1.std()),
             "r2_mean": float(r2.mean()), "r2_std": float(r2.std()),
         }
+        if histogram:
+            for name, arr in (("r1", r1), ("r2", r2)):
+                counts, edges = np.histogram(arr, bins=16)
+                out[f"{name}_hist"] = {
+                    "counts": counts.tolist(),
+                    "min": float(edges[0]), "max": float(edges[-1]),
+                }
+            if self._wandb is not None:
+                import wandb  # type: ignore
+
+                self._wandb.log({"R1": wandb.Histogram(r1),
+                                 "R2": wandb.Histogram(r2)})
+        return out
 
     def finish(self):
         if self._wandb is not None:

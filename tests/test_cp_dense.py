@@ -111,3 +111,35 @@ def test_uv_helpers_match_delta():
         got = ((x @ u) @ v).reshape(2, 4, 3, 4, 12)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    atol=1e-5)
+
+
+def test_act_epilogue_matches():
+    m, k, n, r = 128, 128, 256, 4
+    ks = jax.random.split(jax.random.key(4), 6)
+    x = jax.random.normal(ks[0], (m, k))
+    w = jax.random.normal(ks[1], (k, n)) * 0.05
+    b = jax.random.normal(ks[2], (n,)) * 0.1
+    u = jax.random.normal(ks[3], (k, r)) * 0.1
+    v = jax.random.normal(ks[4], (r, n)) * 0.1
+    cb = jax.random.normal(ks[5], (n,)) * 0.1
+    s = 1.3
+    for act_name, act_fn in (
+            ("gelu", lambda y: jax.nn.gelu(y, approximate=False)),
+            ("quick_gelu", lambda y: y * jax.nn.sigmoid(1.702 * y))):
+        out = cp_dense(x, w, b, u, v, cb, s, 64, 128, 64, True, act_name)
+        ref = act_fn(_ref(x, w, b, u, v, cb, s))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-4, rtol=1e-3)
+
+        def loss_fused(x, u, v, cb):
+            return jnp.sum(jnp.sin(cp_dense(
+                x, w, b, u, v, cb, s, 64, 128, 64, True, act_name)))
+
+        def loss_ref(x, u, v, cb):
+            return jnp.sum(jnp.sin(act_fn(_ref(x, w, b, u, v, cb, s))))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, u, v, cb)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, u, v, cb)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-4, rtol=2e-3)
