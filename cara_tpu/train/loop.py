@@ -165,6 +165,6 @@ def fit(
         "final_acc": final_acc,
         "state": state,
         "frozen": frozen,
-        "images_per_sec": timer.images_per_sec,
+        "images_per_sec": imgs_per_sec,
         "last_loss": float(last_metrics["loss"]) if last_metrics else None,
     }
