@@ -32,12 +32,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7, fp32) — Mosaic
+    has no erf/erfc lowering, but exp is native VPU."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _apply_act(y, act):
     """Activation epilogue in fp32 (fused into the GEMM output tile)."""
     if act is None:
         return y
     if act == "gelu":
-        return jax.nn.gelu(y, approximate=False)
+        return 0.5 * y * (1.0 + _erf(y * 0.7071067811865476))
     if act == "quick_gelu":
         return y * jax.nn.sigmoid(1.702 * y)
     raise ValueError(act)
@@ -46,8 +58,8 @@ def _apply_act(y, act):
 def _act_grad(y, act):
     """d(act)/dy at pre-activation y (fp32)."""
     if act == "gelu":
-        cdf = 0.5 * (1.0 + jax.lax.erf(y / jnp.sqrt(2.0).astype(y.dtype)))
-        pdf = jnp.exp(-0.5 * y * y) / jnp.sqrt(2.0 * jnp.pi).astype(y.dtype)
+        cdf = 0.5 * (1.0 + _erf(y * 0.7071067811865476))
+        pdf = jnp.exp(-0.5 * y * y) * 0.3989422804014327
         return cdf + y * pdf
     if act == "quick_gelu":
         sig = jax.nn.sigmoid(1.702 * y)

@@ -39,6 +39,26 @@ class FitConfig:
     resume_dir: Optional[str] = None
     resume_every_steps: int = 0  # 0 = disabled
     prefetch_depth: int = 2
+    start_epoch: int = 0         # set by auto-resume
+
+
+def maybe_resume(resume_dir: Optional[str], state, fit_cfg: FitConfig):
+    """Restore the newest orbax train-state snapshot (mid-training restart
+    for preemptible TPU VMs — a capability the reference lacks entirely,
+    SURVEY.md section 5).  Returns (state, fit_cfg) updated in place."""
+    if not resume_dir:
+        return state, fit_cfg
+    last = ckpt_lib.latest_step(resume_dir)
+    if last is None:
+        return state, fit_cfg
+    restored, extra = ckpt_lib.restore_train_state(resume_dir, last, state)
+    state = steps_lib.TrainState(
+        jax.numpy.asarray(restored.step), restored.trainable,
+        restored.opt_state)
+    start_epoch = int((extra or {}).get("epoch", 0))
+    print(f"[cara_tpu] resumed from {resume_dir} step {last} "
+          f"(epoch {start_epoch})")
+    return state, dataclasses.replace(fit_cfg, start_epoch=start_epoch)
 
 
 def evaluate(
@@ -109,7 +129,7 @@ def fit(
     bs = train_loader.batch_size
 
     with trace(fit_cfg.profile_dir):
-        for epoch in range(fit_cfg.epochs):
+        for epoch in range(fit_cfg.start_epoch, fit_cfg.epochs):
             for batch in prefetch(train_loader, put, fit_cfg.prefetch_depth):
                 state, metrics = train_step(state, frozen_compute, batch, rng)
                 step = int(state.step)

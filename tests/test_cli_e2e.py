@@ -44,3 +44,24 @@ def test_dim_experiment_order3(tmp_path):
     acc = dim_cli.main(_common(tmp_path, [
         "--ranks", "4", "--dims", "3", "--epochs", "2"]))
     assert 0.0 <= acc <= 1.0
+
+
+def test_vit_cp_auto_resume(tmp_path):
+    """Kill-and-restart: second invocation resumes from the orbax snapshot."""
+    args = _common(tmp_path, [
+        "--dim", "4", "--epochs", "3",
+        "--resume-dir", str(tmp_path / "resume"),
+        "--resume-every-steps", "4"])
+    cli.main(args)
+    import cara_tpu.train.checkpoint as ck
+    last = ck.latest_step(str(tmp_path / "resume"))
+    assert last and last >= 4
+    # Re-run with more epochs: must resume, not restart (prints resume line).
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(_common(tmp_path, [
+            "--dim", "4", "--epochs", "4",
+            "--resume-dir", str(tmp_path / "resume"),
+            "--resume-every-steps", "4"]))
+    assert "resumed from" in buf.getvalue()
