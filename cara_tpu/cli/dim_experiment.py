@@ -73,6 +73,7 @@ def main(argv=None) -> float:
         log_every=args.log_every, lambda_telemetry=hp.logger or args.wandb,
         profile_dir=args.profile_dir, resume_dir=args.resume_dir,
         resume_every_steps=args.resume_every_steps)
+    state, fit_cfg = loop_lib.maybe_resume(args.resume_dir, state, fit_cfg)
 
     result = loop_lib.fit(
         cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,
