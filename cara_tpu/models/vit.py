@@ -134,6 +134,19 @@ def reset_classifier(
     return new
 
 
+def split_qkv_kernel(kernel: jax.Array, cfg: ViTConfig):
+    """Split a fused (E, 3E) qkv kernel into per-projection (E, E) views
+    (counterpart of the reference's ``split_weight`` helper,
+    ``dim_experiment.py:98-104``, adapted to our (in, out) layout with the
+    (3, heads, head_dim) output flattening)."""
+    e, h, d = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+    if kernel.shape != (e, 3 * e):
+        raise ValueError(
+            f"expected (E, 3E) = ({e}, {3 * e}), got {kernel.shape}")
+    k4 = kernel.reshape(e, 3, h * d)
+    return k4[:, 0], k4[:, 1], k4[:, 2]
+
+
 def patch_embed(params: Params, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     """(B, H, W, C) -> (B, num_patches, E) via reshape + GEMM.
 
