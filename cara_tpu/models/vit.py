@@ -290,7 +290,7 @@ def _block(
             xm, bp["fc1"]["kernel"], bp["fc1"]["bias"],
             u.astype(x.dtype), vmat.astype(x.dtype),
             cara_params["bias2"].astype(x.dtype), s,
-            256, 768, 256, None, cfg.activation)
+            256, 1536, 768, None, cfg.activation)
     else:
       up = xm @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
       if use_cara:

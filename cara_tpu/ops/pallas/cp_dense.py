@@ -180,8 +180,8 @@ def _cp_dense_raw(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act=None,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
-def cp_dense(x, w, b, u, v, cb, s: float, bm: int = 256, bn: int = 768,
-             bk: int = 256, interpret: Optional[bool] = None,
+def cp_dense(x, w, b, u, v, cb, s: float, bm: int = 256, bn: int = 1536,
+             bk: int = 768, interpret: Optional[bool] = None,
              act: Optional[str] = None):
     """Fused ``act(x@W + b + s*((x@U)@V + cb))``; x (..., K) any leading dims.
 
