@@ -25,6 +25,41 @@ import jax
 import jax.numpy as jnp
 
 
+def measure_inference(model_name: str, rank: int, batch_size: int,
+                      steps: int, dtype, merged: bool) -> float:
+    """Eval-forward throughput: adapter path, or merged dense weights
+    (the serving configuration — zero adapter overhead)."""
+    from cara_tpu import api
+    from cara_tpu.models.vit import vit_forward
+    from cara_tpu.train.steps import cast_floating
+
+    model = api.build_model(
+        model_name, rank=rank, scale=1.0, num_classes=100, seed=0)
+    cfg = model.cfg
+    if merged:
+        params = cast_floating(model.merged(), dtype)
+        cara = None
+    else:
+        params = cast_floating(model.params, dtype)
+        cara = cast_floating(model.cara_params, dtype)
+
+    fwd = jax.jit(lambda p, c, x: vit_forward(
+        p, x, cfg, cara_params=c,
+        cara_cfg=model.cara_cfg if c is not None else None,
+        train=False).argmax(-1))
+    x = jax.random.normal(
+        jax.random.key(1),
+        (batch_size, cfg.image_size, cfg.image_size, 3), dtype)
+    for _ in range(3):
+        out = fwd(params, cara, x)
+    jax.device_get(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fwd(params, cara, x)
+    jax.device_get(out)
+    return batch_size * steps / (time.perf_counter() - t0)
+
+
 def measure_train_step(model_name: str, rank: int, batch_size: int,
                        steps: int, dtype, delta_impl: str,
                        remat: bool) -> float:
@@ -100,20 +135,33 @@ def main():
     p.add_argument("--no-remat", action="store_true",
                    help="Disable rematerialization (remat measured faster "
                         "on v5e: residual HBM traffic outweighs recompute)")
+    p.add_argument("--mode", default="train",
+                   choices=["train", "eval", "merged"],
+                   help="train step, adapter eval forward, or merged-weight "
+                        "serving forward")
     p.add_argument("--skip-reference", action="store_true")
     args = p.parse_args()
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
-    imgs = measure_train_step(
-        args.model, args.rank, args.batch_size, args.steps, dtype,
-        args.delta_impl, not args.no_remat)
+    if args.mode == "train":
+        imgs = measure_train_step(
+            args.model, args.rank, args.batch_size, args.steps, dtype,
+            args.delta_impl, not args.no_remat)
+        metric = "VTAB-1k fine-tune images/sec/chip (ViT-B/16, rank 8)"
+    else:
+        imgs = measure_inference(
+            args.model, args.rank, args.batch_size, args.steps, dtype,
+            merged=args.mode == "merged")
+        metric = (f"{args.mode} inference images/sec/chip "
+                  f"({args.model}, rank {args.rank})")
 
-    ref = {} if args.skip_reference else reference_baseline(args.batch_size)
+    ref = {} if (args.skip_reference or args.mode != "train") \
+        else reference_baseline(args.batch_size)
     ref_imgs = ref.get("reference_images_per_sec")
     vs = round(imgs / ref_imgs, 3) if ref_imgs else None
 
     print(json.dumps({
-        "metric": "VTAB-1k fine-tune images/sec/chip (ViT-B/16, rank 8)",
+        "metric": metric,
         "value": round(imgs, 1),
         "unit": "images/sec/chip",
         "vs_baseline": vs,
