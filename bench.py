@@ -147,7 +147,8 @@ def main():
         imgs = measure_train_step(
             args.model, args.rank, args.batch_size, args.steps, dtype,
             args.delta_impl, not args.no_remat)
-        metric = "VTAB-1k fine-tune images/sec/chip (ViT-B/16, rank 8)"
+        metric = (f"VTAB-1k fine-tune images/sec/chip "
+                  f"({args.model}, rank {args.rank})")
     else:
         imgs = measure_inference(
             args.model, args.rank, args.batch_size, args.steps, dtype,

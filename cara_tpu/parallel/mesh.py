@@ -84,6 +84,13 @@ def shardings_for(mesh: Mesh, spec_tree):
 
 def put_batch(mesh: Mesh, batch):
     """Host numpy batch -> device arrays sharded along the data axis."""
+    ndata = mesh.shape[DATA_AXIS]
+    leaves = jax.tree_util.tree_leaves(batch)
+    if leaves and leaves[0].shape[0] % ndata:
+        raise ValueError(
+            f"batch size {leaves[0].shape[0]} not divisible by the data-axis "
+            f"size {ndata}; pick --batch-size/--eval-batch-size as multiples "
+            "of the data-parallel degree")
     sh = NamedSharding(mesh, P(DATA_AXIS))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
