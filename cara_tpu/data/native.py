@@ -68,6 +68,11 @@ def get_lib():
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ]
+            lib.cara_loader_decode_batch_u8.restype = ctypes.c_int
+            lib.cara_loader_decode_batch_u8.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+            ]
             _LIB = lib
         except Exception as exc:  # no compiler / libs -> PIL fallback
             _LIB_ERR = str(exc)
@@ -104,6 +109,21 @@ class NativeBatchDecoder:
         fails = self._lib.cara_loader_decode_batch(
             self._handle, arr, n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), statuses)
+        if fails:
+            bad = [paths[i] for i in range(n) if statuses[i]]
+            raise IOError(f"failed to decode {fails} image(s), e.g. {bad[:3]}")
+        return out
+
+    def decode_batch_u8(self, paths: List[str]) -> np.ndarray:
+        """Resized RGB uint8 (no normalization) — for host-side caches."""
+        n = len(paths)
+        s = self.image_size
+        out = np.empty((n, s, s, 3), np.uint8)
+        statuses = (ctypes.c_int * n)()
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        fails = self._lib.cara_loader_decode_batch_u8(
+            self._handle, arr, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), statuses)
         if fails:
             bad = [paths[i] for i in range(n) if statuses[i]]
             raise IOError(f"failed to decode {fails} image(s), e.g. {bad[:3]}")

@@ -71,11 +71,15 @@ def read_file_list(path: str) -> List[Tuple[str, int]]:
 
 def _load_image_pil(path: str, size: int) -> np.ndarray:
     """Decode + bicubic resize + [0,1] float32 HWC (``vtab.py:36-37,79-81``)."""
+    return _load_image_pil_u8(path, size).astype(np.float32) / 255.0
+
+
+def _load_image_pil_u8(path: str, size: int) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
         im = im.convert("RGB").resize((size, size), Image.BICUBIC)
-        return np.asarray(im, np.float32) / 255.0
+        return np.asarray(im, np.uint8)
 
 
 def normalize(x: np.ndarray) -> np.ndarray:
@@ -91,13 +95,16 @@ class FileListSource:
     """
 
     def __init__(self, root: str, flist: str, image_size: int = 224,
-                 num_workers: int = 8, decode_fn=None, backend: str = "auto"):
+                 num_workers: int = 8, decode_fn=None, backend: str = "auto",
+                 cache: bool = False):
         self.root = root
         self.items = read_file_list(flist)
         self.image_size = image_size
         self.num_workers = num_workers
         self._decode = decode_fn or _load_image_pil
         self._native = None
+        self._cache: Optional[np.ndarray] = None
+        self._want_cache = cache
         if decode_fn is None and backend in ("auto", "native"):
             try:
                 from cara_tpu.data.native import NativeBatchDecoder
@@ -120,8 +127,35 @@ class FileListSource:
             return self._native.decode_one(path)
         return normalize(self._decode(path, self.image_size))
 
+    def ensure_cache(self) -> None:
+        """Decode every image ONCE into a resized uint8 RAM cache.
+
+        This host has very few cores, so re-decoding each epoch (as the
+        reference's DataLoader does) caps training far below device speed;
+        VTAB-1k train splits are 1000 images (~150MB at 224^2 uint8), so a
+        one-shot cache + on-device normalization removes the input bottleneck
+        entirely after epoch 0.
+        """
+        if self._cache is not None or not self._want_cache:
+            return
+        s = self.image_size
+        paths = [os.path.join(self.root, rel) for rel, _ in self.items]
+        if self._native is not None:
+            self._cache = self._native.decode_batch_u8(paths)
+        else:
+            self._cache = np.stack(
+                [_load_image_pil_u8(p, s) for p in paths])
+
+    @property
+    def cached(self) -> bool:
+        return self._want_cache
+
     def load_batch(self, indices) -> np.ndarray:
-        """Batch decode — one C call, threading inside the native pool."""
+        """Batch load: RAM cache (uint8, normalize-on-device) or one native
+        C decode call."""
+        if self._want_cache:
+            self.ensure_cache()
+            return self._cache[np.asarray(indices)]
         if self._native is not None:
             paths = [os.path.join(self.root, self.items[i][0])
                      for i in indices]
@@ -196,7 +230,8 @@ class BatchLoader:
             order = order[: (n // self.batch_size) * self.batch_size]
         labels = self.source.labels
         bs = self.batch_size
-        use_native = getattr(self.source, "_native", None) is not None
+        use_native = (getattr(self.source, "_native", None) is not None
+                      or getattr(self.source, "cached", False))
         pool = None if use_native else self._pool_get()
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
@@ -231,10 +266,13 @@ def get_data(
     num_workers: int = 8,
     synthetic: bool = False,
     synthetic_size: int = 1000,
+    cache_limit: int = 5000,
 ) -> Tuple[BatchLoader, BatchLoader]:
     """(train_loader, eval_loader) with the reference split protocol
     (``vtab.py:76-107``).  ``synthetic=True`` swaps in generated data with the
-    task's class count — used when no VTAB data is on disk."""
+    task's class count — used when no VTAB data is on disk.  Splits up to
+    ``cache_limit`` images are decoded once into a uint8 RAM cache and
+    normalized on device (see ``FileListSource.ensure_cache``)."""
     ncls = get_classes_num(task)
     if synthetic:
         train_src = synthetic_source(synthetic_size, ncls, image_size, seed)
@@ -246,8 +284,10 @@ def get_data(
         test_list = "test.txt" if evaluate else "val200.txt"
         train_src = FileListSource(
             tdir, os.path.join(tdir, train_list), image_size, num_workers)
+        train_src._want_cache = len(train_src) <= cache_limit
         test_src = FileListSource(
             tdir, os.path.join(tdir, test_list), image_size, num_workers)
+        test_src._want_cache = len(test_src) <= cache_limit
     train = BatchLoader(train_src, batch_size, train=True, seed=seed,
                         num_workers=num_workers)
     test = BatchLoader(test_src, eval_batch_size, train=False, seed=seed,

@@ -26,6 +26,22 @@ from cara_tpu.train.schedule import cara_cosine_schedule
 
 Params = Dict[str, Any]
 
+# ImageNet statistics for on-device normalization of uint8 batches
+# (host sends raw resized RGB bytes — 4x less H2D traffic, zero host math).
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def prep_images(x: jax.Array, dtype=None) -> jax.Array:
+    """uint8 RGB -> normalized float on device; float inputs pass through
+    (already normalized by the host pipeline)."""
+    if x.dtype == jnp.uint8:
+        dt = dtype or jnp.float32
+        mean = jnp.asarray(_IMAGENET_MEAN, dt)
+        std = jnp.asarray(_IMAGENET_STD, dt)
+        return (x.astype(dt) / 255.0 - mean) / std
+    return x if dtype is None else x.astype(dtype)
+
 
 class TrainState(NamedTuple):
     step: jax.Array                 # scalar int32
@@ -105,9 +121,7 @@ def make_train_step(
         def loss_fn(trainable):
             if compute_dtype is not None:
                 trainable = cast_floating(trainable, compute_dtype)
-                x = batch["image"].astype(compute_dtype)
-            else:
-                x = batch["image"]
+            x = prep_images(batch["image"], compute_dtype)
             p = merge_params(frozen, trainable)
             cara = trainable["cara"]
             logits = vit_forward(
@@ -143,14 +157,12 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
     """
 
     def eval_step(params: Params, cara_params, batch):
-        p, cara, x = params, cara_params, batch["image"]
+        p, cara = params, cara_params
+        x = prep_images(batch["image"], compute_dtype)
         if compute_dtype is not None:
-            cast = lambda a: a.astype(compute_dtype) \
-                if jnp.issubdtype(a.dtype, jnp.floating) else a
-            p = jax.tree_util.tree_map(cast, p)
+            p = cast_floating(p, compute_dtype)
             if cara is not None:
-                cara = jax.tree_util.tree_map(cast, cara)
-            x = x.astype(compute_dtype)
+                cara = cast_floating(cara, compute_dtype)
         logits = vit_forward(
             p, x, cfg, cara_params=cara,
             cara_cfg=cara_cfg if cara is not None else None, train=False)

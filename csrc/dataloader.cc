@@ -299,15 +299,20 @@ struct Loader {
   }
 };
 
-void process_one(Loader* L, const char* path, float* dst, int* status) {
+bool decode_resize(Loader* L, const char* path, std::vector<uint8_t>* out) {
   Image img;
-  if (!decode_file(path, &img) || img.w < 1 || img.h < 1) {
+  if (!decode_file(path, &img) || img.w < 1 || img.h < 1) return false;
+  resize_bicubic(img, L->image_size, out);
+  return true;
+}
+
+void process_one(Loader* L, const char* path, float* dst, int* status) {
+  std::vector<uint8_t> resized;
+  if (!decode_resize(L, path, &resized)) {
     *status = 1;
     std::memset(dst, 0, sizeof(float) * size_t(L->image_size) * L->image_size * 3);
     return;
   }
-  std::vector<uint8_t> resized;
-  resize_bicubic(img, L->image_size, &resized);
   // Fused ToTensor + Normalize via a per-channel 256-entry LUT.
   float lut[3][256];
   for (int c = 0; c < 3; ++c)
@@ -319,6 +324,18 @@ void process_one(Loader* L, const char* path, float* dst, int* status) {
     dst[i * 3 + 1] = lut[1][resized[i * 3 + 1]];
     dst[i * 3 + 2] = lut[2][resized[i * 3 + 2]];
   }
+  *status = 0;
+}
+
+void process_one_u8(Loader* L, const char* path, uint8_t* dst, int* status) {
+  std::vector<uint8_t> resized;
+  size_t bytes = size_t(L->image_size) * L->image_size * 3;
+  if (!decode_resize(L, path, &resized)) {
+    *status = 1;
+    std::memset(dst, 0, bytes);
+    return;
+  }
+  std::memcpy(dst, resized.data(), bytes);
   *status = 0;
 }
 
@@ -346,6 +363,32 @@ int cara_loader_decode_batch(void* p, const char** paths, int n, float* out,
     L->pool.submit([L, path = std::string(paths[i]), dst = out + i * stride,
                     st = statuses + i, &remaining, &mu, &cv] {
       process_one(L, path.c_str(), dst, st);
+      if (remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> g(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return remaining.load() == 0; });
+  int fails = 0;
+  for (int i = 0; i < n; ++i) fails += statuses[i];
+  return fails;
+}
+
+// uint8 variant: resized RGB bytes, no normalization (for host-side caches
+// with on-device normalization).
+int cara_loader_decode_batch_u8(void* p, const char** paths, int n,
+                                uint8_t* out, int* statuses) {
+  auto* L = static_cast<Loader*>(p);
+  std::atomic<int> remaining(n);
+  std::mutex mu;
+  std::condition_variable cv;
+  size_t stride = size_t(L->image_size) * L->image_size * 3;
+  for (int i = 0; i < n; ++i) {
+    L->pool.submit([L, path = std::string(paths[i]), dst = out + i * stride,
+                    st = statuses + i, &remaining, &mu, &cv] {
+      process_one_u8(L, path.c_str(), dst, st);
       if (remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> g(mu);
         cv.notify_one();
