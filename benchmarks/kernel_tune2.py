@@ -21,7 +21,7 @@ def bench_scan(make_fn, x, K=20):
     @jax.jit
     def rep(x):
         def body(acc, _):
-            out = make_fn(x + acc * 1e-24)
+            out = make_fn(x + (acc * 1e-24).astype(x.dtype))
             return out.astype(jnp.float32).ravel()[0], None
         o, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
         return o

@@ -93,14 +93,14 @@ def run_variant(variant):
             # serialize via x perturbation from previous loss
             def step(carry):
                 l, = carry
-                return (f(c, x + l * 1e-24),)
+                return (f(c, x + (l * 1e-24).astype(x.dtype)),)
             dt, cs = bench_async(step, (jnp.float32(0),))
         else:
             g = jax.jit(lambda c, x: jax.grad(loss_fn)(c, x))
             def step(carry):
                 grads = g(carry, x)
                 return jax.tree_util.tree_map(
-                    lambda a, b: a + b * 1e-24, c, grads)
+                    lambda a, b: a + (b * 1e-24).astype(a.dtype), c, grads)
             dt, cs = bench_async(step, c)
     return {"variant": variant, "ms": round(dt * 1e3, 2),
             "imgs_per_s": round(64 / dt, 1), "compile_s": round(cs, 1)}
