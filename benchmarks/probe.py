@@ -78,9 +78,10 @@ def run_variant(variant):
             tx, model.params, model.cara_params)
         frozen = steps_lib.cast_floating(frozen, jnp.bfloat16)
         batch = {"image": x, "label": y}
+        remat_arg = {"remat": True, "noremat": False, "dots": "dots"}[remat]
         step_fn = jax.jit(steps_lib.make_train_step(
             model.cfg, model.cara_cfg, tx, compute_dtype=jnp.bfloat16,
-            remat=remat == "remat", dense_impl=dense_impl),
+            remat=remat_arg, dense_impl=dense_impl),
             donate_argnums=(0,))
         dt, cs = bench_async(
             lambda s: step_fn(s, frozen, batch, jax.random.key(0))[0], state)

@@ -12,7 +12,6 @@ Run:  ``python -m cara_tpu.cli.vit_cp --dataset=cifar --dim=32``
 from __future__ import annotations
 
 import argparse
-import sys
 
 import jax
 

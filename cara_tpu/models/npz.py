@@ -27,8 +27,7 @@ order (3, heads, head_dim) — the same flattening the forward pass unpacks.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 import jax.numpy as jnp

@@ -352,7 +352,7 @@ def vit_forward(
     cara_cfg: Optional[CaraConfig] = None,
     train: bool = False,
     rng: Optional[jax.Array] = None,
-    remat: bool = False,
+    remat=False,
     attn_impl: str = "auto",
     dense_impl: str = "auto",
 ) -> jax.Array:
@@ -408,7 +408,12 @@ def vit_forward(
         )
         return out, None
 
-    if remat:
+    if remat == "dots":
+        # Selective remat: keep matmul outputs as residuals, recompute only
+        # the cheap elementwise/norm ops in the backward.
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.checkpoint_dots)
+    elif remat:
         body = jax.checkpoint(body)
 
     xs = (params["blocks"], a1_stack, p1_stack, dpr)

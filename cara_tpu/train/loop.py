@@ -18,14 +18,13 @@ import dataclasses
 from typing import Any, Callable, Dict, Optional
 
 import jax
-import numpy as np
 
 from cara_tpu.data.vtab import BatchLoader, prefetch
 from cara_tpu.parallel import mesh as mesh_lib
 from cara_tpu.train import checkpoint as ckpt_lib
 from cara_tpu.train import steps as steps_lib
 from cara_tpu.utils.logging import MetricLogger
-from cara_tpu.utils.profiling import StepTimer, trace
+from cara_tpu.utils.profiling import trace
 
 
 @dataclasses.dataclass

@@ -100,7 +100,7 @@ def make_train_step(
     cara_cfg: CaraConfig,
     tx: optax.GradientTransformation,
     *,
-    remat: bool = True,
+    remat=True,
     compute_dtype=None,
     attn_impl: str = "auto",
     dense_impl: str = "auto",
