@@ -116,6 +116,77 @@ def _cp_dense_dact_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, g_ref,
         o_ref[...] = dpre.astype(o_ref.dtype)
 
 
+def _cp_dense_dx_kernel(g_ref, w_ref, v_ref, u_ref, o_ref, acc_ref, z_ref,
+                        *, s, nn):
+    """dx = g @ W^T + s * (g @ V^T) @ U^T without materializing any
+    transpose: the MXU contracts the shared N axis directly via
+    dot_general dimension numbers.
+
+    Blocks: g (bm, bn) over N; w (bko, bn); v (rp, bn); u (bko, rp);
+    out (bm, bko).  Grid (M/bm, K/bko, N/bn), N innermost (reduction).
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        z_ref[...] = jnp.zeros_like(z_ref)
+
+    g = g_ref[...]
+    # acc[m, k] += sum_n g[m, n] * w[k, n]
+    acc_ref[...] += jax.lax.dot_general(
+        g, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # z[m, r] += sum_n g[m, n] * v[r, n]
+    z_ref[...] += jax.lax.dot_general(
+        g, v_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == nn - 1)
+    def _finish():
+        z = z_ref[...].astype(g_ref.dtype)
+        # delta[m, k] = sum_r z[m, r] * u[k, r]
+        delta = jax.lax.dot_general(
+            z, u_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[...] = (acc_ref[...] + s * delta).astype(o_ref.dtype)
+
+
+def _cp_dense_dx_raw(g, w, u, v, s, bm, bko, bn, interpret):
+    """dx (M, K) from g (M, N), w (K, N-layout as stored (K,N)? NO: stored
+    (K_in, N_out)) — here w is the ORIGINAL (K, N) kernel and v the original
+    (r, N); contraction happens over N inside the kernel."""
+    m, n = g.shape
+    k = w.shape[0]
+    u, v = _pad_rank(u, v)
+    rp = u.shape[1]
+    nn = n // bn
+    grid = (pl.cdiv(m, bm), k // bko, nn)
+    out = pl.pallas_call(
+        functools.partial(_cp_dense_dx_kernel, s=s, nn=nn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bko, bn), lambda i, j, kk: (j, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, bn), lambda i, j, kk: (0, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bko, rp), lambda i, j, kk: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bko), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, k), g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bko), jnp.float32),
+            pltpu.VMEM((bm, rp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_resolve_interpret(interpret),
+    )(g, w, v, u)
+    return out
+
+
 def _resolve_interpret(interpret):
     if interpret is None:
         return jax.default_backend() != "tpu"
@@ -229,17 +300,25 @@ def _bwd_rule(s, bm, bn, bk, interpret, act, res, g):
         bm_, bn_, bk_ = _dims(x2, w, bm, bn, bk)
         g2 = _cp_dense_raw(x2, w, b, u, v, cb, s, bm_, bn_, bk_, interpret,
                            act, g=g2)
-    # dx = g W^T + s (g V^T) U^T — same fused structure, transposed operands.
-    zerok = jnp.zeros((k,), g2.dtype)
-    bm_, bn_, bk_ = _dims(g2, w.T, bm, bn, bk)
-    dx = _cp_dense_raw(
-        g2, w.T, zerok, v.T, u.T, zerok, s, bm_, bn_, bk_, interpret)
-    # Factor/bias grads: small rank-r GEMMs, fine in XLA.
-    gv = g2 @ v.T                       # (M, r)
-    du = s * (x2.T @ gv)                # (K, r)
-    z = x2 @ u                          # (M, r)
-    dv = s * (z.T @ g2)                 # (r, N)
-    db = jnp.sum(g2, axis=0)
+    # dx = g W^T + s (g V^T) U^T — one fused kernel contracting the shared N
+    # axis in place (no materialized transposes of the stacked weights).
+    def fit_block(dim, want):
+        blk = min(want, dim)
+        while dim % blk:
+            blk //= 2
+        return blk
+
+    dx = _cp_dense_dx_raw(
+        g2, w, u, v, s, bm, fit_block(k, 1536), fit_block(n, 768), interpret)
+    # Factor/bias grads: small rank-r contractions, transpose-free
+    # dot_generals left to XLA.
+    dot = functools.partial(
+        jax.lax.dot_general, preferred_element_type=jnp.float32)
+    gv = dot(g2, v, (((1,), (1,)), ((), ())))      # (M, r)
+    du = s * dot(x2, gv, (((0,), (0,)), ((), ()))) # (K, r)
+    z = x2 @ u                                     # (M, r)
+    dv = s * dot(z, g2, (((0,), (0,)), ((), ()))) # (r, N)
+    db = jnp.sum(g2.astype(jnp.float32), axis=0)
     dcb = s * db
     dw = jnp.zeros_like(w)  # frozen by construction (CaRA trains factors)
     return (dx.reshape(*lead, k), dw, db.astype(g.dtype),
