@@ -142,3 +142,24 @@ def test_reset_classifier(tiny):
     assert new["head"]["kernel"].shape == (48, 5)
     x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
     assert vit_lib.vit_forward(new, x, cfg).shape[-1] == 5
+
+
+def test_remat_dots_policy_matches(tiny):
+    cfg, cara_cfg, params, cara_params = tiny
+    import jax
+    import jax.numpy as jnp
+    x = jax.random.normal(jax.random.key(6), (2, 32, 32, 3))
+    a = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+        remat=False)
+    b = vit_lib.vit_forward(
+        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+        remat="dots")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # gradients flow under the policy
+    def loss(c):
+        return jnp.sum(vit_lib.vit_forward(
+            params, x, cfg, cara_params=c, cara_cfg=cara_cfg,
+            train=True, rng=jax.random.key(0), remat="dots") ** 2)
+    g = jax.grad(loss)(cara_params)
+    assert np.all(np.isfinite(np.asarray(g["A2"])))
