@@ -46,6 +46,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "devices on the data axis)")
     p.add_argument("--no-remat", action="store_true",
                    help="Disable per-layer rematerialization")
+    p.add_argument("--attn-impl", default="auto",
+                   choices=["auto", "fused", "flash", "xla"],
+                   help="Attention implementation (auto = fused Pallas "
+                        "kernel on TPU)")
+    p.add_argument("--dense-impl", default="auto",
+                   choices=["auto", "fused", "xla"],
+                   help="Dense+CP-delta implementation (auto = xla; fused = "
+                        "Pallas cp_dense kernel)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--profile-dir", default=None, type=str,
                    help="Write a jax.profiler trace here")

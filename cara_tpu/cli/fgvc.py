@@ -89,7 +89,8 @@ def main(argv=None) -> float:
         cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,
         tx=tx, train_loader=train_loader, eval_loader=eval_loader,
         rng=jax.random.key(seed), fit_cfg=fit_cfg, mesh=mesh, logger=logger,
-        keeper=keeper, compute_dtype=dtype)
+        keeper=keeper, compute_dtype=dtype, remat=not args.no_remat,
+        attn_impl=args.attn_impl, dense_impl=args.dense_impl)
     print(f"Accuracy: {result['best_acc']}")
     logger.finish()
     return result["best_acc"]

@@ -68,7 +68,9 @@ def run_task(task: str, args, results: dict) -> float:
         rng=jax.random.key(seed), fit_cfg=fit_cfg,
         mesh=common.resolve_mesh(args.mesh),
         logger=MetricLogger(enabled=False), keeper=keeper,
-        compute_dtype=common.resolve_dtype(args.dtype))
+        compute_dtype=common.resolve_dtype(args.dtype),
+        remat=not args.no_remat, attn_impl=args.attn_impl,
+        dense_impl=args.dense_impl)
     results[task] = {
         "top1": out["best_acc"],
         "seed": seed,

@@ -128,6 +128,10 @@ MODEL_REGISTRY = {
         num_classes=0, ln_pre=True, activation="quick_gelu", proj_dim=768,
         layernorm_eps=1e-5, drop_path_rate=0.0,
     ),
+    "vit_small_patch16_224_in21k": ViTConfig(
+        embed_dim=384, depth=12, num_heads=6, repr_size=384),
+    "vit_tiny_patch16_224_in21k": ViTConfig(
+        embed_dim=192, depth=12, num_heads=3, repr_size=192),
     # Small geometry for smoke tests / CI (not a reference model).
     "vit_tiny_test": ViTConfig(
         image_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,

@@ -264,16 +264,19 @@ def cp_dense(x, w, b, u, v, cb, s: float, bm: int = 256, bn: int = 1536,
     return out
 
 
+def _fit_block(dim: int, want: int) -> int:
+    """Largest lane-friendly (multiple of 128) divisor of ``dim`` <= want."""
+    want = min(want, dim)
+    for cand in range(want - want % 128, 127, -128):
+        if dim % cand == 0:
+            return cand
+    return dim  # dim < 128: single block
+
+
 def _dims(x, w, bm, bn, bk):
     k = x.shape[-1]
     n = w.shape[1]
-    bn = min(bn, n)
-    while n % bn:
-        bn //= 2
-    bk = min(bk, k)
-    while k % bk:
-        bk //= 2
-    return bm, bn, bk
+    return bm, _fit_block(n, bn), _fit_block(k, bk)
 
 
 def _fwd(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act=None):
@@ -302,14 +305,9 @@ def _bwd_rule(s, bm, bn, bk, interpret, act, res, g):
                            act, g=g2)
     # dx = g W^T + s (g V^T) U^T — one fused kernel contracting the shared N
     # axis in place (no materialized transposes of the stacked weights).
-    def fit_block(dim, want):
-        blk = min(want, dim)
-        while dim % blk:
-            blk //= 2
-        return blk
-
     dx = _cp_dense_dx_raw(
-        g2, w, u, v, s, bm, fit_block(k, 1536), fit_block(n, 768), interpret)
+        g2, w, u, v, s, bm, _fit_block(k, 1536), _fit_block(n, 768),
+        interpret)
     # Factor/bias grads: small rank-r contractions, transpose-free
     # dot_generals left to XLA.
     dot = functools.partial(

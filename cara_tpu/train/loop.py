@@ -96,11 +96,16 @@ def fit(
     train_step: Optional[Callable] = None,
     eval_step: Optional[Callable] = None,
     compute_dtype=None,
+    remat=True,
+    attn_impl: str = "auto",
+    dense_impl: str = "auto",
 ) -> Dict[str, Any]:
     """Run the fine-tuning protocol; returns summary dict with best accuracy."""
     logger = logger or MetricLogger(enabled=False)
     train_step = train_step or jax.jit(
-        steps_lib.make_train_step(cfg, cara_cfg, tx, compute_dtype=compute_dtype),
+        steps_lib.make_train_step(
+            cfg, cara_cfg, tx, compute_dtype=compute_dtype, remat=remat,
+            attn_impl=attn_impl, dense_impl=dense_impl),
         donate_argnums=(0,))
     eval_step = eval_step or jax.jit(
         steps_lib.make_eval_step(cfg, cara_cfg, compute_dtype=compute_dtype))
