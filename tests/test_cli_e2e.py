@@ -65,3 +65,36 @@ def test_vit_cp_auto_resume(tmp_path):
             "--resume-dir", str(tmp_path / "resume"),
             "--resume-every-steps", "4"]))
     assert "resumed from" in buf.getvalue()
+
+
+def test_impl_flag_combinations(tmp_path):
+    """Kernel-selection flags work end-to-end (interpret-mode Pallas on CPU)."""
+    for attn, dense in (("fused", "xla"), ("xla", "fused"),
+                        ("flash", "xla")):
+        acc = cli.main(_common(tmp_path, [
+            "--dim", "4", "--epochs", "1",
+            "--attn-impl", attn, "--dense-impl", dense]))
+        assert 0.0 <= acc <= 1.0, (attn, dense)
+
+
+def test_predict_cli(tmp_path):
+    """Train -> checkpoint -> predict on image files."""
+    import numpy as np
+    from PIL import Image
+    import glob as _glob
+    from cara_tpu.cli import predict as predict_cli
+
+    cli.main(_common(tmp_path, ["--dim", "4", "--epochs", "11"]))
+    ckpts = _glob.glob(str(tmp_path / "vit_patch_camelyon_*_seed_89.npz"))
+    assert ckpts
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"q{i}.png")
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(p)
+        paths.append(p)
+    results = predict_cli.main(
+        paths + ["--ckpt", ckpts[0], "--model", "vit_tiny_test",
+                 "--batch-size", "2", "--top", "2"])
+    assert len(results) == 3
+    assert all(len(r["classes"]) == 2 for r in results)
