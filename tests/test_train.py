@@ -140,3 +140,32 @@ def test_tensor_parallel_matches(setup):
         state_r, frozen_sh, sharded_batch, rng)
     np.testing.assert_allclose(
         float(ref_metrics["loss"]), float(got_metrics["loss"]), rtol=1e-4)
+
+
+def test_uint8_batch_sharded(setup):
+    """uint8 batches (decode-once cache path) normalize on device and work
+    under data-parallel sharding."""
+    cfg, cara_cfg, params, cara_params = setup
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=10)
+    frozen, state = steps_lib.init_train_state(tx, params, cara_params)
+    step_fn = steps_lib.make_train_step(cfg, cara_cfg, tx)
+    fbatch = _synthetic_batch(jax.random.key(5), 16, cfg, 4)
+    # Build a uint8 twin of the float batch through the exact inverse of
+    # prep_images' normalization.
+    mean = np.array(steps_lib._IMAGENET_MEAN, np.float32)
+    std = np.array(steps_lib._IMAGENET_STD, np.float32)
+    u8 = np.clip((np.asarray(fbatch["image"]) * std + mean) * 255.0,
+                 0, 255).round().astype(np.uint8)
+    ubatch = {"image": jnp.asarray(u8), "label": fbatch["label"]}
+    mesh = mesh_lib.make_mesh((8, 1))
+    sb = mesh_lib.put_batch(mesh, ubatch)
+    st = mesh_lib.put_replicated(mesh, state)
+    fz = mesh_lib.put_replicated(mesh, frozen)
+    st2, metrics = jax.jit(step_fn)(st, fz, sb, jax.random.key(7))
+    assert np.isfinite(float(metrics["loss"]))
+    # Equivalent float batch gives a close loss (uint8 round-trip error only).
+    _, mref = jax.jit(step_fn)(state, frozen, {
+        "image": steps_lib.prep_images(ubatch["image"]),
+        "label": ubatch["label"]}, jax.random.key(7))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(mref["loss"]), rtol=1e-4)
