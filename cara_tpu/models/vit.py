@@ -192,11 +192,12 @@ def _block(
     fused_dense = (dense_impl == "fused" and use_cara and not materialized
                    and cara_cfg.cp_order != 2)
     if fused_dense:
-        from cara_tpu.ops.pallas.cp_dense import cp_dense
+        from cara_tpu.ops.pallas.cp_dense import cp_dense, cp_dense_ln
 
     # --- Attention ---------------------------------------------------------
-    xa = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
-    b, n = xa.shape[:2]
+    b, n = x.shape[:2]
+    xa = None if fused_dense and attn_impl == "fused" else layer_norm(
+        x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
     if attn_impl == "fused" and cfg.attn_dropout_rate == 0.0:
         # Layout-native path: pad the token axis once, keep the qkv GEMM
         # output layout all the way through the Pallas kernel (no 5-D
@@ -205,17 +206,24 @@ def _block(
             fused_qkv_attention)
 
         npad = -(-n // 128) * 128
-        xa_p = jnp.pad(xa, ((0, 0), (0, npad - n), (0, 0))) \
-            if npad != n else xa
         if fused_dense:
+            # LN1 fused into the qkv kernel prologue: pad the RAW residual
+            # stream once; padded rows produce masked/sliced garbage only.
+            x_p = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0))) \
+                if npad != n else x
             comp = cp_ops.weight_dropout_mask(
                 k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
             u, vmat = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg, comp)
-            qkv = cp_dense(
-                xa_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
+            qkv = cp_dense_ln(
+                x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
                 u.astype(x.dtype), vmat.astype(x.dtype),
-                jnp.zeros((3 * e,), x.dtype), s)  # cara.py:42, fused
+                jnp.zeros((3 * e,), x.dtype),
+                bp["ln1_scale"], bp["ln1_bias"], s,
+                256, 1536, 768, None, None,
+                cfg.layernorm_eps)  # cara.py:42 + LN1 in one pass
         else:
+            xa_p = jnp.pad(xa, ((0, 0), (0, npad - n), (0, 0))) \
+                if npad != n else xa
             qkv = xa_p @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
             if use_cara:
                 delta = cara_lib.qkv_delta(
@@ -275,7 +283,6 @@ def _block(
     x = x + drop_path(proj, dpr, k_dp1)
 
     # --- MLP ---------------------------------------------------------------
-    xm = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
     if use_cara:
         p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
     if fused_dense:
@@ -284,14 +291,17 @@ def _block(
         u, vmat = cara_lib.rows_out_uv(
             p1_up, cara_params["P2"], cara_params["P3"],
             cara_params["R2"], comp)
-        # GELU fused into the kernel epilogue — the (B,N,4E) pre-activation
-        # never round-trips HBM (cara.py:81-84 in one pass).
-        act = cp_dense(
-            xm, bp["fc1"]["kernel"], bp["fc1"]["bias"],
+        # LN2 prologue + GELU epilogue fused into the fc1 kernel — neither
+        # the normalized input nor the (B,N,4E) pre-activation round-trips
+        # HBM (cara.py:81-84 in one pass).
+        act = cp_dense_ln(
+            x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
             u.astype(x.dtype), vmat.astype(x.dtype),
-            cara_params["bias2"].astype(x.dtype), s,
-            256, 1536, 768, None, cfg.activation)
+            cara_params["bias2"].astype(x.dtype),
+            bp["ln2_scale"], bp["ln2_bias"], s,
+            256, 1536, 768, None, cfg.activation, cfg.layernorm_eps)
     else:
+      xm = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
       up = xm @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
       if use_cara:
         if materialized:

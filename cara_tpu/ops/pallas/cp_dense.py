@@ -67,14 +67,30 @@ def _act_grad(y, act):
     raise ValueError(act)
 
 
-def _cp_dense_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, o_ref,
-                     acc_ref, z_ref, *, s, nk, act=None):
+def _ln_rows(x, ls, lb, eps):
+    """Row LayerNorm in fp32 on a (bm, K) VMEM tile (full K per block)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * ls.astype(jnp.float32)
+            + lb.astype(jnp.float32)).astype(x.dtype)
+
+
+def _cp_dense_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, *rest,
+                     s, nk, act=None, ln_eps=None):
+    if ln_eps is not None:
+        ls_ref, lb_ref, o_ref, acc_ref, z_ref = rest
+    else:
+        o_ref, acc_ref, z_ref = rest
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         z_ref[...] = jnp.zeros_like(z_ref)
 
     x = x_ref[...]
+    if ln_eps is not None:  # fused LN prologue: normalized x never hits HBM
+        x = _ln_rows(x, ls_ref[...], lb_ref[...], ln_eps)
     acc_ref[...] += jax.lax.dot(
         x, w_ref[...], preferred_element_type=jnp.float32)
     z_ref[...] += jax.lax.dot(
@@ -90,16 +106,22 @@ def _cp_dense_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, o_ref,
         o_ref[...] = _apply_act(y, act).astype(o_ref.dtype)
 
 
-def _cp_dense_dact_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, g_ref,
-                          o_ref, acc_ref, z_ref, *, s, nk, act):
+def _cp_dense_dact_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, *rest,
+                          s, nk, act, ln_eps=None):
     """Backward helper: recompute the pre-activation tile and emit
     ``dpre = g * act'(pre)`` — one pass, the pre-activation never hits HBM."""
+    if ln_eps is not None:
+        ls_ref, lb_ref, g_ref, o_ref, acc_ref, z_ref = rest
+    else:
+        g_ref, o_ref, acc_ref, z_ref = rest
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         z_ref[...] = jnp.zeros_like(z_ref)
 
     x = x_ref[...]
+    if ln_eps is not None:
+        x = _ln_rows(x, ls_ref[...], lb_ref[...], ln_eps)
     acc_ref[...] += jax.lax.dot(
         x, w_ref[...], preferred_element_type=jnp.float32)
     z_ref[...] += jax.lax.dot(
@@ -202,11 +224,13 @@ def _pad_rank(u, v, rp=128):
 
 
 def _cp_dense_raw(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act=None,
-                  g=None):
+                  g=None, ln=None):
     m, k = x.shape
     n = w.shape[1]
     u, v = _pad_rank(u, v)
     rp = u.shape[1]
+    if ln is not None:
+        bk = k  # LN needs the whole row resident in VMEM
     nk = k // bk
     grid = (pl.cdiv(m, bm), n // bn, nk)
     in_specs = [
@@ -224,11 +248,21 @@ def _cp_dense_raw(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act=None,
                      memory_space=pltpu.VMEM),
     ]
     args = [x, w, b.reshape(1, n), u, v, cb.reshape(1, n)]
+    ln_eps = None
+    if ln is not None:
+        ls, lb, ln_eps = ln
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(ls.reshape(1, k))
+        args.append(lb.reshape(1, k))
     if g is None:
-        kernel = functools.partial(_cp_dense_kernel, s=s, nk=nk, act=act)
+        kernel = functools.partial(_cp_dense_kernel, s=s, nk=nk, act=act,
+                                   ln_eps=ln_eps)
     else:
         kernel = functools.partial(
-            _cp_dense_dact_kernel, s=s, nk=nk, act=act)
+            _cp_dense_dact_kernel, s=s, nk=nk, act=act, ln_eps=ln_eps)
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                      memory_space=pltpu.VMEM))
         args.append(g)
@@ -324,3 +358,87 @@ def _bwd_rule(s, bm, bn, bk, interpret, act, res, g):
 
 
 cp_dense.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# LN-prologue variant: act(cp_dense(LayerNorm(x))) in one kernel pass.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def cp_dense_ln(x, w, b, u, v, cb, ln_scale, ln_bias, s: float,
+                bm: int = 256, bn: int = 1536, bk: int = 768,
+                interpret: Optional[bool] = None, act: Optional[str] = None,
+                ln_eps: float = 1e-6):
+    """``act(LN(x) @ W + b + s*((LN(x) @ U) @ V + cb))`` fully fused.
+
+    The LayerNorm runs on the x tile in VMEM (requires K to fit one block —
+    true for the E-wide sites), so neither the normalized activation nor the
+    pre-activation ever round-trips HBM.  Backward recomputes LN/pre-act in
+    VMEM; the LN input-gradient is one fused XLA elementwise pass.
+    """
+    out, _ = _fwd_ln(x, w, b, u, v, cb, ln_scale, ln_bias, s, bm, bn, bk,
+                     interpret, act, ln_eps)
+    return out
+
+
+def _fwd_ln(x, w, b, u, v, cb, ls, lb, s, bm, bn, bk, interpret, act, ln_eps):
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    bm_, bn_, _ = _dims(x2, w, bm, bn, bk)
+    out = _cp_dense_raw(x2, w, b, u, v, cb, s, bm_, bn_, k, interpret, act,
+                        ln=(ls, lb, ln_eps))
+    return (out.reshape(*lead, w.shape[1]),
+            (x2, w, b, u, v, cb, ls, lb, lead))
+
+
+def _fwd_ln_rule(x, w, b, u, v, cb, ls, lb, s, bm, bn, bk, interpret, act,
+                 ln_eps):
+    return _fwd_ln(x, w, b, u, v, cb, ls, lb, s, bm, bn, bk, interpret, act,
+                   ln_eps)
+
+
+def _bwd_ln_rule(s, bm, bn, bk, interpret, act, ln_eps, res, g):
+    x2, w, b, u, v, cb, ls, lb, lead = res
+    n = w.shape[1]
+    k = w.shape[0]
+    g2 = g.reshape(-1, n)
+    if act is not None:
+        bm_, bn_, _ = _dims(x2, w, bm, bn, bk)
+        g2 = _cp_dense_raw(x2, w, b, u, v, cb, s, bm_, bn_, k, interpret,
+                           act, g=g2, ln=(ls, lb, ln_eps))
+    # Gradient w.r.t. the LN *output* via the transpose-free dx kernel.
+    dxl = _cp_dense_dx_raw(
+        g2, w, u, v, s, bm, _fit_block(k, 1536), _fit_block(n, 768),
+        interpret)
+    # LayerNorm input gradient (one fused elementwise pass in XLA).
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xn = (xf - mu) * rstd
+    dyg = dxl.astype(jnp.float32) * ls.astype(jnp.float32)
+    dx = rstd * (dyg - jnp.mean(dyg, axis=-1, keepdims=True)
+                 - xn * jnp.mean(dyg * xn, axis=-1, keepdims=True))
+    # Factor grads contract against the LN'd activation.
+    lnx = (xn * ls.astype(jnp.float32)
+           + lb.astype(jnp.float32)).astype(g2.dtype)
+    dot = functools.partial(
+        jax.lax.dot_general, preferred_element_type=jnp.float32)
+    gv = dot(g2, v, (((1,), (1,)), ((), ())))
+    du = s * dot(lnx, gv, (((0,), (0,)), ((), ())))
+    z = lnx @ u
+    dv = s * dot(z, g2, (((0,), (0,)), ((), ())))
+    db = jnp.sum(g2.astype(jnp.float32), axis=0)
+    dcb = s * db
+    dls = jnp.sum(dxl.astype(jnp.float32) * xn, axis=0)
+    dlb = jnp.sum(dxl.astype(jnp.float32), axis=0)
+    dw = jnp.zeros_like(w)
+    dt = g.dtype
+    return (dx.reshape(*lead, k).astype(dt), dw, db.astype(dt),
+            du.astype(dt), dv.astype(dt), dcb.astype(dt),
+            dls.astype(dt), dlb.astype(dt))
+
+
+cp_dense_ln.defvjp(_fwd_ln_rule, _bwd_ln_rule)

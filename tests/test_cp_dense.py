@@ -143,3 +143,54 @@ def test_act_epilogue_matches():
         for a, b_ in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=5e-4, rtol=2e-3)
+
+
+def test_ln_prologue_matches():
+    """cp_dense_ln == LayerNorm -> cp_dense -> act reference, fwd + grads."""
+    from cara_tpu.ops.pallas.cp_dense import cp_dense_ln
+
+    m, k, n, r = 128, 128, 256, 4
+    ks = jax.random.split(jax.random.key(6), 8)
+    x = jax.random.normal(ks[0], (m, k)) * 2.0 + 0.3
+    w = jax.random.normal(ks[1], (k, n)) * 0.05
+    b = jax.random.normal(ks[2], (n,)) * 0.1
+    u = jax.random.normal(ks[3], (k, r)) * 0.1
+    v = jax.random.normal(ks[4], (r, n)) * 0.1
+    cb = jax.random.normal(ks[5], (n,)) * 0.1
+    ls = 1.0 + 0.1 * jax.random.normal(ks[6], (k,))
+    lb = 0.1 * jax.random.normal(ks[7], (k,))
+    s, eps = 1.3, 1e-6
+
+    def ln_ref(x):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.var(x, -1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * ls + lb
+
+    for act_name, act_fn in (
+            (None, lambda y: y),
+            ("gelu", lambda y: jax.nn.gelu(y, approximate=False))):
+        out = cp_dense_ln(x, w, b, u, v, cb, ls, lb, s,
+                          64, 128, 128, True, act_name, eps)
+        ref = act_fn(_ref(ln_ref(x), w, b, u, v, cb, s))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=2e-3)
+
+        def loss_fused(x, u, v, cb, ls, lb):
+            return jnp.sum(jnp.sin(cp_dense_ln(
+                x, w, b, u, v, cb, ls, lb, s, 64, 128, 128, True,
+                act_name, eps)))
+
+        def loss_ref(x, u, v, cb, ls, lb):
+            mu = jnp.mean(x, -1, keepdims=True)
+            var = jnp.var(x, -1, keepdims=True)
+            xn = (x - mu) * jax.lax.rsqrt(var + eps) * ls + lb
+            return jnp.sum(jnp.sin(act_fn(_ref(xn, w, b, u, v, cb, s))))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+            x, u, v, cb, ls, lb)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+            x, u, v, cb, ls, lb)
+        for name, a, b_ in zip("x u v cb ls lb".split(), gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-3, rtol=5e-3,
+                err_msg=f"{act_name}:{name}")
