@@ -262,3 +262,20 @@ def test_uint8_cache_pipeline(tmp_path):
     loader = vtab_lib.BatchLoader(cached, 4, train=False)
     b = next(iter(loader))
     assert b["image"].dtype == np.uint8
+
+
+def test_npz_missing_key_error(tiny_cfg):
+    with pytest.raises(KeyError, match="embedding/kernel"):
+        npz_lib.convert_npz_dict({}, tiny_cfg)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """--profile-dir produces a loadable trace directory."""
+    from cara_tpu.utils.profiling import trace, annotate
+    import jax.numpy as jnp
+
+    with trace(str(tmp_path / "prof")):
+        with annotate("smoke"):
+            jnp.ones((8, 8)).sum().block_until_ready()
+    assert any((tmp_path / "prof").rglob("*.pb")) or \
+        any((tmp_path / "prof").rglob("*.json.gz"))

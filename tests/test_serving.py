@@ -49,3 +49,20 @@ def test_from_checkpoint(setup, tmp_path):
     ref = Predictor(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
                     batch_size=4, dtype=np.float32)
     np.testing.assert_allclose(pred.logits(imgs), ref.logits(imgs), atol=2e-4)
+
+
+def test_predict_iter(setup):
+    import jax.numpy as jnp
+    from cara_tpu.data.vtab import synthetic_source, BatchLoader
+
+    cfg, cara_cfg, params, cara_params = setup
+    pred = Predictor(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+                     batch_size=4, dtype=np.float32)
+    src = synthetic_source(10, 6, cfg.image_size, seed=3)
+    loader = BatchLoader(src, 4, train=False)
+    total = correct = 0.0
+    for yhat, y, valid in pred.predict_iter(iter(loader)):
+        correct += float(((yhat == y) * valid).sum())
+        total += float(valid.sum())
+    assert total == 10.0
+    assert 0.0 <= correct <= 10.0
