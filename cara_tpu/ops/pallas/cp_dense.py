@@ -138,15 +138,23 @@ def _cp_dense_dact_kernel(x_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, *rest,
         o_ref[...] = dpre.astype(o_ref.dtype)
 
 
-def _cp_dense_dx_kernel(g_ref, w_ref, v_ref, u_ref, o_ref, acc_ref, z_ref,
-                        *, s, nn):
+def _cp_dense_dx_kernel(g_ref, w_ref, v_ref, u_ref, *rest, s, nn,
+                        ln_eps=None):
     """dx = g @ W^T + s * (g @ V^T) @ U^T without materializing any
     transpose: the MXU contracts the shared N axis directly via
     dot_general dimension numbers.
 
     Blocks: g (bm, bn) over N; w (bko, bn); v (rp, bn); u (bko, rp);
     out (bm, bko).  Grid (M/bm, K/bko, N/bn), N innermost (reduction).
+
+    With ``ln_eps`` the full LayerNorm input-backward is fused into the
+    epilogue (requires bko == K so the whole row is resident): extra inputs
+    x (bm, K) raw and ln_scale (1, K); output becomes d(x_raw).
     """
+    if ln_eps is not None:
+        x_ref, ls_ref, o_ref, acc_ref, z_ref = rest
+    else:
+        o_ref, acc_ref, z_ref = rest
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -169,32 +177,59 @@ def _cp_dense_dx_kernel(g_ref, w_ref, v_ref, u_ref, o_ref, acc_ref, z_ref,
         delta = jax.lax.dot_general(
             z, u_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[...] = (acc_ref[...] + s * delta).astype(o_ref.dtype)
+        dxl = acc_ref[...] + s * delta           # d(LN output), fp32
+        if ln_eps is None:
+            o_ref[...] = dxl.astype(o_ref.dtype)
+            return
+        # Fused LayerNorm input-backward on the resident full-K row.
+        xf = x_ref[...].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + ln_eps)
+        xn = (xf - mu) * rstd
+        dyg = dxl * ls_ref[...].astype(jnp.float32)
+        dx = rstd * (dyg - jnp.mean(dyg, axis=-1, keepdims=True)
+                     - xn * jnp.mean(dyg * xn, axis=-1, keepdims=True))
+        o_ref[...] = dx.astype(o_ref.dtype)
 
 
-def _cp_dense_dx_raw(g, w, u, v, s, bm, bko, bn, interpret):
-    """dx (M, K) from g (M, N), w (K, N-layout as stored (K,N)? NO: stored
-    (K_in, N_out)) — here w is the ORIGINAL (K, N) kernel and v the original
-    (r, N); contraction happens over N inside the kernel."""
+def _cp_dense_dx_raw(g, w, u, v, s, bm, bko, bn, interpret, ln=None,
+                     x=None):
+    """dx (M, K) from g (M, N) against the ORIGINAL (K, N) kernel and (r, N)
+    V — contraction over N happens inside the kernel (no transposes).
+    ``ln=(ls, eps)`` with ``x`` fuses the LayerNorm input-backward (needs
+    bko == K)."""
     m, n = g.shape
     k = w.shape[0]
     u, v = _pad_rank(u, v)
     rp = u.shape[1]
     nn = n // bn
+    ln_eps = None
+    in_specs = [
+        pl.BlockSpec((bm, bn), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bko, bn), lambda i, j, kk: (j, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp, bn), lambda i, j, kk: (0, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bko, rp), lambda i, j, kk: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [g, w, v, u]
+    if ln is not None:
+        ls, ln_eps = ln
+        bko = k  # whole row resident for the LN backward
+        in_specs.append(pl.BlockSpec((bm, k), lambda i, j, kk: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(x)
+        args.append(ls.reshape(1, k))
     grid = (pl.cdiv(m, bm), k // bko, nn)
     out = pl.pallas_call(
-        functools.partial(_cp_dense_dx_kernel, s=s, nn=nn),
+        functools.partial(_cp_dense_dx_kernel, s=s, nn=nn, ln_eps=ln_eps),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bko, bn), lambda i, j, kk: (j, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, bn), lambda i, j, kk: (0, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bko, rp), lambda i, j, kk: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bko), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, k), g.dtype),
@@ -205,7 +240,7 @@ def _cp_dense_dx_raw(g, w, u, v, s, bm, bko, bn, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_resolve_interpret(interpret),
-    )(g, w, v, u)
+    )(*args)
     return out
 
 
@@ -408,20 +443,17 @@ def _bwd_ln_rule(s, bm, bn, bk, interpret, act, ln_eps, res, g):
         bm_, bn_, _ = _dims(x2, w, bm, bn, bk)
         g2 = _cp_dense_raw(x2, w, b, u, v, cb, s, bm_, bn_, k, interpret,
                            act, g=g2, ln=(ls, lb, ln_eps))
-    # Gradient w.r.t. the LN *output* via the transpose-free dx kernel.
-    dxl = _cp_dense_dx_raw(
+    # dx with the full LayerNorm input-backward fused into the kernel
+    # epilogue (the backbone LN params are frozen in CaRA, so their
+    # cotangents are explicit zeros — no dls/dlb passes).
+    dx = _cp_dense_dx_raw(
         g2, w, u, v, s, bm, _fit_block(k, 1536), _fit_block(n, 768),
-        interpret)
-    # LayerNorm input gradient (one fused elementwise pass in XLA).
+        interpret, ln=(ls, ln_eps), x=x2)
+    # Factor grads contract against the LN'd activation (recomputed once).
     xf = x2.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + ln_eps)
-    xn = (xf - mu) * rstd
-    dyg = dxl.astype(jnp.float32) * ls.astype(jnp.float32)
-    dx = rstd * (dyg - jnp.mean(dyg, axis=-1, keepdims=True)
-                 - xn * jnp.mean(dyg * xn, axis=-1, keepdims=True))
-    # Factor grads contract against the LN'd activation.
+    xn = (xf - mu) * jax.lax.rsqrt(var + ln_eps)
     lnx = (xn * ls.astype(jnp.float32)
            + lb.astype(jnp.float32)).astype(g2.dtype)
     dot = functools.partial(
@@ -432,13 +464,11 @@ def _bwd_ln_rule(s, bm, bn, bk, interpret, act, ln_eps, res, g):
     dv = s * dot(z, g2, (((0,), (0,)), ((), ())))
     db = jnp.sum(g2.astype(jnp.float32), axis=0)
     dcb = s * db
-    dls = jnp.sum(dxl.astype(jnp.float32) * xn, axis=0)
-    dlb = jnp.sum(dxl.astype(jnp.float32), axis=0)
     dw = jnp.zeros_like(w)
     dt = g.dtype
     return (dx.reshape(*lead, k).astype(dt), dw, db.astype(dt),
             du.astype(dt), dv.astype(dt), dcb.astype(dt),
-            dls.astype(dt), dlb.astype(dt))
+            jnp.zeros_like(ls), jnp.zeros_like(lb))
 
 
 cp_dense_ln.defvjp(_fwd_ln_rule, _bwd_ln_rule)

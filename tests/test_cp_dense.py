@@ -188,9 +188,13 @@ def test_ln_prologue_matches():
 
         gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
             x, u, v, cb, ls, lb)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
             x, u, v, cb, ls, lb)
-        for name, a, b_ in zip("x u v cb ls lb".split(), gf, gr):
+        for name, a, b_ in zip("x u v cb".split(), gf[:4], gr):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), atol=1e-3, rtol=5e-3,
                 err_msg=f"{act_name}:{name}")
+        # LN params are frozen in CaRA: the kernel returns explicit zero
+        # cotangents instead of paying the dls/dlb reduction passes.
+        np.testing.assert_array_equal(np.asarray(gf[4]), 0.0)
+        np.testing.assert_array_equal(np.asarray(gf[5]), 0.0)
