@@ -152,9 +152,9 @@ def _cp_dense_dx_kernel(g_ref, w_ref, v_ref, u_ref, *rest, s, nn,
     x (bm, K) raw and ln_scale (1, K); output becomes d(x_raw).
     """
     if ln_eps is not None:
-        x_ref, ls_ref, o_ref, acc_ref, z_ref = rest
+        x_ref, ls_ref, o_ref, gv_ref, acc_ref, z_ref = rest
     else:
-        o_ref, acc_ref, z_ref = rest
+        o_ref, gv_ref, acc_ref, z_ref = rest
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -173,6 +173,9 @@ def _cp_dense_dx_kernel(g_ref, w_ref, v_ref, u_ref, *rest, s, nn,
     @pl.when(pl.program_id(2) == nn - 1)
     def _finish():
         z = z_ref[...].astype(g_ref.dtype)
+        # g @ V^T falls out of the delta accumulation — emit it so the
+        # factor-gradient GEMMs don't re-read g from HBM.
+        gv_ref[...] = z
         # delta[m, k] = sum_r z[m, r] * u[k, r]
         delta = jax.lax.dot_general(
             z, u_ref[...], (((1,), (1,)), ((), ())),
@@ -226,13 +229,20 @@ def _cp_dense_dx_raw(g, w, u, v, s, bm, bko, bn, interpret, ln=None,
         args.append(x)
         args.append(ls.reshape(1, k))
     grid = (pl.cdiv(m, bm), k // bko, nn)
-    out = pl.pallas_call(
+    out, gv = pl.pallas_call(
         functools.partial(_cp_dense_dx_kernel, s=s, nn=nn, ln_eps=ln_eps),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bko), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, k), g.dtype),
+        out_specs=(
+            pl.BlockSpec((bm, bko), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, rp), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), g.dtype),
+            jax.ShapeDtypeStruct((m, rp), g.dtype),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bm, bko), jnp.float32),
             pltpu.VMEM((bm, rp), jnp.float32),
@@ -241,7 +251,7 @@ def _cp_dense_dx_raw(g, w, u, v, s, bm, bko, bn, interpret, ln=None,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_resolve_interpret(interpret),
     )(*args)
-    return out
+    return out, gv
 
 
 def _resolve_interpret(interpret):
@@ -373,15 +383,16 @@ def _bwd_rule(s, bm, bn, bk, interpret, act, res, g):
         g2 = _cp_dense_raw(x2, w, b, u, v, cb, s, bm_, bn_, bk_, interpret,
                            act, g=g2)
     # dx = g W^T + s (g V^T) U^T — one fused kernel contracting the shared N
-    # axis in place (no materialized transposes of the stacked weights).
-    dx = _cp_dense_dx_raw(
+    # axis in place (no materialized transposes of the stacked weights);
+    # gv = g V^T is emitted by the same kernel.
+    dx, gv = _cp_dense_dx_raw(
         g2, w, u, v, s, bm, _fit_block(k, 1536), _fit_block(n, 768),
         interpret)
+    gv = gv[:, :u.shape[1]]
     # Factor/bias grads: small rank-r contractions, transpose-free
     # dot_generals left to XLA.
     dot = functools.partial(
         jax.lax.dot_general, preferred_element_type=jnp.float32)
-    gv = dot(g2, v, (((1,), (1,)), ((), ())))      # (M, r)
     du = s * dot(x2, gv, (((0,), (0,)), ((), ()))) # (K, r)
     z = x2 @ u                                     # (M, r)
     dv = s * dot(z, g2, (((0,), (0,)), ((), ()))) # (r, N)
@@ -445,10 +456,12 @@ def _bwd_ln_rule(s, bm, bn, bk, interpret, act, ln_eps, res, g):
                            act, g=g2, ln=(ls, lb, ln_eps))
     # dx with the full LayerNorm input-backward fused into the kernel
     # epilogue (the backbone LN params are frozen in CaRA, so their
-    # cotangents are explicit zeros — no dls/dlb passes).
-    dx = _cp_dense_dx_raw(
+    # cotangents are explicit zeros — no dls/dlb passes); gv = g V^T is
+    # emitted by the same kernel.
+    dx, gv = _cp_dense_dx_raw(
         g2, w, u, v, s, bm, _fit_block(k, 1536), _fit_block(n, 768),
         interpret, ln=(ls, ln_eps), x=x2)
+    gv = gv[:, :u.shape[1]]
     # Factor grads contract against the LN'd activation (recomputed once).
     xf = x2.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -458,7 +471,6 @@ def _bwd_ln_rule(s, bm, bn, bk, interpret, act, ln_eps, res, g):
            + lb.astype(jnp.float32)).astype(g2.dtype)
     dot = functools.partial(
         jax.lax.dot_general, preferred_element_type=jnp.float32)
-    gv = dot(g2, v, (((1,), (1,)), ((), ())))
     du = s * dot(lnx, gv, (((0,), (0,)), ((), ())))
     z = lnx @ u
     dv = s * dot(z, g2, (((0,), (0,)), ((), ())))
