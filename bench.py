@@ -146,7 +146,7 @@ def main():
     if args.mode == "train":
         imgs = measure_train_step(
             args.model, args.rank, args.batch_size, args.steps, dtype,
-            args.delta_impl, not args.no_remat)
+            args.delta_impl, False if args.no_remat else "auto")
         metric = (f"VTAB-1k fine-tune images/sec/chip "
                   f"({args.model}, rank {args.rank})")
     else:

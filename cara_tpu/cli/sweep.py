@@ -69,7 +69,7 @@ def run_task(task: str, args, results: dict) -> float:
         mesh=common.resolve_mesh(args.mesh),
         logger=MetricLogger(enabled=False), keeper=keeper,
         compute_dtype=common.resolve_dtype(args.dtype),
-        remat=not args.no_remat, attn_impl=args.attn_impl,
+        remat=False if args.no_remat else "auto", attn_impl=args.attn_impl,
         dense_impl=args.dense_impl)
     results[task] = {
         "top1": out["best_acc"],

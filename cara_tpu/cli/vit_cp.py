@@ -103,7 +103,7 @@ def main(argv=None) -> float:
         cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,
         tx=tx, train_loader=train_loader, eval_loader=eval_loader,
         rng=jax.random.key(seed), fit_cfg=fit_cfg, mesh=mesh, logger=logger,
-        keeper=keeper, compute_dtype=dtype, remat=not args.no_remat,
+        keeper=keeper, compute_dtype=dtype, remat=False if args.no_remat else "auto",
         attn_impl=args.attn_impl, dense_impl=args.dense_impl)
 
     print(f"Accuracy: {result['best_acc']}")

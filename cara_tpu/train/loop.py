@@ -96,7 +96,7 @@ def fit(
     train_step: Optional[Callable] = None,
     eval_step: Optional[Callable] = None,
     compute_dtype=None,
-    remat=True,
+    remat="auto",
     attn_impl: str = "auto",
     dense_impl: str = "auto",
 ) -> Dict[str, Any]:
