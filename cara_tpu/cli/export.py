@@ -28,11 +28,17 @@ def parse_args(argv=None):
     p.add_argument("--out", required=True, type=str)
     p.add_argument("--mode", default="merged",
                    choices=["merged", "adapter", "full"])
-    p.add_argument("--model", default="vit_base_patch16_224_in21k")
+    p.add_argument("--model", default=None,
+                   help="Model name (default: from checkpoint meta)")
     p.add_argument("--dim", default=32, type=int, help="CP rank")
     p.add_argument("--scale", default=None, type=float,
-                   help="Delta scale (default: from checkpoint meta)")
-    p.add_argument("--cp-order", default=4, type=int, choices=[2, 3, 4, 5])
+                   help="Delta scale (default: from checkpoint meta; "
+                        "REQUIRED if the checkpoint records none — the "
+                        "per-task scale spans 0.1-100 and a wrong default "
+                        "silently mis-merges)")
+    p.add_argument("--cp-order", default=None, type=int,
+                   choices=[2, 3, 4, 5],
+                   help="CP order (default: from checkpoint meta)")
     return p.parse_args(argv)
 
 
@@ -41,8 +47,17 @@ def main(argv=None) -> str:
     params, cara_params, meta = ckpt_lib.load_model(args.ckpt)
     if cara_params is None and args.mode != "full":
         raise SystemExit("checkpoint has no adapter subtree")
-    scale = args.scale if args.scale is not None else float(
-        meta.get("scale", 1.0))
+    if args.scale is not None:
+        scale = args.scale
+    elif "scale" in meta:
+        scale = float(meta["scale"])
+    elif args.mode == "full":
+        scale = None  # not needed: adapter is passed through unmodified
+    else:
+        raise SystemExit(
+            "checkpoint records no delta scale and --scale was not given; "
+            "refusing to default to 1.0 (vtab_config scales span 0.1-100, "
+            "a wrong scale silently mis-merges the adapter)")
 
     if args.mode == "adapter":
         ckpt_lib.save_adapter(args.out, cara_params, params.get("head"),
@@ -52,9 +67,15 @@ def main(argv=None) -> str:
 
         num_classes = params["head"]["kernel"].shape[-1] \
             if "head" in params else 0
-        cfg = get_model_config(args.model, num_classes=num_classes)
+        model_name = args.model or meta.get("model")
+        if model_name is None:
+            raise SystemExit(
+                "checkpoint records no model name and --model was not given")
+        cfg = get_model_config(model_name, num_classes=num_classes)
         rank = int(cara_params["R1"].shape[0])
-        cara_cfg = CaraConfig(rank=rank, scale=scale, cp_order=args.cp_order)
+        cp_order = (args.cp_order if args.cp_order is not None
+                    else int(meta.get("cp_order", 4)))
+        cara_cfg = CaraConfig(rank=rank, scale=scale, cp_order=cp_order)
         merged = merge_cara(params, cara_params, cfg, cara_cfg)
         ckpt_lib.save_model(args.out, merged, None,
                             {**meta, "merged": True, "scale": scale})

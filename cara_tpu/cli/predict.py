@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", default=64, type=int)
     p.add_argument("--no-merge", action="store_true",
                    help="Keep the adapter path instead of folding weights")
+    p.add_argument("--scale", default=None, type=float,
+                   help="Delta scale (default: from checkpoint meta; "
+                        "required if the checkpoint records none)")
     p.add_argument("--top", default=1, type=int, help="Top-k to report")
     return p.parse_args(argv)
 
@@ -49,8 +52,18 @@ def main(argv=None):
 
     cara_cfg = None
     if cara_params is not None:
+        if args.scale is not None:
+            scale = args.scale
+        elif "scale" in meta:
+            scale = float(meta["scale"])
+        else:
+            raise SystemExit(
+                "checkpoint records no delta scale and --scale was not "
+                "given; refusing to default to 1.0 (per-task scales span "
+                "0.1-100 — a wrong scale silently mis-applies the adapter)")
         cara_cfg = CaraConfig(rank=int(cara_params["R1"].shape[0]),
-                              scale=float(meta.get("scale", 1.0)))
+                              scale=scale,
+                              cp_order=int(meta.get("cp_order", 4)))
     pred = Predictor(
         params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
         merge=not args.no_merge, batch_size=args.batch_size)

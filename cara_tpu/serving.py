@@ -72,9 +72,17 @@ class Predictor:
 
         params, cara_params, meta = load_model(path)
         if cara_params is not None and cara_cfg is None:
+            if "scale" not in meta:
+                raise ValueError(
+                    f"checkpoint {path!r} has an adapter subtree but records "
+                    "no delta scale; pass cara_cfg= explicitly (per-task "
+                    "scales span 0.1-100 — defaulting would silently "
+                    "mis-apply the adapter)")
             rank = int(cara_params["R1"].shape[0])
-            cara_cfg = CaraConfig(rank=rank,
-                                  scale=float(meta.get("scale", 1.0)))
+            cara_cfg = CaraConfig(
+                rank=rank, scale=float(meta["scale"]),
+                cp_order=int(meta.get("cp_order", 4)),
+                weight_dropout=float(meta.get("weight_dropout", 0.1)))
         return cls(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
                    **kw)
 

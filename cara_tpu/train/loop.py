@@ -99,9 +99,15 @@ def fit(
     remat="auto",
     attn_impl: str = "auto",
     dense_impl: str = "auto",
+    ckpt_meta: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Run the fine-tuning protocol; returns summary dict with best accuracy."""
     logger = logger or MetricLogger(enabled=False)
+    # Checkpoint metadata: everything export/serving need to rebuild the
+    # adapter config (the per-task delta scale spans 0.1-100, so a checkpoint
+    # without it cannot be merged correctly — cli/export.py refuses).
+    meta = {**dataclasses.asdict(cara_cfg), **(ckpt_meta or {})} \
+        if cara_cfg is not None else dict(ckpt_meta or {})
     train_step = train_step or jax.jit(
         steps_lib.make_train_step(
             cfg, cara_cfg, tx, compute_dtype=compute_dtype, remat=remat,
@@ -171,7 +177,7 @@ def fit(
                         host_params = jax.device_get(
                             steps_lib.merge_params(frozen, state.trainable))
                         host_cara = jax.device_get(state.trainable["cara"])
-                        keeper.update(acc, host_params, host_cara)
+                        keeper.update(acc, host_params, host_cara, meta=meta)
 
     # Final evaluation on a fresh pass (vit_cp.py:189-196).
     params_now = steps_lib.merge_params(frozen_compute, state.trainable)
@@ -183,7 +189,7 @@ def fit(
             keeper.update(
                 final_acc,
                 jax.device_get(steps_lib.merge_params(frozen, state.trainable)),
-                jax.device_get(state.trainable["cara"]))
+                jax.device_get(state.trainable["cara"]), meta=meta)
     return {
         "best_acc": best_acc,
         "final_acc": final_acc,

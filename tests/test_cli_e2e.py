@@ -40,6 +40,57 @@ def test_vit_cp_train_and_eval_roundtrip(tmp_path):
     assert acc3 == pytest.approx(acc, abs=1e-6)
 
 
+def test_train_checkpoint_records_meta_and_merged_export(tmp_path):
+    """Training checkpoints carry {scale, cp_order, rank, model, ...} so a
+    merged export with NO --scale/--model flags is exact — regression test
+    for the round-1 bug where meta=None made export default to scale=1.0
+    (svhn trains with scale=100, vtab_config.py)."""
+    import numpy as np
+    import jax
+    from cara_tpu.cli import export as export_cli
+    from cara_tpu.config import CaraConfig, get_model_config
+    from cara_tpu.data.vtab_config import get_task_hparams
+    from cara_tpu.models import vit as vit_lib
+    from cara_tpu.train import checkpoint as ckpt_lib
+
+    assert get_task_hparams("svhn").scale == 100.0
+    args = [a if a != "patch_camelyon" else "svhn"
+            for a in _common(tmp_path, ["--dim", "4", "--epochs", "11"])]
+    cli.main(args)
+    seed = get_task_hparams("svhn").seed
+    ckpts = glob.glob(str(tmp_path / f"vit_svhn_*_seed_{seed}.npz"))
+    assert len(ckpts) == 1, ckpts
+
+    params, cara_params, meta = ckpt_lib.load_model(ckpts[0])
+    assert meta["scale"] == 100.0
+    assert meta["model"] == "vit_tiny_test"
+    assert meta["cp_order"] == 4 and meta["rank"] == 4
+
+    # Merged export with no --scale / --model: everything from meta.
+    out_m = str(tmp_path / "merged.npz")
+    export_cli.main(["--ckpt", ckpts[0], "--out", out_m, "--mode", "merged"])
+    merged_params, none_cara, mmeta = ckpt_lib.load_model(out_m)
+    assert none_cara is None and mmeta["scale"] == 100.0
+
+    cfg = get_model_config("vit_tiny_test", num_classes=10)
+    cara_cfg = CaraConfig(rank=4, scale=100.0)
+    x = jax.random.normal(jax.random.key(0), (2,) + (cfg.image_size,) * 2 + (3,))
+    ref = vit_lib.vit_forward(params, x, cfg, cara_params=cara_params,
+                              cara_cfg=cara_cfg)
+    got = vit_lib.vit_forward(merged_params, x, cfg)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-4, atol=5e-4)
+
+    # A meta-less checkpoint must be REFUSED, not silently defaulted.
+    bare = str(tmp_path / "bare.npz")
+    ckpt_lib.save_model(bare, params, cara_params, None)
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="no delta scale"):
+        export_cli.main(["--ckpt", bare, "--out",
+                         str(tmp_path / "x.npz"), "--mode", "merged",
+                         "--model", "vit_tiny_test"])
+
+
 def test_dim_experiment_order3(tmp_path):
     acc = dim_cli.main(_common(tmp_path, [
         "--ranks", "4", "--dims", "3", "--epochs", "2"]))
