@@ -179,11 +179,11 @@ def _block(
     e, h, d = cfg.embed_dim, cfg.num_heads, cfg.head_dim
     mr = cfg.mlp_ratio
     if key is not None:
-        k_wd_qkv, k_wd_proj, k_wd_up, k_wd_down, k_dp1, k_dp2, k_attn = (
-            jax.random.split(key, 7)
-        )
+        (k_wd_qkv, k_wd_proj, k_wd_up, k_wd_down, k_dp1, k_dp2, k_attn,
+         k_do1, k_do2, k_do3) = jax.random.split(key, 10)
     else:
-        k_wd_qkv = k_wd_proj = k_wd_up = k_wd_down = k_dp1 = k_dp2 = k_attn = None
+        k_wd_qkv = k_wd_proj = k_wd_up = k_wd_down = k_dp1 = k_dp2 = None
+        k_attn = k_do1 = k_do2 = k_do3 = None
 
     use_cara = cara_params is not None
     if use_cara:
@@ -196,9 +196,13 @@ def _block(
 
     # --- Attention ---------------------------------------------------------
     b, n = x.shape[:2]
-    xa = None if fused_dense and attn_impl == "fused" else layer_norm(
+    # xa is skipped ONLY when the fused-attention branch below will actually
+    # run and fuse LN1 into the qkv kernel — the condition must match that
+    # branch exactly (attention dropout forces the xla path, which needs xa).
+    fused_attn = attn_impl == "fused" and cfg.attn_dropout_rate == 0.0
+    xa = None if fused_dense and fused_attn else layer_norm(
         x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
-    if attn_impl == "fused" and cfg.attn_dropout_rate == 0.0:
+    if fused_attn:
         # Layout-native path: pad the token axis once, keep the qkv GEMM
         # output layout all the way through the Pallas kernel (no 5-D
         # transposes), slice back before the projection.
@@ -279,7 +283,7 @@ def _block(
                 attn_out, p1[0:1], cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp)
         proj = proj + (pd + cara_params["bias1"]) * s  # cara.py:57-58
-    proj = dropout(proj, cfg.dropout_rate, None)
+    proj = dropout(proj, cfg.dropout_rate, k_do1)
     x = x + drop_path(proj, dpr, k_dp1)
 
     # --- MLP ---------------------------------------------------------------
@@ -321,7 +325,7 @@ def _block(
         act = up * jax.nn.sigmoid(1.702 * up)
       else:
         act = jax.nn.gelu(up, approximate=False)
-    act = dropout(act, cfg.dropout_rate, None)
+    act = dropout(act, cfg.dropout_rate, k_do2)
     if fused_dense:
         comp = cp_ops.weight_dropout_mask(
             k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
@@ -348,7 +352,7 @@ def _block(
                 act, p1_down, cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp)
         down = down + (dd + cara_params["bias3"]) * s  # cara.py:92-93
-    down = dropout(down, cfg.dropout_rate, None)
+    down = dropout(down, cfg.dropout_rate, k_do3)
     x = x + drop_path(down, dpr, k_dp2)
     return x
 
@@ -395,6 +399,14 @@ def vit_forward(
     if dense_impl == "auto":
         dense_impl = resolve_dense_impl(cara_params is not None, cara_cfg)
     use_rng = train and rng is not None
+    if train and rng is None and (
+            cfg.dropout_rate > 0.0 or cfg.attn_dropout_rate > 0.0
+            or cfg.drop_path_rate > 0.0):
+        raise ValueError(
+            "train=True with a nonzero dropout/drop-path rate requires an "
+            "rng — refusing to silently skip regularization "
+            f"(dropout={cfg.dropout_rate}, attn={cfg.attn_dropout_rate}, "
+            f"drop_path={cfg.drop_path_rate})")
     L = cfg.depth
 
     tokens = patch_embed(params, x, cfg)

@@ -208,6 +208,12 @@ def _cp_dense_dx_raw(g, w, u, v, s, bm, bko, bn, interpret, ln=None,
     rp = u.shape[1]
     nn = n // bn
     ln_eps = None
+    if ln is not None:
+        # The LN input-backward needs the whole K row resident; override the
+        # block size BEFORE building in_specs so the w/u block shapes agree
+        # with the grid and accumulator (they silently diverged for K > 1536
+        # when this was applied afterwards).
+        bko = k
     in_specs = [
         pl.BlockSpec((bm, bn), lambda i, j, kk: (i, kk),
                      memory_space=pltpu.VMEM),
@@ -221,7 +227,6 @@ def _cp_dense_dx_raw(g, w, u, v, s, bm, bko, bn, interpret, ln=None,
     args = [g, w, v, u]
     if ln is not None:
         ls, ln_eps = ln
-        bko = k  # whole row resident for the LN backward
         in_specs.append(pl.BlockSpec((bm, k), lambda i, j, kk: (i, 0),
                                      memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),

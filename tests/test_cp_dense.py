@@ -198,3 +198,45 @@ def test_ln_prologue_matches():
         # cotangents instead of paying the dls/dlb reduction passes.
         np.testing.assert_array_equal(np.asarray(gf[4]), 0.0)
         np.testing.assert_array_equal(np.asarray(gf[5]), 0.0)
+
+
+def test_ln_prologue_wide_k():
+    """K=2048 > the 1536 default block: the LN-fused backward must override
+    the dx block size BEFORE building specs (round-2 ADVICE fix — shapes
+    silently diverged for K > 1536)."""
+    from cara_tpu.ops.pallas.cp_dense import cp_dense_ln
+
+    m, k, n, r = 64, 2048, 128, 3
+    ks = jax.random.split(jax.random.key(9), 8)
+    x = jax.random.normal(ks[0], (m, k))
+    w = jax.random.normal(ks[1], (k, n)) * 0.02
+    b = jnp.zeros((n,))
+    u = jax.random.normal(ks[3], (k, r)) * 0.05
+    v = jax.random.normal(ks[4], (r, n)) * 0.05
+    cb = jnp.zeros((n,))
+    ls = jnp.ones((k,))
+    lb = jnp.zeros((k,))
+    s, eps = 1.1, 1e-6
+
+    def ln_ref(x):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.var(x, -1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * ls + lb
+
+    def loss_fused(x, u, v):
+        return jnp.sum(jnp.sin(cp_dense_ln(
+            x, w, b, u, v, cb, ls, lb, s, 64, 128, 768, True, None, eps)))
+
+    def loss_ref(x, u, v):
+        return jnp.sum(jnp.sin(_ref(ln_ref(x), w, b, u, v, cb, s)))
+
+    out = cp_dense_ln(x, w, b, u, v, cb, ls, lb, s, 64, 128, 768, True,
+                      None, eps)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(ln_ref(x), w, b, u, v, cb, s)),
+        atol=5e-4, rtol=2e-3)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, u, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, u, v)
+    for name, a, b_ in zip("x u v".split(), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=5e-3, err_msg=name)

@@ -163,3 +163,41 @@ def test_remat_dots_policy_matches(tiny):
             train=True, rng=jax.random.key(0), remat="dots") ** 2)
     g = jax.grad(loss)(cara_params)
     assert np.all(np.isfinite(np.asarray(g["A2"])))
+
+
+def test_attn_dropout_with_fused_impls_no_crash(tiny):
+    """Regression (round-2 ADVICE): attn_dropout>0 + attn_impl='fused' must
+    fall back to the xla attention path WITH xa computed — round 1 evaluated
+    ``None @ qkv_kernel`` at trace time when dense_impl was fused."""
+    import dataclasses
+    cfg, cara_cfg, params, cara_params = tiny
+    cfg_d = dataclasses.replace(cfg, attn_dropout_rate=0.1)
+    x = jax.random.normal(jax.random.key(20), (2, 32, 32, 3))
+    out = vit_lib.vit_forward(
+        params, x, cfg_d, cara_params=cara_params, cara_cfg=cara_cfg,
+        train=True, rng=jax.random.key(21),
+        attn_impl="fused", dense_impl="fused")
+    assert out.shape == (2, 11)
+    # Eval (dropout off): fused-attn path must agree with xla.
+    a = vit_lib.vit_forward(params, x, cfg_d, cara_params=cara_params,
+                            cara_cfg=cara_cfg, attn_impl="fused")
+    b = vit_lib.vit_forward(params, x, cfg_d, cara_params=cara_params,
+                            cara_cfg=cara_cfg, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_activation_dropout_is_live(tiny):
+    """Regression (round-1 weak #6): nonzero dropout_rate must actually
+    drop in train mode (round 1 passed rng=None — silent no-op)."""
+    import dataclasses
+    cfg, cara_cfg, params, cara_params = tiny
+    cfg_d = dataclasses.replace(cfg, dropout_rate=0.5, drop_path_rate=0.0)
+    x = jax.random.normal(jax.random.key(22), (4, 32, 32, 3))
+    o_train = vit_lib.vit_forward(params, x, cfg_d, train=True,
+                                  rng=jax.random.key(23))
+    o_eval = vit_lib.vit_forward(params, x, cfg_d)
+    # With rate 0.5 the train forward must differ from eval.
+    assert float(jnp.abs(o_train - o_eval).max()) > 1e-3
+    # And train mode without an rng must refuse, not silently no-op.
+    with pytest.raises(ValueError, match="requires an rng"):
+        vit_lib.vit_forward(params, x, cfg_d, train=True)
