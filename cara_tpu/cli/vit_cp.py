@@ -70,14 +70,30 @@ def main(argv=None) -> float:
 
     if args.evaluate is not None:
         print("Only evaluation")
-        params, cara_params, meta = ckpt_lib.load_model(args.evaluate)
+        from cara_tpu.models import torch_import
+
+        cara_cfg = model.cara_cfg
+        if torch_import.is_torch_checkpoint(args.evaluate):
+            # Reference-released .pt checkpoint (timm state dict + CP_*,
+            # vit_cp.py:168-173): scale/l_mu/l_std come from the task table
+            # (already in model.cara_cfg), rank/cp_order from the artifact.
+            params, cara_params, info = torch_import.load_torch_checkpoint(
+                args.evaluate, model.cfg)
+            if cara_params is not None:
+                import dataclasses
+
+                cara_cfg = dataclasses.replace(
+                    model.cara_cfg, rank=info["rank"],
+                    cp_order=info["cp_order"])
+        else:
+            params, cara_params, meta = ckpt_lib.load_model(args.evaluate)
         if args.merged_eval and cara_params is not None:
             from cara_tpu.models.merge import merge_cara
 
-            params = merge_cara(params, cara_params, model.cfg, model.cara_cfg)
+            params = merge_cara(params, cara_params, model.cfg, cara_cfg)
             cara_params = None
         eval_step = jax.jit(steps_lib.make_eval_step(
-            model.cfg, model.cara_cfg if cara_params is not None else None,
+            model.cfg, cara_cfg if cara_params is not None else None,
             compute_dtype=dtype))
         acc = loop_lib.evaluate(
             eval_step, params, cara_params, eval_loader, mesh)
