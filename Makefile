@@ -12,7 +12,8 @@ test-fast:
 	$(PY) -m pytest tests/ -x -q -k "not e2e"
 
 lint:
-	$(PY) -m compileall -q cara_tpu tests bench.py __graft_entry__.py
+	$(PY) -m compileall -q cara_tpu tests benchmarks tools bench.py __graft_entry__.py
+	$(PY) tools/lint.py
 
 native:
 	g++ -O3 -shared -fPIC -std=c++17 -pthread csrc/dataloader.cc \

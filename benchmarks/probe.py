@@ -25,14 +25,17 @@ from cara_tpu.models.vit import vit_forward  # noqa: E402
 from cara_tpu.train import steps as steps_lib  # noqa: E402
 
 
+BS = int(os.environ.get("CARA_PROBE_BS", "64"))
+
+
 def build(delta_impl="factorized"):
     model = api.build_model(
         "vit_base_patch16_224_in21k", rank=8, num_classes=100, seed=0,
         delta_impl=delta_impl)
     p = steps_lib.cast_floating(model.params, jnp.bfloat16)
     c = steps_lib.cast_floating(model.cara_params, jnp.bfloat16)
-    x = jax.random.normal(jax.random.key(1), (64, 224, 224, 3), jnp.bfloat16)
-    y = jax.random.randint(jax.random.key(2), (64,), 0, 100)
+    x = jax.random.normal(jax.random.key(1), (BS, 224, 224, 3), jnp.bfloat16)
+    y = jax.random.randint(jax.random.key(2), (BS,), 0, 100)
     return model, p, c, x, y
 
 
@@ -103,8 +106,8 @@ def run_variant(variant):
                 return jax.tree_util.tree_map(
                     lambda a, b: a + (b * 1e-24).astype(a.dtype), c, grads)
             dt, cs = bench_async(step, c)
-    return {"variant": variant, "ms": round(dt * 1e3, 2),
-            "imgs_per_s": round(64 / dt, 1), "compile_s": round(cs, 1)}
+    return {"variant": variant, "bs": BS, "ms": round(dt * 1e3, 2),
+            "imgs_per_s": round(BS / dt, 1), "compile_s": round(cs, 1)}
 
 
 def main():

@@ -14,7 +14,6 @@ This is a measurement harness, not part of the framework.
 
 from __future__ import annotations
 
-import math
 import time
 
 

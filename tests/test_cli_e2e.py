@@ -5,7 +5,6 @@ loaders -> model build -> adapter injection -> train loop with eval cadence ->
 best-checkpoint save -> eval-only mode restoring the single artifact."""
 
 import glob
-import os
 
 import pytest
 

@@ -7,7 +7,6 @@ import dataclasses
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from cara_tpu.config import CaraConfig, get_model_config
 from cara_tpu.models import cara as cara_lib

@@ -4,7 +4,7 @@ import numpy as np
 import jax
 
 from cara_tpu.cli import export as export_cli
-from cara_tpu.config import CaraConfig, ViTConfig, MODEL_REGISTRY
+from cara_tpu.config import CaraConfig, MODEL_REGISTRY
 from cara_tpu.models import cara as cara_lib
 from cara_tpu.models import vit as vit_lib
 from cara_tpu.train import checkpoint as ckpt_lib

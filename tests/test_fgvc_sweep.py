@@ -4,7 +4,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from cara_tpu.cli import fgvc as fgvc_cli
 from cara_tpu.cli import sweep as sweep_cli

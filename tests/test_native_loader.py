@@ -1,6 +1,5 @@
 """Native C++ loader: build, decode correctness vs PIL, pipeline integration."""
 
-import os
 
 import numpy as np
 import pytest
