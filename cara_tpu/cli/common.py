@@ -38,6 +38,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="CP delta path: factorized = rank-space chain "
                         "(fast); materialized = exact reference semantics "
                         "incl. element-wise weight dropout")
+    p.add_argument("--weight-dropout-impl", default="element",
+                   choices=["element", "rank"],
+                   help="Training weight-dropout semantics on the "
+                        "factorized path: element = exact reference "
+                        "(element-wise mask on the dense delta, fused "
+                        "in-kernel via a coordinate hash); rank = "
+                        "structured rank-component dropout (cheaper, "
+                        "different regularizer)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="Compute dtype (params/optimizer stay fp32)")
@@ -86,7 +94,19 @@ def resolve_mesh(spec: Optional[str]):
 
 def setup_runtime(args) -> None:
     if getattr(args, "distributed", False):
-        jax.distributed.initialize()
+        import os
+
+        # TPU pods / SLURM / MPI auto-detect with no arguments; for other
+        # setups (e.g. the 2-process CPU smoke test) the coordinator is
+        # passed via environment variables.
+        addr = os.environ.get("CARA_DIST_COORDINATOR")
+        if addr:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(os.environ["CARA_DIST_NPROCS"]),
+                process_id=int(os.environ["CARA_DIST_PROCID"]))
+        else:
+            jax.distributed.initialize()
     if args.nan_check:
         jax.config.update("jax_debug_nans", True)
     if getattr(args, "compilation_cache", None):

@@ -201,14 +201,33 @@ class BatchLoader:
     """
 
     def __init__(self, source, batch_size: int, *, train: bool,
-                 seed: int = 0, num_workers: int = 8):
+                 seed: int = 0, num_workers: int = 8,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.source = source
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size
         self.train = train
         self.rng = np.random.RandomState(seed)
         self.num_workers = num_workers
         self._pool: Optional[ThreadPoolExecutor] = None
         self._lock = threading.Lock()
+        # Multi-host: every process iterates the same global order (same
+        # seed), but decodes/yields only its contiguous row chunk of each
+        # global batch — jax.devices() orders devices by process, so row
+        # chunk h of the global batch lives on host h's devices and
+        # ``mesh.put_batch`` can assemble the global array from purely
+        # process-local data (hosts never read each other's rows).
+        if process_index is None or process_count is None:
+            import jax
+
+            self.pid = jax.process_index()
+            self.pcount = jax.process_count()
+        else:
+            self.pid, self.pcount = process_index, process_count
+        if batch_size % self.pcount:
+            raise ValueError(
+                f"global batch size {batch_size} not divisible by "
+                f"process count {self.pcount}")
 
     def _pool_get(self) -> ThreadPoolExecutor:
         with self._lock:
@@ -233,16 +252,25 @@ class BatchLoader:
         use_native = (getattr(self.source, "_native", None) is not None
                       or getattr(self.source, "cached", False))
         pool = None if use_native else self._pool_get()
+        bsl = bs // self.pcount
+        lo = self.pid * bsl
         for start in range(0, len(order), bs):
-            idx = order[start:start + bs]
-            if use_native:
-                stacked = self.source.load_batch(idx)
-            else:
-                stacked = np.stack(list(pool.map(self.source.load, idx)))
+            gidx = order[start:start + bs]          # global batch rows
+            # This host's chunk [lo, lo+bsl); rows beyond len(gidx) are the
+            # padded eval tail.
+            idx = gidx[lo:min(lo + bsl, len(gidx))]
+            if len(idx):
+                if use_native:
+                    stacked = self.source.load_batch(idx)
+                else:
+                    stacked = np.stack(list(pool.map(self.source.load, idx)))
+            else:  # chunk entirely in the padded tail
+                probe = self.source.load(0)
+                stacked = np.zeros((0,) + probe.shape, probe.dtype)
             valid = np.ones(len(idx), np.float32)
             lab = labels[idx]
-            if len(idx) < bs:  # eval tail: pad to static shape
-                pad = bs - len(idx)
+            if len(idx) < bsl:  # eval tail: pad to static shape
+                pad = bsl - len(idx)
                 stacked = np.concatenate(
                     [stacked, np.zeros((pad,) + stacked.shape[1:],
                                        stacked.dtype)])

@@ -83,7 +83,17 @@ def shardings_for(mesh: Mesh, spec_tree):
 
 
 def put_batch(mesh: Mesh, batch):
-    """Host numpy batch -> device arrays sharded along the data axis."""
+    """Host numpy batch -> device arrays sharded along the data axis.
+
+    Single-process: ``batch`` is the full global batch.  Multi-process
+    (``jax.distributed``): ``batch`` is this host's contiguous row chunk
+    (``BatchLoader`` yields exactly that) and the global array is assembled
+    from per-process shards — no host ever touches another host's rows.
+    """
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), batch)
     ndata = mesh.shape[DATA_AXIS]
     leaves = jax.tree_util.tree_leaves(batch)
     if leaves and leaves[0].shape[0] % ndata:
@@ -91,10 +101,13 @@ def put_batch(mesh: Mesh, batch):
             f"batch size {leaves[0].shape[0]} not divisible by the data-axis "
             f"size {ndata}; pick --batch-size/--eval-batch-size as multiples "
             "of the data-parallel degree")
-    sh = NamedSharding(mesh, P(DATA_AXIS))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
 def put_replicated(mesh: Mesh, tree):
     sh = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

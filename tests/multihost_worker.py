@@ -1,0 +1,70 @@
+"""Worker process for the 2-process jax.distributed CPU smoke test.
+
+Invoked by ``tests/test_multihost.py`` with CARA_DIST_* env vars set; runs
+the ``--distributed`` initialization path (``cli/common.py:setup_runtime``),
+one DP-sharded train step on an 8-device global mesh (4 local CPU devices
+per process), and dumps the updated trainable params for cross-process and
+vs-single-process comparison.
+"""
+
+import argparse
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    args_w = ap.parse_args()
+
+    import jax
+
+    from cara_tpu.cli import common
+
+    ns = argparse.Namespace(distributed=True, nan_check=False,
+                            compilation_cache=None)
+    common.setup_runtime(ns)  # the --distributed flag path
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cara_tpu import api
+    from cara_tpu.data.vtab import BatchLoader, synthetic_source
+    from cara_tpu.parallel import mesh as mesh_lib
+    from cara_tpu.train import steps as steps_lib
+
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=10, seed=0)
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8
+
+    src = synthetic_source(32, 10, model.cfg.image_size, seed=3)
+    loader = BatchLoader(src, 8, train=True, seed=7)
+    batch = mesh_lib.put_batch(mesh, next(iter(loader)))
+    # Each host contributed only its 4-row chunk.
+    assert batch["image"].shape[0] == 8
+
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=4)
+    frozen, state = steps_lib.init_train_state(
+        tx, model.params, model.cara_params)
+    frozen = mesh_lib.put_replicated(mesh, frozen)
+    state = mesh_lib.put_replicated(mesh, state)
+    step = jax.jit(steps_lib.make_train_step(
+        model.cfg, model.cara_cfg, tx, compute_dtype=jnp.float32),
+        donate_argnums=(0,))
+    state, metrics = step(state, frozen, batch, jax.random.key(0))
+    loss = float(metrics["loss"])  # replicated scalar: fetch syncs
+    assert np.isfinite(loss), loss
+
+    flat = {}
+    for k, v in jax.tree_util.tree_leaves_with_path(state.trainable):
+        flat[jax.tree_util.keystr(k)] = np.asarray(jax.device_get(v))
+    np.savez(args_w.out, loss=np.float32(loss), **flat)
+    print(f"worker pid={jax.process_index()} loss={loss:.6f} ok")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
