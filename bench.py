@@ -62,13 +62,13 @@ def measure_inference(model_name: str, rank: int, batch_size: int,
 
 def measure_train_step(model_name: str, rank: int, batch_size: int,
                        steps: int, dtype, delta_impl: str,
-                       remat: bool) -> float:
+                       remat: bool, wd_impl: str = "element") -> float:
     from cara_tpu import api
     from cara_tpu.train import steps as steps_lib
 
     model = api.build_model(
         model_name, rank=rank, scale=1.0, num_classes=100, seed=0,
-        delta_impl=delta_impl)
+        delta_impl=delta_impl, weight_dropout_impl=wd_impl)
     cfg = model.cfg
     tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=15)
     frozen, state = steps_lib.init_train_state(
@@ -122,6 +122,24 @@ def reference_baseline(batch_size: int) -> dict:
         return {"reference_images_per_sec": None, "note": f"unavailable: {exc}"}
 
 
+def flops_per_image(cfg, train: bool) -> float:
+    """Analytic dense-FLOP count per image (matmuls only; CP-delta rank-r
+    terms are <1% at r<=32).  Train = fwd + bwd ~= 3x fwd."""
+    n, e, hid, L = cfg.seq_len, cfg.embed_dim, cfg.hidden_dim, cfg.depth
+    per_layer = (
+        2 * n * e * 3 * e          # qkv
+        + 2 * 2 * n * n * e        # scores + p@v
+        + 2 * n * e * e            # proj
+        + 2 * 2 * n * e * hid      # fc1 + fc2
+    )
+    patch = 2 * n * cfg.patch_size ** 2 * cfg.in_chans * e
+    fwd = L * per_layer + patch
+    return fwd * (3.0 if train else 1.0)
+
+
+V5E_PEAK_BF16 = 197e12  # nominal per-chip bf16 peak
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="vit_base_patch16_224_in21k")
@@ -132,6 +150,11 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--delta-impl", default="factorized",
                    choices=["factorized", "materialized"])
+    p.add_argument("--weight-dropout-impl", default="element",
+                   choices=["element", "rank"],
+                   help="element = exact reference regularizer (fused "
+                        "hash-mask kernels); rank = structured rank "
+                        "dropout (faster, different regularizer)")
     p.add_argument("--no-remat", action="store_true",
                    help="Disable rematerialization (remat measured faster "
                         "on v5e: residual HBM traffic outweighs recompute)")
@@ -146,7 +169,8 @@ def main():
     if args.mode == "train":
         imgs = measure_train_step(
             args.model, args.rank, args.batch_size, args.steps, dtype,
-            args.delta_impl, False if args.no_remat else "auto")
+            args.delta_impl, False if args.no_remat else "auto",
+            args.weight_dropout_impl)
         metric = (f"VTAB-1k fine-tune images/sec/chip "
                   f"({args.model}, rank {args.rank})")
     else:
@@ -161,16 +185,31 @@ def main():
     ref_imgs = ref.get("reference_images_per_sec")
     vs = round(imgs / ref_imgs, 3) if ref_imgs else None
 
+    from cara_tpu.config import get_model_config
+
+    cfg = get_model_config(args.model, num_classes=100)
+    mfu = imgs * flops_per_image(cfg, args.mode == "train") / V5E_PEAK_BF16
+
     print(json.dumps({
         "metric": metric,
         "value": round(imgs, 1),
         "unit": "images/sec/chip",
+        "mfu_vs_v5e_peak": round(mfu, 3),
         "vs_baseline": vs,
+        "baseline_hardware": ref.get("hardware", "n/a"),
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
         "delta_impl": args.delta_impl,
+        "weight_dropout_impl": args.weight_dropout_impl,
         "batch_size": args.batch_size,
         "baseline_note": ref.get("note", "n/a"),
+        "absolute_note": (
+            "no reference GPU exists on this host (BASELINE.md targets >5x "
+            "ref GPU); vs_baseline is against the torch reference replica "
+            "on this host's single CPU core. Absolute context: the model "
+            "is HBM-bound on this chip (~200 GB/s effective, "
+            "docs/DESIGN.md section 3), so low MFU is the roofline, "
+            "not slack."),
     }))
 
 

@@ -26,12 +26,13 @@ from cara_tpu.train import steps as steps_lib  # noqa: E402
 
 
 BS = int(os.environ.get("CARA_PROBE_BS", "64"))
+WD_IMPL = os.environ.get("CARA_PROBE_WD", "element")
 
 
 def build(delta_impl="factorized"):
     model = api.build_model(
         "vit_base_patch16_224_in21k", rank=8, num_classes=100, seed=0,
-        delta_impl=delta_impl)
+        delta_impl=delta_impl, weight_dropout_impl=WD_IMPL)
     p = steps_lib.cast_floating(model.params, jnp.bfloat16)
     c = steps_lib.cast_floating(model.cara_params, jnp.bfloat16)
     x = jax.random.normal(jax.random.key(1), (BS, 224, 224, 3), jnp.bfloat16)
@@ -106,7 +107,8 @@ def run_variant(variant):
                 return jax.tree_util.tree_map(
                     lambda a, b: a + (b * 1e-24).astype(a.dtype), c, grads)
             dt, cs = bench_async(step, c)
-    return {"variant": variant, "bs": BS, "ms": round(dt * 1e3, 2),
+    return {"variant": variant, "bs": BS, "wd": WD_IMPL,
+            "ms": round(dt * 1e3, 2),
             "imgs_per_s": round(BS / dt, 1), "compile_s": round(cs, 1)}
 
 

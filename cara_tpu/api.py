@@ -60,6 +60,7 @@ def build_model(
     cp_order: int = 4,
     delta_impl: str = "factorized",
     weight_dropout: float = 0.1,
+    weight_dropout_impl: str = "element",
     dtype=jnp.float32,
     model_overrides: Optional[Dict[str, Any]] = None,
 ) -> CaraModel:
@@ -71,6 +72,7 @@ def build_model(
         rank=rank, scale=scale, l_mu=l_mu, l_std=l_std,
         cp_order=cp_order, delta_impl=delta_impl,
         weight_dropout=weight_dropout,
+        weight_dropout_impl=weight_dropout_impl,
     )
     root = jax.random.key(seed)
     k_backbone, k_cara, k_head = jax.random.split(root, 3)

@@ -94,6 +94,18 @@ class CaraConfig:
     # exactly like the reference hot loop (cara.py:27-35) — needed for exact
     # weight-dropout semantics and used as the golden path in tests.
     delta_impl: str = "factorized"
+    # Training-time weight-dropout semantics on the factorized path:
+    # "element" (default): EXACT reference semantics — element-wise Bernoulli
+    #   on the dense delta (cara.py:35,57,81,92).  The fused TPU kernels
+    #   regenerate the mask tile-wise from a hash of absolute weight
+    #   coordinates (never materialized in HBM); the XLA fallback
+    #   materializes the masked delta per site (slower, train-only).
+    # "rank": structured rank-component dropout (mask over the r axis) —
+    #   cheaper, native to the factorized form, but a different regularizer
+    #   than the published method.
+    # Eval is identical for both (dropout off).  delta_impl="materialized"
+    # always uses element-wise semantics.
+    weight_dropout_impl: str = "element"
 
     def trainable_param_count(self, model: ViTConfig) -> int:
         """Number of trainable CP parameters (excl. classifier head).

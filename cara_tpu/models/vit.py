@@ -23,6 +23,7 @@ head_dim) to match the timm fused-qkv layout the npz converter produces.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Dict, Optional
 
@@ -35,6 +36,15 @@ from cara_tpu.ops import cp as cp_ops
 from cara_tpu.ops.layers import drop_path, dropout, layer_norm, mha
 
 Params = Dict[str, Any]
+
+# Attention+projection epilogue fusion (attn_out never round-trips HBM in
+# the forward).  MEASURED SLOWER on v5e (paired A/B, bs64 rank8: train step
+# 90.1 vs 86.9 ms, eval fwd 28.3 vs 27.7 — benchmarks/RESULTS.md): the
+# backward must re-read qkv (75 MB/layer) to recompute attn_out for the
+# factor grads, which outweighs the 50 MB/layer forward saving, and even
+# forward-only the coarse (B/bb)-program grid pipelines worse than the
+# two-kernel split.  Kept behind CARA_ATTNPROJ=1 for future shapes.
+_ATTNPROJ = os.environ.get("CARA_ATTNPROJ", "0") == "1"
 
 
 def _trunc_normal(rng, shape, std, dtype):
@@ -186,13 +196,26 @@ def _block(
         k_attn = k_do1 = k_do2 = k_do3 = None
 
     use_cara = cara_params is not None
+    use_elem = False
     if use_cara:
         s = cara_cfg.scale
         materialized = cara_cfg.delta_impl == "materialized"
+        # Exact element-wise weight dropout on the dense delta (reference
+        # semantics, cara.py:35,57,81,92) — active in training only.  On
+        # the fused path the *_wd kernels regenerate the mask tile-wise in
+        # VMEM; on the XLA path the masked dense delta is materialized.
+        use_elem = (not materialized
+                    and cara_cfg.weight_dropout_impl == "element"
+                    and key is not None and cara_cfg.weight_dropout > 0.0)
     fused_dense = (dense_impl == "fused" and use_cara and not materialized
                    and cara_cfg.cp_order != 2)
     if fused_dense:
-        from cara_tpu.ops.pallas.cp_dense import cp_dense, cp_dense_ln
+        from cara_tpu.ops.pallas.cp_dense import (
+            cp_dense, cp_dense_ln, cp_dense_ln_wd, cp_dense_wd)
+
+        def _wd_seed(k):
+            return jax.random.randint(
+                k, (1, 1), -2 ** 31, 2 ** 31 - 1, jnp.int32)
 
     # --- Attention ---------------------------------------------------------
     b, n = x.shape[:2]
@@ -202,29 +225,53 @@ def _block(
     fused_attn = attn_impl == "fused" and cfg.attn_dropout_rate == 0.0
     xa = None if fused_dense and fused_attn else layer_norm(
         x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
+    proj = None  # set directly by the attention+projection fused kernel
     if fused_attn:
         # Layout-native path: pad the token axis once, keep the qkv GEMM
         # output layout all the way through the Pallas kernel (no 5-D
-        # transposes), slice back before the projection.
+        # transposes), slice back before the projection.  Past the
+        # full-score kernel's VMEM ceiling, the key-axis-tiled online-
+        # softmax variant takes over behind the same interface — long
+        # context is a tile count, not a new code path (SURVEY.md sec. 5).
+        from cara_tpu.ops.pallas.blockwise_attention import (
+            blockwise_qkv_attention)
         from cara_tpu.ops.pallas.fused_qkv_attention import (
-            fused_qkv_attention)
+            MAX_NP_FULL_SCORES, fused_qkv_attention,
+            fused_qkv_attention_proj)
 
         npad = -(-n // 128) * 128
+        if npad > MAX_NP_FULL_SCORES:
+            attn_fn = lambda qkv: blockwise_qkv_attention(
+                qkv, h, d ** -0.5, n)
+        else:
+            attn_fn = lambda qkv: fused_qkv_attention(qkv, h, d ** -0.5, n)
         if fused_dense:
             # LN1 fused into the qkv kernel prologue: pad the RAW residual
             # stream once; padded rows produce masked/sliced garbage only.
             x_p = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0))) \
                 if npad != n else x
-            comp = cp_ops.weight_dropout_mask(
-                k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
-            u, vmat = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg, comp)
-            qkv = cp_dense_ln(
-                x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
-                u.astype(x.dtype), vmat.astype(x.dtype),
-                jnp.zeros((3 * e,), x.dtype),
-                bp["ln1_scale"], bp["ln1_bias"], s,
-                256, 1536, 768, None, None,
-                cfg.layernorm_eps)  # cara.py:42 + LN1 in one pass
+            if use_elem:
+                u, vmat = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg)
+                qkv = cp_dense_ln_wd(
+                    x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
+                    u.astype(x.dtype), vmat.astype(x.dtype),
+                    jnp.zeros((3 * e,), x.dtype),
+                    bp["ln1_scale"], bp["ln1_bias"], _wd_seed(k_wd_qkv),
+                    s, cara_cfg.weight_dropout, 256, 1024, 768, None,
+                    None, cfg.layernorm_eps)
+            else:
+                comp = cp_ops.weight_dropout_mask(
+                    k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout,
+                    x.dtype)
+                u, vmat = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg,
+                                          comp)
+                qkv = cp_dense_ln(
+                    x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
+                    u.astype(x.dtype), vmat.astype(x.dtype),
+                    jnp.zeros((3 * e,), x.dtype),
+                    bp["ln1_scale"], bp["ln1_bias"], s,
+                    256, 1536, 768, None, None,
+                    cfg.layernorm_eps)  # cara.py:42 + LN1 in one pass
         else:
             xa_p = jnp.pad(xa, ((0, 0), (0, npad - n), (0, 0))) \
                 if npad != n else xa
@@ -232,17 +279,34 @@ def _block(
             if use_cara:
                 delta = cara_lib.qkv_delta(
                     xa_p, cara_params, f1, cfg, cara_cfg,
-                    materialized=materialized, drop_rng=k_wd_qkv,
+                    materialized=materialized or use_elem, drop_rng=k_wd_qkv,
                 ).reshape(b, npad, 3 * e)
                 qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
-        attn_out = fused_qkv_attention(qkv, h, d ** -0.5, n)[:, :n, :]
+        if (fused_dense and _ATTNPROJ and not use_elem
+                and npad <= MAX_NP_FULL_SCORES):
+            # Attention + projection + CP delta in ONE kernel: attn_out
+            # stays in VMEM (saves its HBM write+read per layer;
+            # cara.py:50-58 in one pass).
+            comp = cp_ops.weight_dropout_mask(
+                k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
+                x.dtype)
+            u, vmat = cara_lib.rows_out_uv(
+                p1[0:1], cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp)
+            proj = fused_qkv_attention_proj(
+                qkv, bp["proj"]["kernel"], bp["proj"]["bias"],
+                u.astype(x.dtype), vmat.astype(x.dtype),
+                cara_params["bias1"].astype(x.dtype),
+                h, d ** -0.5, n, s)[:, :n, :]
+        else:
+            attn_out = attn_fn(qkv)[:, :n, :]
     else:
         qkv = xa @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
         qkv = qkv.reshape(b, n, 3, h, d)
         if use_cara:
             delta = cara_lib.qkv_delta(
                 xa, cara_params, f1, cfg, cara_cfg,
-                materialized=materialized, drop_rng=k_wd_qkv,
+                materialized=materialized or use_elem, drop_rng=k_wd_qkv,
             )
             qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -257,20 +321,33 @@ def _block(
                 q, k, v, d ** -0.5, cfg.attn_dropout_rate, k_attn
             )  # (B, N, E)
 
-    if fused_dense:
-        comp = cp_ops.weight_dropout_mask(
-            k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
-        u, vmat = cara_lib.rows_out_uv(
-            p1[0:1], cara_params["P2"], cara_params["P3"],
-            cara_params["R2"], comp)
-        proj = cp_dense(
-            attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
-            u.astype(x.dtype), vmat.astype(x.dtype),
-            cara_params["bias1"].astype(x.dtype), s)  # cara.py:57-58, fused
+    if proj is not None:
+        pass  # attention+projection already fused in one kernel above
+    elif fused_dense:
+        if use_elem:
+            u, vmat = cara_lib.rows_out_uv(
+                p1[0:1], cara_params["P2"], cara_params["P3"],
+                cara_params["R2"])
+            proj = cp_dense_wd(
+                attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
+                u.astype(x.dtype), vmat.astype(x.dtype),
+                cara_params["bias1"].astype(x.dtype), _wd_seed(k_wd_proj),
+                s, cara_cfg.weight_dropout)
+        else:
+            comp = cp_ops.weight_dropout_mask(
+                k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
+                x.dtype)
+            u, vmat = cara_lib.rows_out_uv(
+                p1[0:1], cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp)
+            proj = cp_dense(
+                attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
+                u.astype(x.dtype), vmat.astype(x.dtype),
+                cara_params["bias1"].astype(x.dtype), s)  # cara.py:57-58
     else:
       proj = attn_out @ bp["proj"]["kernel"] + bp["proj"]["bias"]
       if use_cara:
-        if materialized:
+        if materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_proj, (e, e), cara_cfg.weight_dropout, x.dtype)
             pd = cp_ops.rows_delta_out_materialized(
@@ -290,25 +367,37 @@ def _block(
     if use_cara:
         p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
     if fused_dense:
-        comp = cp_ops.weight_dropout_mask(
-            k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
-        u, vmat = cara_lib.rows_out_uv(
-            p1_up, cara_params["P2"], cara_params["P3"],
-            cara_params["R2"], comp)
         # LN2 prologue + GELU epilogue fused into the fc1 kernel — neither
         # the normalized input nor the (B,N,4E) pre-activation round-trips
         # HBM (cara.py:81-84 in one pass).
-        act = cp_dense_ln(
-            x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
-            u.astype(x.dtype), vmat.astype(x.dtype),
-            cara_params["bias2"].astype(x.dtype),
-            bp["ln2_scale"], bp["ln2_bias"], s,
-            256, 1536, 768, None, cfg.activation, cfg.layernorm_eps)
+        if use_elem:
+            u, vmat = cara_lib.rows_out_uv(
+                p1_up, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"])
+            act = cp_dense_ln_wd(
+                x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
+                u.astype(x.dtype), vmat.astype(x.dtype),
+                cara_params["bias2"].astype(x.dtype),
+                bp["ln2_scale"], bp["ln2_bias"], _wd_seed(k_wd_up),
+                s, cara_cfg.weight_dropout, 256, 1024, 768, None,
+                cfg.activation, cfg.layernorm_eps)
+        else:
+            comp = cp_ops.weight_dropout_mask(
+                k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            u, vmat = cara_lib.rows_out_uv(
+                p1_up, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp)
+            act = cp_dense_ln(
+                x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
+                u.astype(x.dtype), vmat.astype(x.dtype),
+                cara_params["bias2"].astype(x.dtype),
+                bp["ln2_scale"], bp["ln2_bias"], s,
+                256, 1536, 768, None, cfg.activation, cfg.layernorm_eps)
     else:
       xm = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
       up = xm @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
       if use_cara:
-        if materialized:
+        if materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_up, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
             ud = cp_ops.rows_delta_out_materialized(
@@ -327,19 +416,30 @@ def _block(
         act = jax.nn.gelu(up, approximate=False)
     act = dropout(act, cfg.dropout_rate, k_do2)
     if fused_dense:
-        comp = cp_ops.weight_dropout_mask(
-            k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
-        u, vmat = cara_lib.rows_in_uv(
-            p1_down, cara_params["P2"], cara_params["P3"],
-            cara_params["R2"], comp)
-        down = cp_dense(
-            act, bp["fc2"]["kernel"], bp["fc2"]["bias"],
-            u.astype(x.dtype), vmat.astype(x.dtype),
-            cara_params["bias3"].astype(x.dtype), s)  # cara.py:92-93, fused
+        if use_elem:
+            u, vmat = cara_lib.rows_in_uv(
+                p1_down, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"])
+            down = cp_dense_wd(
+                act, bp["fc2"]["kernel"], bp["fc2"]["bias"],
+                u.astype(x.dtype), vmat.astype(x.dtype),
+                cara_params["bias3"].astype(x.dtype), _wd_seed(k_wd_down),
+                s, cara_cfg.weight_dropout)
+        else:
+            comp = cp_ops.weight_dropout_mask(
+                k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout,
+                x.dtype)
+            u, vmat = cara_lib.rows_in_uv(
+                p1_down, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp)
+            down = cp_dense(
+                act, bp["fc2"]["kernel"], bp["fc2"]["bias"],
+                u.astype(x.dtype), vmat.astype(x.dtype),
+                cara_params["bias3"].astype(x.dtype), s)  # cara.py:92-93
     else:
       down = act @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
       if use_cara:
-        if materialized:
+        if materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_down, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
             dd = cp_ops.rows_delta_in_materialized(

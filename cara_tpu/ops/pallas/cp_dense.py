@@ -67,6 +67,42 @@ def _act_grad(y, act):
     raise ValueError(act)
 
 
+def hash_keep(k0, n0, bk, bn, seed, rate: float):
+    """Blocking-independent Bernoulli keep mask over ABSOLUTE weight-element
+    coordinates: element (k, n) of the dense (K, N) delta is kept iff
+    ``mix(k, n, seed) >= rate * 2^32``.
+
+    A stateless integer hash (xorshift-multiply finalizer) rather than a
+    counter-based PRNG: it evaluates identically for any tile shape, so the
+    forward GEMM kernel, the transpose-free dx kernel and the factor-grad
+    kernel all see the SAME mask for a given seed no matter how each one
+    blocks the (K, N) plane.  This is what makes exact element-wise weight
+    dropout (``src/cara/cara.py:35,57,81,92`` — mask on the dense delta,
+    shared across the batch) fusable: the mask is never materialized in HBM,
+    each kernel regenerates its tile from (k0, n0, seed).
+    """
+    ki = (jax.lax.broadcasted_iota(jnp.uint32, (bk, bn), 0)
+          + jnp.uint32(k0))
+    ni = (jax.lax.broadcasted_iota(jnp.uint32, (bk, bn), 1)
+          + jnp.uint32(n0))
+    h = ki * jnp.uint32(0x9E3779B1) + ni * jnp.uint32(0x85EBCA77)
+    h = h ^ seed.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h >= jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+
+
+def _masked_delta(u_tile, v_tile, k0, n0, seed, rate, s, dtype):
+    """(bk, bn) tile of ``s/keep * (U V  (elementwise) M)`` in ``dtype``."""
+    d = jax.lax.dot(u_tile, v_tile, preferred_element_type=jnp.float32)
+    keep = hash_keep(k0, n0, d.shape[0], d.shape[1], seed, rate)
+    inv = s / (1.0 - rate)
+    return jnp.where(keep, d * inv, 0.0).astype(dtype)
+
+
 def _ln_rows(x, ls, lb, eps):
     """Row LayerNorm in fp32 on a (bm, K) VMEM tile (full K per block)."""
     xf = x.astype(jnp.float32)
@@ -489,3 +525,298 @@ def _bwd_ln_rule(s, bm, bn, bk, interpret, act, ln_eps, res, g):
 
 
 cp_dense_ln.defvjp(_fwd_ln_rule, _bwd_ln_rule)
+
+
+# ---------------------------------------------------------------------------
+# Element-wise weight dropout (exact reference semantics, cara.py:35,57,81,92)
+# in the fused path: the dense (K, N) delta tile is rebuilt in VMEM, masked
+# by the blocking-independent hash_keep mask, and consumed as a second GEMM —
+# the mask/delta never exist in HBM.  Factor grads need the masked dense
+# cotangent dT = (x^T g).M, produced tile-wise by the kernel below.
+# ---------------------------------------------------------------------------
+
+
+def _build_wd_kernel(w_ref, u_ref, v_ref, seed_ref, o_ref, *, s,
+                     drop_rate):
+    """One (bk, bn) tile of the FOLDED weight ``W' = W + s/keep*(UV . M)``.
+
+    Runs ONCE per tile per step (not once per m-tile like an in-GEMM mask
+    would — measured 151 ms/step that way vs 88 folded): the hash + rank
+    GEMM cost is O(K*N), and downstream the masked site is a plain dense
+    GEMM with zero extra weight traffic.
+    """
+    d = _masked_delta(u_ref[...], v_ref[...],
+                      pl.program_id(0) * w_ref.shape[0],
+                      pl.program_id(1) * w_ref.shape[1],
+                      seed_ref[0, 0], drop_rate, s, jnp.float32)
+    o_ref[...] = (w_ref[...].astype(jnp.float32) + d).astype(o_ref.dtype)
+
+
+def _build_wd_weight(w, u, v, seed, s, drop_rate, interpret):
+    """Folded masked weight W' (K, N), same dtype as w."""
+    k, n = w.shape
+    up, vp = _pad_rank(u, v)
+    rp = up.shape[1]
+    bko = _fit_block(k, 512)
+    bn = _fit_block(n, 1024)
+    return pl.pallas_call(
+        functools.partial(_build_wd_kernel, s=s, drop_rate=drop_rate),
+        grid=(k // bko, n // bn),
+        in_specs=[
+            pl.BlockSpec((bko, bn), lambda j, kk: (j, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bko, rp), lambda j, kk: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, bn), lambda j, kk: (0, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, kk: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bko, bn), lambda j, kk: (j, kk),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n), w.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=_resolve_interpret(interpret),
+    )(w, up, vp, seed.reshape(1, 1))
+
+
+def _zero_uv(k, n, dtype):
+    """Zero (U, V) placeholders: the masked delta is already folded into
+    W', so the rank path contributes nothing (and costs one near-free
+    (bm, K) x (K, 128) GEMM)."""
+    return jnp.zeros((k, 1), dtype), jnp.zeros((1, n), dtype)
+
+
+def _cp_wd_grads_kernel(x_ref, g_ref, u_ref, v_ref, seed_ref,
+                        du_ref, dv_ref, dt_ref, du_acc, *, nm, s,
+                        drop_rate, chunk):
+    """Single-pass masked factor grads: the FULL (K, N) cotangent
+    ``dT = x^T g`` accumulates in a VMEM scratch over all m-tiles (x and g
+    are each read from HBM exactly once), then the mask is applied
+    chunk-wise and contracted into dU / dV — the hash and the (K, N)
+    plane are touched once per step, not once per tile pair."""
+    mm = pl.program_id(0)
+
+    @pl.when(mm == 0)
+    def _init():
+        dt_ref[...] = jnp.zeros_like(dt_ref)
+        du_acc[...] = jnp.zeros_like(du_acc)
+
+    dt_ref[...] += jax.lax.dot_general(
+        x_ref[...], g_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(mm == nm - 1)
+    def _finish():
+        k, n = dt_ref.shape
+        inv = s / (1.0 - drop_rate)
+        for c in range(0, n, chunk):
+            keep = hash_keep(0, c, k, chunk, seed_ref[0, 0], drop_rate)
+            dtc = jnp.where(keep, dt_ref[:, c:c + chunk] * inv,
+                            0.0).astype(x_ref.dtype)
+            # dU += dtc @ Vc^T ; dV[:, c] = U^T @ dtc
+            du_acc[...] += jax.lax.dot_general(
+                dtc, v_ref[:, c:c + chunk], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv_ref[:, c:c + chunk] = jax.lax.dot_general(
+                u_ref[...], dtc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        du_ref[...] = du_acc[...].astype(du_ref.dtype)
+
+
+def _cp_wd_factor_grads(x2, g2, u, v, seed, s, drop_rate, bm, bko, bn,
+                        interpret):
+    """(dU (K, r), dV (r, N)) under the element mask.  x2 (M, K), g2 (M, N).
+
+    ``bko``/``bn`` are accepted for call-site compatibility but the kernel
+    holds the full (K, N) dT scratch (<= 9.4 MB f32 at the ViT-B fc sites;
+    vmem_limit raised accordingly)."""
+    m, k = x2.shape
+    n = g2.shape[1]
+    r = u.shape[1]
+    up, vp = _pad_rank(u, v)
+    rp = up.shape[1]
+    # dt = x^T g contracts over M: a ragged last tile would mix undefined
+    # padding rows into every dt element — zero-pad M up front (zero rows
+    # contribute nothing).
+    m_pad = pl.cdiv(m, bm) * bm
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+        g2 = jnp.pad(g2, ((0, m_pad - m), (0, 0)))
+        m = m_pad
+    nm = m // bm
+    chunk = _fit_block(n, 512)
+    du, dv = pl.pallas_call(
+        functools.partial(_cp_wd_grads_kernel, nm=nm, s=s,
+                          drop_rate=drop_rate, chunk=chunk),
+        grid=(nm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda mm: (mm, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n), lambda mm: (mm, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, rp), lambda mm: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, n), lambda mm: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda mm: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k, rp), lambda mm: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, n), lambda mm: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, rp), jnp.float32),
+            jax.ShapeDtypeStruct((rp, n), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, n), jnp.float32),
+            pltpu.VMEM((k, rp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=_resolve_interpret(interpret),
+    )(x2, g2, up, vp, seed.reshape(1, 1))
+    return du[:, :r], dv[:r]
+
+
+def _f0(x):
+    """float0 zero cotangent for an integer primal (the dropout seed)."""
+    import numpy as np
+
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def cp_dense_wd(x, w, b, u, v, cb, seed, s: float, drop_rate: float,
+                bm: int = 256, bn: int = 1024, bk: int = 768,
+                interpret: Optional[bool] = None,
+                act: Optional[str] = None):
+    """``act(x@W + b + s*((x @ (UV . M)) / keep + cb))`` — cp_dense with
+    EXACT element-wise weight dropout on the dense delta (reference
+    semantics, ``cara.py:35``), mask derived from ``seed`` (int32 scalar
+    array) via :func:`hash_keep`.  Train-time only; use :func:`cp_dense`
+    for eval (identical at rate 0)."""
+    out, _ = _fwd_wd(x, w, b, u, v, cb, seed, s, drop_rate, bm, bn, bk,
+                     interpret, act)
+    return out
+
+
+def _fwd_wd(x, w, b, u, v, cb, seed, s, drop_rate, bm, bn, bk, interpret,
+            act):
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    wp = _build_wd_weight(w, u, v, seed, s, drop_rate, interpret)
+    u0, v0 = _zero_uv(k, w.shape[1], x.dtype)
+    bm_, bn_, bk_ = _dims(x2, w, bm, bn, bk)
+    out = _cp_dense_raw(x2, wp, b, u0, v0, cb, s, bm_, bn_, bk_, interpret,
+                        act)
+    return (out.reshape(*lead, w.shape[1]),
+            (x2, w, wp, b, u, v, cb, seed, lead))
+
+
+def _fwd_wd_rule(x, w, b, u, v, cb, seed, s, drop_rate, bm, bn, bk,
+                 interpret, act):
+    return _fwd_wd(x, w, b, u, v, cb, seed, s, drop_rate, bm, bn, bk,
+                   interpret, act)
+
+
+def _bwd_wd_rule(s, drop_rate, bm, bn, bk, interpret, act, res, g):
+    # wp rides along as a residual: rebuilding it would cost a redundant
+    # read of (w, u, v) + write of (K, N) per site in the backward.
+    x2, w, wp, b, u, v, cb, seed, lead = res
+    n = w.shape[1]
+    k = w.shape[0]
+    g2 = g.reshape(-1, n)
+    u0, v0 = _zero_uv(k, n, g2.dtype)
+    if act is not None:
+        bm_, bn_, bk_ = _dims(x2, w, bm, bn, bk)
+        g2 = _cp_dense_raw(x2, wp, b, u0, v0, cb, s, bm_, bn_, bk_,
+                           interpret, act, g=g2)
+    dx, _ = _cp_dense_dx_raw(
+        g2, wp, u0, v0, 0.0, bm, _fit_block(k, 1536), _fit_block(n, 768),
+        interpret)
+    du, dv = _cp_wd_factor_grads(
+        x2, g2, u, v, seed, s, drop_rate, bm,
+        _fit_block(k, 768), _fit_block(n, 768), interpret)
+    db = jnp.sum(g2.astype(jnp.float32), axis=0)
+    dcb = s * db
+    dt = g.dtype
+    return (dx.reshape(*lead, k), jnp.zeros_like(w), db.astype(dt),
+            du.astype(dt), dv.astype(dt), dcb.astype(dt), _f0(seed))
+
+
+cp_dense_wd.defvjp(_fwd_wd_rule, _bwd_wd_rule)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
+def cp_dense_ln_wd(x, w, b, u, v, cb, ln_scale, ln_bias, seed, s: float,
+                   drop_rate: float, bm: int = 256, bn: int = 1024,
+                   bk: int = 768, interpret: Optional[bool] = None,
+                   act: Optional[str] = None, ln_eps: float = 1e-6):
+    """cp_dense_ln + exact element-wise weight dropout (see cp_dense_wd)."""
+    out, _ = _fwd_ln_wd(x, w, b, u, v, cb, ln_scale, ln_bias, seed, s,
+                        drop_rate, bm, bn, bk, interpret, act, ln_eps)
+    return out
+
+
+def _fwd_ln_wd(x, w, b, u, v, cb, ls, lb, seed, s, drop_rate, bm, bn, bk,
+               interpret, act, ln_eps):
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    wp = _build_wd_weight(w, u, v, seed, s, drop_rate, interpret)
+    u0, v0 = _zero_uv(k, w.shape[1], x.dtype)
+    bm_, bn_, _ = _dims(x2, w, bm, bn, bk)
+    out = _cp_dense_raw(x2, wp, b, u0, v0, cb, s, bm_, bn_, k, interpret,
+                        act, ln=(ls, lb, ln_eps))
+    return (out.reshape(*lead, w.shape[1]),
+            (x2, w, wp, b, u, v, cb, ls, lb, seed, lead))
+
+
+def _fwd_ln_wd_rule(x, w, b, u, v, cb, ls, lb, seed, s, drop_rate, bm, bn,
+                    bk, interpret, act, ln_eps):
+    return _fwd_ln_wd(x, w, b, u, v, cb, ls, lb, seed, s, drop_rate, bm, bn,
+                      bk, interpret, act, ln_eps)
+
+
+def _bwd_ln_wd_rule(s, drop_rate, bm, bn, bk, interpret, act, ln_eps, res,
+                    g):
+    x2, w, wp, b, u, v, cb, ls, lb, seed, lead = res
+    n = w.shape[1]
+    k = w.shape[0]
+    g2 = g.reshape(-1, n)
+    u0, v0 = _zero_uv(k, n, g2.dtype)
+    if act is not None:
+        bm_, bn_, _ = _dims(x2, w, bm, bn, bk)
+        g2 = _cp_dense_raw(x2, wp, b, u0, v0, cb, s, bm_, bn_, k, interpret,
+                           act, g=g2, ln=(ls, lb, ln_eps))
+    dx, _ = _cp_dense_dx_raw(
+        g2, wp, u0, v0, 0.0, bm, _fit_block(k, 1536), _fit_block(n, 768),
+        interpret, ln=(ls, ln_eps), x=x2)
+    # Factor grads contract against LN(x) (recomputed once in XLA).
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + ln_eps)
+    lnx = (xn * ls.astype(jnp.float32)
+           + lb.astype(jnp.float32)).astype(g2.dtype)
+    du, dv = _cp_wd_factor_grads(
+        lnx, g2, u, v, seed, s, drop_rate, bm,
+        _fit_block(k, 768), _fit_block(n, 768), interpret)
+    db = jnp.sum(g2.astype(jnp.float32), axis=0)
+    dcb = s * db
+    dt = g.dtype
+    return (dx.reshape(*lead, k).astype(dt), jnp.zeros_like(w),
+            db.astype(dt), du.astype(dt), dv.astype(dt), dcb.astype(dt),
+            jnp.zeros_like(ls), jnp.zeros_like(lb), _f0(seed))
+
+
+cp_dense_ln_wd.defvjp(_fwd_ln_wd_rule, _bwd_ln_wd_rule)

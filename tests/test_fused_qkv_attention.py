@@ -73,3 +73,79 @@ def test_model_fused_matches_xla():
     f = vit_lib.vit_forward(params, x, cfg, cara_params=cara_params,
                             cara_cfg=cara_cfg, attn_impl="fused")
     np.testing.assert_allclose(np.asarray(a), np.asarray(f), atol=2e-4)
+
+
+def test_attention_proj_fusion_matches_composition():
+    """fused_qkv_attention_proj == attention -> x@W+b + s((x@U)V + cb),
+    values AND grads (u, v, biases, qkv) — interpret mode."""
+    from cara_tpu.ops.pallas.fused_qkv_attention import (
+        fused_qkv_attention, fused_qkv_attention_proj)
+
+    heads, dh, np_, n_real = 4, 32, 256, 197
+    e = heads * dh
+    r = 5
+    ks = jax.random.split(jax.random.key(11), 7)
+    qkv = jax.random.normal(ks[0], (2, np_, 3 * e)) * 0.5
+    w = jax.random.normal(ks[1], (e, e)) * 0.05
+    b = jax.random.normal(ks[2], (e,)) * 0.1
+    u = jax.random.normal(ks[3], (e, r)) * 0.1
+    v = jax.random.normal(ks[4], (r, e)) * 0.1
+    cb = jax.random.normal(ks[5], (e,)) * 0.1
+    s = 1.7
+    scale = dh ** -0.5
+
+    def ref(qkv, w, b, u, v, cb):
+        o = fused_qkv_attention(qkv, heads, scale, n_real, 2, True)
+        return o @ w + b + s * ((o @ u) @ v + cb)
+
+    def fused(qkv, w, b, u, v, cb):
+        return fused_qkv_attention_proj(qkv, w, b, u, v, cb, heads, scale,
+                                        n_real, s, 2, True)
+
+    got = fused(qkv, w, b, u, v, cb)
+    want = ref(qkv, w, b, u, v, cb)
+    np.testing.assert_allclose(np.asarray(got[:, :n_real]),
+                               np.asarray(want[:, :n_real]),
+                               atol=3e-4, rtol=1e-3)
+
+    def loss(f):
+        return lambda *a: jnp.sum(jnp.sin(f(*a)[:, :n_real]))
+
+    gf = jax.grad(loss(fused), argnums=(0, 1, 2, 3, 4, 5))(
+        qkv, w, b, u, v, cb)
+    gr = jax.grad(loss(ref), argnums=(0, 1, 2, 3, 4, 5))(
+        qkv, w, b, u, v, cb)
+    names = ["qkv", "w", "b", "u", "v", "cb"]
+    for name, a, bb in zip(names, gf, gr):
+        if name == "w":
+            # frozen by construction in the fused kernel
+            np.testing.assert_array_equal(np.asarray(a), 0.0)
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-3, rtol=5e-3, err_msg=name)
+
+
+def test_model_attnproj_on_off_same_logits(monkeypatch):
+    """The CARA_ATTNPROJ fusion flag must not change model outputs."""
+    import cara_tpu.models.vit as vit_mod
+
+    cfg = ViTConfig(
+        image_size=16, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+        repr_size=None, num_classes=5, drop_path_rate=0.0)
+    cara_cfg = CaraConfig(rank=4, l_mu=1.1, l_std=0.05)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara_params = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    for nm in ("A2", "P2", "bias1"):
+        cara_params[nm] = 0.05 * jax.random.normal(
+            jax.random.key(7), cara_params[nm].shape)
+    x = jax.random.normal(jax.random.key(3), (2, 16, 16, 3))
+
+    monkeypatch.setattr(vit_mod, "_ATTNPROJ", True)
+    on = vit_lib.vit_forward(params, x, cfg, cara_params=cara_params,
+                             cara_cfg=cara_cfg, attn_impl="fused",
+                             dense_impl="fused")
+    monkeypatch.setattr(vit_mod, "_ATTNPROJ", False)
+    off = vit_lib.vit_forward(params, x, cfg, cara_params=cara_params,
+                              cara_cfg=cara_cfg, attn_impl="fused",
+                              dense_impl="fused")
+    np.testing.assert_allclose(np.asarray(on), np.asarray(off), atol=3e-4)
