@@ -270,8 +270,10 @@ def _block(
                     u.astype(x.dtype), vmat.astype(x.dtype),
                     jnp.zeros((3 * e,), x.dtype),
                     bp["ln1_scale"], bp["ln1_bias"], s,
-                    256, 1536, 768, None, None,
+                    512, 3 * e, 768, None, None,
                     cfg.layernorm_eps)  # cara.py:42 + LN1 in one pass
+                # (512-row x single-pass-N blocks: measured 1.79 vs 2.19 ms
+                # at the qkv site, benchmarks/kernel_tune2.py round 2)
         else:
             xa_p = jnp.pad(xa, ((0, 0), (0, npad - n), (0, 0))) \
                 if npad != n else xa
@@ -343,7 +345,8 @@ def _block(
             proj = cp_dense(
                 attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
                 u.astype(x.dtype), vmat.astype(x.dtype),
-                cara_params["bias1"].astype(x.dtype), s)  # cara.py:57-58
+                cara_params["bias1"].astype(x.dtype), s,
+                512, e, 768)  # cara.py:57-58
     else:
       proj = attn_out @ bp["proj"]["kernel"] + bp["proj"]["bias"]
       if use_cara:
@@ -392,7 +395,7 @@ def _block(
                 u.astype(x.dtype), vmat.astype(x.dtype),
                 cara_params["bias2"].astype(x.dtype),
                 bp["ln2_scale"], bp["ln2_bias"], s,
-                256, 1536, 768, None, cfg.activation, cfg.layernorm_eps)
+                512, mr * e, 768, None, cfg.activation, cfg.layernorm_eps)
     else:
       xm = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
       up = xm @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]

@@ -289,7 +289,8 @@ def _cp_dense_dx_raw(g, w, u, v, s, bm, bko, bn, interpret, ln=None,
             pltpu.VMEM((bm, rp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(*args)
     return out, gv
@@ -364,7 +365,8 @@ def _cp_dense_raw(x, w, b, u, v, cb, s, bm, bn, bk, interpret, act=None,
             pltpu.VMEM((bm, rp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(*args)
     return out
@@ -425,10 +427,11 @@ def _bwd_rule(s, bm, bn, bk, interpret, act, res, g):
                            act, g=g2)
     # dx = g W^T + s (g V^T) U^T — one fused kernel contracting the shared N
     # axis in place (no materialized transposes of the stacked weights);
-    # gv = g V^T is emitted by the same kernel.
+    # gv = g V^T is emitted by the same kernel.  512-row blocks + single-
+    # pass N measured fastest across all four sites (kernel_tune round 2).
     dx, gv = _cp_dense_dx_raw(
-        g2, w, u, v, s, bm, _fit_block(k, 1536), _fit_block(n, 768),
-        interpret)
+        g2, w, u, v, s, max(bm, 512), _fit_block(k, 1536),
+        _fit_block(n, 3072), interpret)
     gv = gv[:, :u.shape[1]]
     # Factor/bias grads: small rank-r contractions, transpose-free
     # dot_generals left to XLA.
@@ -500,8 +503,8 @@ def _bwd_ln_rule(s, bm, bn, bk, interpret, act, ln_eps, res, g):
     # cotangents are explicit zeros — no dls/dlb passes); gv = g V^T is
     # emitted by the same kernel.
     dx, gv = _cp_dense_dx_raw(
-        g2, w, u, v, s, bm, _fit_block(k, 1536), _fit_block(n, 768),
-        interpret, ln=(ls, ln_eps), x=x2)
+        g2, w, u, v, s, max(bm, 512), _fit_block(k, 1536),
+        _fit_block(n, 3072), interpret, ln=(ls, ln_eps), x=x2)
     gv = gv[:, :u.shape[1]]
     # Factor grads contract against the LN'd activation (recomputed once).
     xf = x2.astype(jnp.float32)
@@ -740,8 +743,8 @@ def _bwd_wd_rule(s, drop_rate, bm, bn, bk, interpret, act, res, g):
         g2 = _cp_dense_raw(x2, wp, b, u0, v0, cb, s, bm_, bn_, bk_,
                            interpret, act, g=g2)
     dx, _ = _cp_dense_dx_raw(
-        g2, wp, u0, v0, 0.0, bm, _fit_block(k, 1536), _fit_block(n, 768),
-        interpret)
+        g2, wp, u0, v0, 0.0, max(bm, 512), _fit_block(k, 1536),
+        _fit_block(n, 3072), interpret)
     du, dv = _cp_wd_factor_grads(
         x2, g2, u, v, seed, s, drop_rate, bm,
         _fit_block(k, 768), _fit_block(n, 768), interpret)
@@ -799,8 +802,8 @@ def _bwd_ln_wd_rule(s, drop_rate, bm, bn, bk, interpret, act, ln_eps, res,
         g2 = _cp_dense_raw(x2, wp, b, u0, v0, cb, s, bm_, bn_, k, interpret,
                            act, g=g2, ln=(ls, lb, ln_eps))
     dx, _ = _cp_dense_dx_raw(
-        g2, wp, u0, v0, 0.0, bm, _fit_block(k, 1536), _fit_block(n, 768),
-        interpret, ln=(ls, ln_eps), x=x2)
+        g2, wp, u0, v0, 0.0, max(bm, 512), _fit_block(k, 1536),
+        _fit_block(n, 3072), interpret, ln=(ls, ln_eps), x=x2)
     # Factor grads contract against LN(x) (recomputed once in XLA).
     xf = x2.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
