@@ -46,6 +46,12 @@ Params = Dict[str, Any]
 # two-kernel split.  Kept behind CARA_ATTNPROJ=1 for future shapes.
 _ATTNPROJ = os.environ.get("CARA_ATTNPROJ", "0") == "1"
 
+# MLP block megakernel (LN2 -> fc1+delta -> GELU -> fc2+delta in one
+# pallas_call; the (B, N, 4E) hidden activation never exists in HBM, fwd or
+# bwd — docs/DESIGN.md section 8 roofline lever).  CARA_MLP_MEGA=0 falls
+# back to the two-kernel cp_dense stack.
+_MLP_MEGA = os.environ.get("CARA_MLP_MEGA", "1") == "1"
+
 
 def _trunc_normal(rng, shape, std, dtype):
     return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, dtype)
@@ -369,6 +375,54 @@ def _block(
     # --- MLP ---------------------------------------------------------------
     if use_cara:
         p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
+    if fused_dense and _MLP_MEGA and cfg.dropout_rate == 0.0:
+        # Block megakernel: both MLP GEMMs + deltas + LN2 + GELU in ONE
+        # pallas_call (cara.py:72-93 in one pass).  Inter-GEMM activation
+        # dropout can't ride inside it — gated on dropout_rate == 0 (the
+        # ViT default; nonzero rates use the two-kernel path below).
+        from cara_tpu.ops.pallas.cp_mlp import cp_mlp_block, cp_mlp_block_wd
+
+        if use_elem:
+            u1, v1 = cara_lib.rows_out_uv(
+                p1_up, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"])
+            u2, v2 = cara_lib.rows_in_uv(
+                p1_down, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"])
+            down = cp_mlp_block_wd(
+                x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
+                u1.astype(x.dtype), v1.astype(x.dtype),
+                cara_params["bias2"].astype(x.dtype),
+                bp["fc2"]["kernel"], bp["fc2"]["bias"],
+                u2.astype(x.dtype), v2.astype(x.dtype),
+                cara_params["bias3"].astype(x.dtype),
+                bp["ln2_scale"], bp["ln2_bias"],
+                _wd_seed(k_wd_up), _wd_seed(k_wd_down),
+                s, cara_cfg.weight_dropout, 256, None, cfg.activation,
+                cfg.layernorm_eps)
+        else:
+            comp_up = cp_ops.weight_dropout_mask(
+                k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            comp_down = cp_ops.weight_dropout_mask(
+                k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout,
+                x.dtype)
+            u1, v1 = cara_lib.rows_out_uv(
+                p1_up, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp_up)
+            u2, v2 = cara_lib.rows_in_uv(
+                p1_down, cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp_down)
+            down = cp_mlp_block(
+                x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
+                u1.astype(x.dtype), v1.astype(x.dtype),
+                cara_params["bias2"].astype(x.dtype),
+                bp["fc2"]["kernel"], bp["fc2"]["bias"],
+                u2.astype(x.dtype), v2.astype(x.dtype),
+                cara_params["bias3"].astype(x.dtype),
+                bp["ln2_scale"], bp["ln2_bias"], s,
+                256, None, cfg.activation, cfg.layernorm_eps)
+        x = x + drop_path(down, dpr, k_dp2)
+        return x
     if fused_dense:
         # LN2 prologue + GELU epilogue fused into the fc1 kernel — neither
         # the normalized input nor the (B,N,4E) pre-activation round-trips

@@ -1,0 +1,536 @@
+"""Attention block megakernel: ``LN1 -> qkv+CP-delta -> softmax attention
+-> projection+CP-delta`` in ONE ``pallas_call``.
+
+Counterpart of :mod:`cp_mlp` for the attention half of the block (reference
+hot loop ``src/cara/cara.py:25-58``).  Per bb-image program the kernel
+normalizes the raw residual rows, runs the fused-qkv GEMM plus the rank-r
+CP delta chain (``cara.py:42``), does per-head full-score attention on the
+resident (bb, NP, 3E) tile (layout-native, no 5-D transposes — see
+``fused_qkv_attention``), and multiplies the attention output by W_proj
+(+ 3-way CP delta + biases, ``cara.py:50-58``) before anything leaves VMEM.
+The qkv activation (75 MB/layer at ViT-B bs64) and attn_out (25 MB/layer)
+never exist in HBM in either direction.
+
+Backward keeps only the raw ``x`` residual and recomputes LN/qkv/attention
+per tile (the earlier attention+projection-only fusion measured NEGATIVE
+because its backward re-read the 75 MB qkv residual — benchmarks/RESULTS.md;
+recomputing qkv from the 25 MB ``x`` instead turns that re-read into
+MXU-cheap FLOPs).  Factor grads for both sites accumulate in VMEM across
+the sequential grid; ``x`` and ``g`` are each read from HBM exactly once.
+
+Like ``fused_qkv_attention`` this holds full (bb, NP, NP) score tiles —
+ViT-scale only (NP <= MAX_NP_FULL_SCORES); the caller falls back to the
+split kernels past that.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cara_tpu.ops.pallas.cp_dense import (
+    _build_wd_weight, _f0, _fit_block, _pad_rank, _resolve_interpret,
+    hash_keep)
+from cara_tpu.ops.pallas.fused_qkv_attention import _attn_heads, _check_np
+
+# (bb, NP, E) x (E, X) -> (bb, NP, X)
+_DN_W = (((2,), (0,)), ((), ()))
+# (bb, NP, A) x (B_, A) -> contraction over the last/lane axis
+_DN_WT = (((2,), (1,)), ((), ()))
+# (bb, NP, A) x (bb, NP, B_) -> (A, B_): reduce batch+token axes
+_DN_ACC = (((0, 1), (0, 1)), ((), ()))
+
+
+def _ln3(x, ls, lb, eps):
+    """Row LayerNorm on a (bb, NP, E) tile (fp32 math, input dtype out)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * ls.astype(jnp.float32).reshape(1, 1, -1)
+            + lb.astype(jnp.float32).reshape(1, 1, -1)).astype(x.dtype)
+
+
+def _ln3_input_bwd(x, dxa, ls, eps):
+    """d(x) of the row LayerNorm given d(LN(x)); frozen scale/bias."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn = (xf - mu) * rstd
+    dyg = dxa * ls.astype(jnp.float32).reshape(1, 1, -1)
+    return rstd * (dyg - jnp.mean(dyg, axis=-1, keepdims=True)
+                   - xn * jnp.mean(dyg * xn, axis=-1, keepdims=True))
+
+
+def _site_fwd(xa, w_ref, b_ref, u_ref, v_ref, cb_ref, s):
+    """``xa @ W + b + s*((xa@U)@V [+ cb])`` on a resident 3-D tile (fp32)."""
+    acc = jax.lax.dot_general(xa, w_ref[...], _DN_W,
+                              preferred_element_type=jnp.float32)
+    z = jax.lax.dot_general(xa, u_ref[...], _DN_W,
+                            preferred_element_type=jnp.float32)
+    d = jax.lax.dot_general(z.astype(xa.dtype), v_ref[...], _DN_W,
+                            preferred_element_type=jnp.float32)
+    y = acc + b_ref[...].astype(jnp.float32).reshape(1, 1, -1) + s * d
+    if cb_ref is not None:
+        y = y + s * cb_ref[...].astype(jnp.float32).reshape(1, 1, -1)
+    return y, z.astype(xa.dtype)
+
+
+def _site_bwd_dx(g, w_ref, u_ref, v_ref, s):
+    """``dx = g W^T + s (g V^T) U^T`` on a 3-D tile; also returns gv."""
+    gv = jax.lax.dot_general(g, v_ref[...], _DN_WT,
+                             preferred_element_type=jnp.float32)
+    gvc = gv.astype(g.dtype)
+    dx = (jax.lax.dot_general(g, w_ref[...], _DN_WT,
+                              preferred_element_type=jnp.float32)
+          + s * jax.lax.dot_general(gvc, u_ref[...], _DN_WT,
+                                    preferred_element_type=jnp.float32))
+    return dx, gvc
+
+
+def _attn_bwd_tile(qkv, do_full, scale, n_real, heads, dh, dqkv_ref):
+    """Per-head attention backward on resident tiles -> dqkv_ref (VMEM).
+    Same math as fused_qkv_attention._bwd_kernel, factored for reuse."""
+    e = heads * dh
+    np_ = qkv.shape[1]
+    col = None
+    if n_real < np_:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (qkv.shape[0], np_, np_), dimension=2)
+    for h in range(heads):
+        q = qkv[:, :, h * dh:(h + 1) * dh]
+        k = qkv[:, :, e + h * dh:e + (h + 1) * dh]
+        v = qkv[:, :, 2 * e + h * dh:2 * e + (h + 1) * dh]
+        do = do_full[:, :, h * dh:(h + 1) * dh]
+        sc = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if col is not None:
+            sc = jnp.where(col < n_real, sc, -1e30)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        ex = jnp.exp(sc - m)
+        l = jnp.sum(ex, axis=-1, keepdims=True)
+        p = ex / l
+        pb = p.astype(qkv.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - row)).astype(qkv.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dqkv_ref[:, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, e + h * dh:e + (h + 1) * dh] = \
+            dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * e + h * dh:2 * e + (h + 1) * dh] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+def _attn_block_fwd_kernel(x_ref, wq_ref, bq_ref, u1_ref, v1_ref,
+                           wp_ref, bp_ref, u2_ref, v2_ref, cb2_ref,
+                           ls_ref, lb_ref, y_ref,
+                           *, heads, dh, sm_scale, n_real, s, ln_eps):
+    xa = _ln3(x_ref[...], ls_ref[...], lb_ref[...], ln_eps)
+    qkv, _ = _site_fwd(xa, wq_ref, bq_ref, u1_ref, v1_ref, None, s)
+    qkv = qkv.astype(xa.dtype)
+    o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
+    y, _ = _site_fwd(o, wp_ref, bp_ref, u2_ref, v2_ref, cb2_ref, s)
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
+                           wp_ref, u2_ref, v2_ref, ls_ref, lb_ref,
+                           dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
+                           dsq_ref, dsp_ref, dqkv_ref,
+                           *, heads, dh, sm_scale, n_real, s, ln_eps, nm):
+    mm = pl.program_id(0)
+
+    @pl.when(mm == 0)
+    def _init():
+        for ref in (du1_ref, dv1_ref, du2_ref, dv2_ref, dsq_ref, dsp_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    # Forward recompute (x -> xa -> qkv -> attention output).
+    xa = _ln3(x, ls_ref[...], lb_ref[...], ln_eps)
+    qkv_f, z1c = _site_fwd(xa, wq_ref, bq_ref, u1_ref, v1_ref, None, s)
+    qkv = qkv_f.astype(xa.dtype)
+    o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
+
+    # Projection-site backward.
+    do, gv2c = _site_bwd_dx(g, wp_ref, u2_ref, v2_ref, s)
+    du2_ref[...] += jax.lax.dot_general(o, gv2c, _DN_ACC,
+                                        preferred_element_type=jnp.float32)
+    z2 = jax.lax.dot_general(o, u2_ref[...], _DN_W,
+                             preferred_element_type=jnp.float32)
+    dv2_ref[...] += jax.lax.dot_general(z2.astype(o.dtype), g, _DN_ACC,
+                                        preferred_element_type=jnp.float32)
+    dsp_ref[...] += jnp.sum(g.astype(jnp.float32), axis=(0, 1),
+                            keepdims=True)[0]
+
+    # Attention backward into the dqkv VMEM scratch.
+    _attn_bwd_tile(qkv, do.astype(qkv.dtype), sm_scale, n_real, heads, dh,
+                   dqkv_ref)
+    dqkv = dqkv_ref[...]
+
+    # QKV-site backward + fused LayerNorm input-backward.
+    dxa, gv1c = _site_bwd_dx(dqkv, wq_ref, u1_ref, v1_ref, s)
+    dx_ref[...] = _ln3_input_bwd(x, dxa, ls_ref[...], ln_eps).astype(
+        dx_ref.dtype)
+    du1_ref[...] += jax.lax.dot_general(xa, gv1c, _DN_ACC,
+                                        preferred_element_type=jnp.float32)
+    dv1_ref[...] += jax.lax.dot_general(z1c, dqkv, _DN_ACC,
+                                        preferred_element_type=jnp.float32)
+    dsq_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1),
+                            keepdims=True)[0]
+
+
+def _block_b(bsz, block_b):
+    bb = min(block_b, bsz)
+    while bsz % bb:
+        bb -= 1
+    return bb
+
+
+def _tile(bb, np_, width):
+    return pl.BlockSpec((bb, np_, width), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _const(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(12, 13, 14, 15, 16, 17, 18))
+def cp_attn_block(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale, ln_bias,
+                  heads: int, sm_scale: float, n_real: int, s: float,
+                  block_b: int = 2, interpret: Optional[bool] = None,
+                  ln_eps: float = 1e-6):
+    """x (B, NP, E) raw residual (token axis pre-padded to a multiple of
+    128) -> LN1 -> qkv+delta (``cara.py:42``) -> attention -> proj+delta
+    (``cara.py:57-58``), all in one kernel.  Returns (B, NP, E); the caller
+    slices the valid tokens and adds the residual outside.
+
+    ``u1`` (E, r) / ``v1`` (r, 3E) from ``cara.qkv_uv``; ``u2`` (E, r) /
+    ``v2`` (r, E) from ``cara.rows_out_uv``; ``cb2`` = CP_bias1.
+    """
+    out, _ = _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale,
+                     ln_bias, heads, sm_scale, n_real, s, block_b, interpret,
+                     ln_eps)
+    return out
+
+
+def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, heads, sm_scale,
+            n_real, s, block_b, interpret, ln_eps):
+    bsz, np_, e = x.shape
+    _check_np(np_)
+    dh = e // heads
+    bb = _block_b(bsz, block_b)
+    u1p, v1p = _pad_rank(u1, v1)
+    u2p, v2p = _pad_rank(u2, v2)
+    rp1, rp2 = u1p.shape[1], u2p.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_attn_block_fwd_kernel, heads=heads, dh=dh,
+                          sm_scale=sm_scale, n_real=n_real, s=s,
+                          ln_eps=ln_eps),
+        grid=(bsz // bb,),
+        in_specs=[
+            _tile(bb, np_, e),
+            _const((e, 3 * e)), _const((1, 3 * e)), _const((e, rp1)),
+            _const((rp1, 3 * e)),
+            _const((e, e)), _const((1, e)), _const((e, rp2)),
+            _const((rp2, e)), _const((1, e)),
+            _const((1, e)), _const((1, e)),
+        ],
+        out_specs=_tile(bb, np_, e),
+        out_shape=jax.ShapeDtypeStruct((bsz, np_, e), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=_resolve_interpret(interpret),
+    )(x, wq, bq.reshape(1, -1), u1p, v1p, wp, bp.reshape(1, -1), u2p, v2p,
+      cb2.reshape(1, -1), ls.reshape(1, -1), lb.reshape(1, -1))
+    return out, (x, wq, bq, u1, v1, wp, u2, v2, ls, lb)
+
+
+def _ab_fwd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, heads,
+                 sm_scale, n_real, s, block_b, interpret, ln_eps):
+    return _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, heads,
+                   sm_scale, n_real, s, block_b, interpret, ln_eps)
+
+
+def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
+                 res, g):
+    x, wq, bq, u1, v1, wp, u2, v2, ls, lb = res
+    bsz, np_, e = x.shape
+    dh = e // heads
+    bb = _block_b(bsz, block_b)
+    r1, r2 = u1.shape[1], u2.shape[1]
+    u1p, v1p = _pad_rank(u1, v1)
+    u2p, v2p = _pad_rank(u2, v2)
+    rp1, rp2 = u1p.shape[1], u2p.shape[1]
+    nm = bsz // bb
+    dx, du1, dv1, du2, dv2, dsq, dsp = pl.pallas_call(
+        functools.partial(_attn_block_bwd_kernel, heads=heads, dh=dh,
+                          sm_scale=sm_scale, n_real=n_real, s=s,
+                          ln_eps=ln_eps, nm=nm),
+        grid=(nm,),
+        in_specs=[
+            _tile(bb, np_, e), _tile(bb, np_, e),
+            _const((e, 3 * e)), _const((1, 3 * e)), _const((e, rp1)),
+            _const((rp1, 3 * e)),
+            _const((e, e)), _const((e, rp2)), _const((rp2, e)),
+            _const((1, e)), _const((1, e)),
+        ],
+        out_specs=(
+            _tile(bb, np_, e),
+            _const((e, rp1)), _const((rp1, 3 * e)),
+            _const((e, rp2)), _const((rp2, e)),
+            _const((1, 3 * e)), _const((1, e)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, np_, e), g.dtype),
+            jax.ShapeDtypeStruct((e, rp1), jnp.float32),
+            jax.ShapeDtypeStruct((rp1, 3 * e), jnp.float32),
+            jax.ShapeDtypeStruct((e, rp2), jnp.float32),
+            jax.ShapeDtypeStruct((rp2, e), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * e), jnp.float32),
+            jax.ShapeDtypeStruct((1, e), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((bb, np_, 3 * e), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=_resolve_interpret(interpret),
+    )(x, g, wq, bq.reshape(1, -1), u1p, v1p, wp, u2p, v2p,
+      ls.reshape(1, -1), lb.reshape(1, -1))
+    dt = g.dtype
+    return (dx.astype(dt), jnp.zeros_like(wq), dsq[0].astype(dt),
+            (s * du1[:, :r1]).astype(dt), (s * dv1[:r1]).astype(dt),
+            jnp.zeros_like(wp), dsp[0].astype(dt),
+            (s * du2[:, :r2]).astype(dt), (s * dv2[:r2]).astype(dt),
+            (s * dsp[0]).astype(dt), jnp.zeros_like(ls), jnp.zeros_like(lb))
+
+
+cp_attn_block.defvjp(_ab_fwd_rule, _ab_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Element-wise weight-dropout variant (exact cara.py:35,57 semantics).
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
+                              u1_ref, v1_ref, u2_ref, v2_ref,
+                              ls_ref, lb_ref, seed1_ref, seed2_ref,
+                              dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
+                              dsq_ref, dsp_ref,
+                              dqkv_ref, dt1_ref, dt2_ref,
+                              *, heads, dh, sm_scale, n_real, s, drop_rate,
+                              ln_eps, nm, chunk1, chunk2):
+    """Backward with folded masked weights; the dense site cotangents
+    ``dT1 = xa^T dqkv`` (E, 3E) and ``dT2 = o^T g`` (E, E) accumulate in
+    VMEM scratch, masked chunk-wise at the last grid step."""
+    mm = pl.program_id(0)
+
+    @pl.when(mm == 0)
+    def _init():
+        for ref in (du1_ref, dv1_ref, du2_ref, dv2_ref, dsq_ref, dsp_ref,
+                    dt1_ref, dt2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    xa = _ln3(x, ls_ref[...], lb_ref[...], ln_eps)
+    qkv = (jax.lax.dot_general(xa, wqp_ref[...], _DN_W,
+                               preferred_element_type=jnp.float32)
+           + bq_ref[...].astype(jnp.float32).reshape(1, 1, -1)
+           ).astype(xa.dtype)
+    o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
+
+    do = jax.lax.dot_general(g, wpp_ref[...], _DN_WT,
+                             preferred_element_type=jnp.float32)
+    dt2_ref[...] += jax.lax.dot_general(o, g, _DN_ACC,
+                                        preferred_element_type=jnp.float32)
+    dsp_ref[...] += jnp.sum(g.astype(jnp.float32), axis=(0, 1),
+                            keepdims=True)[0]
+
+    _attn_bwd_tile(qkv, do.astype(qkv.dtype), sm_scale, n_real, heads, dh,
+                   dqkv_ref)
+    dqkv = dqkv_ref[...]
+
+    dxa = jax.lax.dot_general(dqkv, wqp_ref[...], _DN_WT,
+                              preferred_element_type=jnp.float32)
+    dx_ref[...] = _ln3_input_bwd(x, dxa, ls_ref[...], ln_eps).astype(
+        dx_ref.dtype)
+    dt1_ref[...] += jax.lax.dot_general(xa, dqkv, _DN_ACC,
+                                        preferred_element_type=jnp.float32)
+    dsq_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1),
+                            keepdims=True)[0]
+
+    @pl.when(mm == nm - 1)
+    def _finish():
+        inv = s / (1.0 - drop_rate)
+
+        def _site(dt_ref, u_ref, v_ref, seed, du_ref, dv_ref, chunk):
+            kk, nn = dt_ref.shape
+            for c in range(0, nn, chunk):
+                keep = hash_keep(0, c, kk, chunk, seed, drop_rate)
+                dtc = jnp.where(keep, dt_ref[:, c:c + chunk] * inv,
+                                0.0).astype(x_ref.dtype)
+                du_ref[...] += jax.lax.dot_general(
+                    dtc, v_ref[:, c:c + chunk], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dv_ref[:, c:c + chunk] = jax.lax.dot_general(
+                    u_ref[...], dtc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+        _site(dt1_ref, u1_ref, v1_ref, seed1_ref[0, 0], du1_ref, dv1_ref,
+              chunk1)
+        _site(dt2_ref, u2_ref, v2_ref, seed2_ref[0, 0], du2_ref, dv2_ref,
+              chunk2)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(14, 15, 16, 17, 18, 19, 20, 21))
+def cp_attn_block_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale,
+                     ln_bias, seed1, seed2, heads: int, sm_scale: float,
+                     n_real: int, s: float, drop_rate: float,
+                     block_b: int = 2, interpret: Optional[bool] = None,
+                     ln_eps: float = 1e-6):
+    """cp_attn_block with EXACT element-wise weight dropout on both dense
+    deltas (``cara.py:35,57``); per-site masks from ``seed1``/``seed2``."""
+    out, _ = _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale,
+                        ln_bias, seed1, seed2, heads, sm_scale, n_real, s,
+                        drop_rate, block_b, interpret, ln_eps)
+    return out
+
+
+def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, seed1, seed2,
+               heads, sm_scale, n_real, s, drop_rate, block_b, interpret,
+               ln_eps):
+    bsz, np_, e = x.shape
+    _check_np(np_)
+    dh = e // heads
+    bb = _block_b(bsz, block_b)
+    wqp = _build_wd_weight(wq, u1, v1, seed1, s, drop_rate, interpret)
+    wpp = _build_wd_weight(wp, u2, v2, seed2, s, drop_rate, interpret)
+    u0a = jnp.zeros((e, 1), x.dtype)
+    v0a = jnp.zeros((1, 3 * e), x.dtype)
+    u0b = jnp.zeros((e, 1), x.dtype)
+    v0b = jnp.zeros((1, e), x.dtype)
+    u0ap, v0ap = _pad_rank(u0a, v0a)
+    u0bp, v0bp = _pad_rank(u0b, v0b)
+    out = pl.pallas_call(
+        functools.partial(_attn_block_fwd_kernel, heads=heads, dh=dh,
+                          sm_scale=sm_scale, n_real=n_real, s=s,
+                          ln_eps=ln_eps),
+        grid=(bsz // bb,),
+        in_specs=[
+            _tile(bb, np_, e),
+            _const((e, 3 * e)), _const((1, 3 * e)),
+            _const((e, u0ap.shape[1])), _const((u0ap.shape[1], 3 * e)),
+            _const((e, e)), _const((1, e)),
+            _const((e, u0bp.shape[1])), _const((u0bp.shape[1], e)),
+            _const((1, e)),
+            _const((1, e)), _const((1, e)),
+        ],
+        out_specs=_tile(bb, np_, e),
+        out_shape=jax.ShapeDtypeStruct((bsz, np_, e), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=_resolve_interpret(interpret),
+    )(x, wqp, bq.reshape(1, -1), u0ap, v0ap, wpp, bp.reshape(1, -1),
+      u0bp, v0bp, cb2.reshape(1, -1), ls.reshape(1, -1), lb.reshape(1, -1))
+    return out, (x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, seed1, seed2)
+
+
+def _ab_fwd_wd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, seed1,
+                    seed2, heads, sm_scale, n_real, s, drop_rate, block_b,
+                    interpret, ln_eps):
+    return _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, seed1,
+                      seed2, heads, sm_scale, n_real, s, drop_rate, block_b,
+                      interpret, ln_eps)
+
+
+def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
+                    interpret, ln_eps, res, g):
+    x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, seed1, seed2 = res
+    bsz, np_, e = x.shape
+    dh = e // heads
+    bb = _block_b(bsz, block_b)
+    r1, r2 = u1.shape[1], u2.shape[1]
+    u1p, v1p = _pad_rank(u1, v1)
+    u2p, v2p = _pad_rank(u2, v2)
+    rp1, rp2 = u1p.shape[1], u2p.shape[1]
+    nm = bsz // bb
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    dx, du1, dv1, du2, dv2, dsq, dsp = pl.pallas_call(
+        functools.partial(
+            _attn_block_bwd_wd_kernel, heads=heads, dh=dh,
+            sm_scale=sm_scale, n_real=n_real, s=s, drop_rate=drop_rate,
+            ln_eps=ln_eps, nm=nm, chunk1=_fit_block(3 * e, 512),
+            chunk2=_fit_block(e, 512)),
+        grid=(nm,),
+        in_specs=[
+            _tile(bb, np_, e), _tile(bb, np_, e),
+            _const((e, 3 * e)), _const((1, 3 * e)), _const((e, e)),
+            _const((e, rp1)), _const((rp1, 3 * e)),
+            _const((e, rp2)), _const((rp2, e)),
+            _const((1, e)), _const((1, e)),
+            smem, smem,
+        ],
+        out_specs=(
+            _tile(bb, np_, e),
+            _const((e, rp1)), _const((rp1, 3 * e)),
+            _const((e, rp2)), _const((rp2, e)),
+            _const((1, 3 * e)), _const((1, e)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, np_, e), g.dtype),
+            jax.ShapeDtypeStruct((e, rp1), jnp.float32),
+            jax.ShapeDtypeStruct((rp1, 3 * e), jnp.float32),
+            jax.ShapeDtypeStruct((e, rp2), jnp.float32),
+            jax.ShapeDtypeStruct((rp2, e), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * e), jnp.float32),
+            jax.ShapeDtypeStruct((1, e), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bb, np_, 3 * e), x.dtype),
+            pltpu.VMEM((e, 3 * e), jnp.float32),
+            pltpu.VMEM((e, e), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=_resolve_interpret(interpret),
+    )(x, g, wqp, bq.reshape(1, -1), wpp, u1p, v1p, u2p, v2p,
+      ls.reshape(1, -1), lb.reshape(1, -1),
+      seed1.reshape(1, 1), seed2.reshape(1, 1))
+    dt = g.dtype
+    return (dx.astype(dt), jnp.zeros_like(wqp), dsq[0].astype(dt),
+            du1[:, :r1].astype(dt), dv1[:r1].astype(dt),
+            jnp.zeros_like(wpp), dsp[0].astype(dt),
+            du2[:, :r2].astype(dt), dv2[:r2].astype(dt),
+            (s * dsp[0]).astype(dt), jnp.zeros_like(ls), jnp.zeros_like(lb),
+            _f0(seed1), _f0(seed2))
+
+
+cp_attn_block_wd.defvjp(_ab_fwd_wd_rule, _ab_bwd_wd_rule)

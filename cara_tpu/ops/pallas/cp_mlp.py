@@ -1,0 +1,489 @@
+"""MLP block megakernel: ``LN -> fc1+CP-delta -> GELU -> fc2+CP-delta``
+in ONE ``pallas_call``.
+
+Why this kernel exists (docs/DESIGN.md section 8): the v5e forward is
+activation-traffic bound.  In the two-kernel fused stack the post-GELU
+activation ``h`` (B, N, 4E) round-trips HBM between the fc1 and fc2 kernels
+— 200 MB/layer at ViT-B bs64 — and the backward streams it twice more.
+Here ``h`` lives and dies in VMEM: per m-tile the kernel normalizes the
+raw residual rows, runs both GEMMs plus both rank-r CP delta chains
+(reference math ``src/cara/cara.py:72-93`` — up-delta transposed, down-delta
+untransposed, both biased and scaled), and writes only the (bm, E) output.
+Per layer the forward touches ``x`` (25 MB), the weights (9.4 MB) and the
+output (25 MB) — nothing else.
+
+Backward (custom VJP, backbone frozen): one kernel recomputes
+LN/pre-activation/``h`` per m-tile from the kept ``x`` (flash-attention-style
+rematerialization — recompute is MXU-cheap, HBM is not), then produces dx
+(with the LayerNorm input-backward fused, frozen-LN zero cotangents) AND all
+four CP factor gradients by accumulating their rank-space contractions in
+VMEM across the sequential TPU grid.  ``x`` and ``g`` are each read from HBM
+exactly once; no (M, 4E) cotangent ever exists in HBM.
+
+The ``_wd`` variant carries exact element-wise weight dropout on the dense
+deltas (``cara.py:81,92`` semantics): the forward consumes per-site folded
+masked weights (see ``cp_dense._build_wd_weight``), and the backward
+accumulates the FULL per-site dense cotangents ``dT1 = LN(x)^T dpre`` and
+``dT2 = h^T g`` in VMEM scratch, applying the blocking-independent
+``hash_keep`` mask chunk-wise at the final grid step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cara_tpu.ops.pallas.cp_dense import (
+    _act_grad, _apply_act, _build_wd_weight, _f0, _fit_block, _ln_rows,
+    _pad_rank, _resolve_interpret, hash_keep)
+
+
+def _full(shape):
+    """BlockSpec for a grid-invariant operand (fetched once, stays in VMEM)."""
+    return pl.BlockSpec(shape, lambda mm: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _row(bm, width):
+    """BlockSpec streaming (bm, width) m-tiles down the grid."""
+    return pl.BlockSpec((bm, width), lambda mm: (mm, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _ln_input_bwd(x, dxa, ls, ln_eps):
+    """d(x) of LayerNorm given d(LN(x)) — frozen scale/bias (fp32 in/out)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xn = (xf - mu) * rstd
+    dyg = dxa * ls.astype(jnp.float32)
+    return rstd * (dyg - jnp.mean(dyg, axis=-1, keepdims=True)
+                   - xn * jnp.mean(dyg * xn, axis=-1, keepdims=True))
+
+
+def _recompute_h(x, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref, ls_ref, lb_ref,
+                 s, act, ln_eps):
+    """(xa, z1c, pre, h): the forward's VMEM intermediates for one m-tile."""
+    xa = _ln_rows(x, ls_ref[...], lb_ref[...], ln_eps)
+    z1 = jax.lax.dot(xa, u1_ref[...], preferred_element_type=jnp.float32)
+    z1c = z1.astype(xa.dtype)
+    d1 = jax.lax.dot(z1c, v1_ref[...], preferred_element_type=jnp.float32)
+    pre = (jax.lax.dot(xa, w1_ref[...], preferred_element_type=jnp.float32)
+           + b1_ref[...].astype(jnp.float32)
+           + s * (d1 + cb1_ref[...].astype(jnp.float32)))
+    h = _apply_act(pre, act).astype(xa.dtype)
+    return xa, z1c, pre, h
+
+
+def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref,
+                    w2_ref, b2_ref, u2_ref, v2_ref, cb2_ref,
+                    ls_ref, lb_ref, o_ref, *, s, act, ln_eps):
+    _, _, _, h = _recompute_h(
+        x_ref[...], w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref, ls_ref, lb_ref,
+        s, act, ln_eps)
+    z2 = jax.lax.dot(h, u2_ref[...], preferred_element_type=jnp.float32)
+    d2 = jax.lax.dot(z2.astype(h.dtype), v2_ref[...],
+                     preferred_element_type=jnp.float32)
+    y = (jax.lax.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+         + b2_ref[...].astype(jnp.float32)
+         + s * (d2 + cb2_ref[...].astype(jnp.float32)))
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _mlp_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref,
+                    w2_ref, u2_ref, v2_ref, ls_ref, lb_ref,
+                    dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
+                    ds1_ref, ds2_ref, *, s, act, ln_eps, nm):
+    mm = pl.program_id(0)
+
+    @pl.when(mm == 0)
+    def _init():
+        for ref in (du1_ref, dv1_ref, du2_ref, dv2_ref, ds1_ref, ds2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    xa, z1c, pre, h = _recompute_h(
+        x, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref, ls_ref, lb_ref,
+        s, act, ln_eps)
+
+    # fc2 backward: dh = g W2^T + s (g V2^T) U2^T, N-axis contracted in place.
+    gv2 = jax.lax.dot_general(g, v2_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    gv2c = gv2.astype(g.dtype)
+    dh = (jax.lax.dot_general(g, w2_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+          + s * jax.lax.dot_general(gv2c, u2_ref[...],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
+    dpre = dh if act is None else dh * _act_grad(pre, act)
+    dprec = dpre.astype(g.dtype)
+
+    # fc1 backward + fused LayerNorm input-backward.
+    gv1 = jax.lax.dot_general(dprec, v1_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    gv1c = gv1.astype(g.dtype)
+    dxa = (jax.lax.dot_general(dprec, w1_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + s * jax.lax.dot_general(gv1c, u1_ref[...],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32))
+    dx_ref[...] = _ln_input_bwd(x, dxa, ls_ref[...], ln_eps).astype(
+        dx_ref.dtype)
+
+    # Factor gradients: rank-space contractions accumulated across the
+    # sequential grid directly in the (grid-invariant) fp32 output blocks.
+    # The caller applies the trailing *s.
+    du1_ref[...] += jax.lax.dot_general(xa, gv1c, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dv1_ref[...] += jax.lax.dot_general(z1c, dprec, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    du2_ref[...] += jax.lax.dot_general(h, gv2c, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    z2 = jax.lax.dot(h, u2_ref[...], preferred_element_type=jnp.float32)
+    dv2_ref[...] += jax.lax.dot_general(z2.astype(h.dtype), g,
+                                        (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    ds1_ref[...] += jnp.sum(dpre, axis=0, keepdims=True)
+    ds2_ref[...] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def _pad_m(arrs, bm):
+    """Zero-pad the leading (row) axis to a multiple of ``bm``.
+
+    Zero g rows zero every gradient contribution (dpre = 0 rows), so the
+    grid-accumulated factor grads stay exact on ragged M; padded dx/out rows
+    are sliced off by the caller.
+    """
+    m = arrs[0].shape[0]
+    mp = pl.cdiv(m, bm) * bm
+    if mp == m:
+        return arrs, m
+    return [jnp.pad(a, ((0, mp - m), (0, 0))) for a in arrs], m
+
+
+def _mlp_fwd_raw(x2, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+                 s, bm, interpret, act, ln_eps):
+    k, n1 = w1.shape
+    e = w2.shape[1]
+    u1, v1 = _pad_rank(u1, v1)
+    u2, v2 = _pad_rank(u2, v2)
+    rp1, rp2 = u1.shape[1], u2.shape[1]
+    (x2,), m = _pad_m([x2], bm)
+    nm = x2.shape[0] // bm
+    out = pl.pallas_call(
+        functools.partial(_mlp_fwd_kernel, s=s, act=act, ln_eps=ln_eps),
+        grid=(nm,),
+        in_specs=[
+            _row(bm, k),
+            _full((k, n1)), _full((1, n1)), _full((k, rp1)),
+            _full((rp1, n1)), _full((1, n1)),
+            _full((n1, e)), _full((1, e)), _full((n1, rp2)),
+            _full((rp2, e)), _full((1, e)),
+            _full((1, k)), _full((1, k)),
+        ],
+        out_specs=_row(bm, e),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], e), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=_resolve_interpret(interpret),
+    )(x2, w1, b1.reshape(1, n1), u1, v1, cb1.reshape(1, n1),
+      w2, b2.reshape(1, e), u2, v2, cb2.reshape(1, e),
+      ls.reshape(1, k), lb.reshape(1, k))
+    return out[:m]
+
+
+def _mlp_bwd_raw(x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb,
+                 s, bm, interpret, act, ln_eps):
+    k, n1 = w1.shape
+    e = w2.shape[1]
+    r1, r2 = u1.shape[1], v2.shape[0]
+    u1, v1 = _pad_rank(u1, v1)
+    u2, v2 = _pad_rank(u2, v2)
+    rp1, rp2 = u1.shape[1], u2.shape[1]
+    (x2, g2), m = _pad_m([x2, g2], bm)
+    nm = x2.shape[0] // bm
+    dx, du1, dv1, du2, dv2, ds1, ds2 = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, s=s, act=act, ln_eps=ln_eps,
+                          nm=nm),
+        grid=(nm,),
+        in_specs=[
+            _row(bm, k), _row(bm, e),
+            _full((k, n1)), _full((1, n1)), _full((k, rp1)),
+            _full((rp1, n1)), _full((1, n1)),
+            _full((n1, e)), _full((n1, rp2)), _full((rp2, e)),
+            _full((1, k)), _full((1, k)),
+        ],
+        out_specs=(
+            _row(bm, k),
+            _full((k, rp1)), _full((rp1, n1)),
+            _full((n1, rp2)), _full((rp2, e)),
+            _full((1, n1)), _full((1, e)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x2.shape[0], k), g2.dtype),
+            jax.ShapeDtypeStruct((k, rp1), jnp.float32),
+            jax.ShapeDtypeStruct((rp1, n1), jnp.float32),
+            jax.ShapeDtypeStruct((n1, rp2), jnp.float32),
+            jax.ShapeDtypeStruct((rp2, e), jnp.float32),
+            jax.ShapeDtypeStruct((1, n1), jnp.float32),
+            jax.ShapeDtypeStruct((1, e), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=_resolve_interpret(interpret),
+    )(x2, g2, w1, b1.reshape(1, n1), u1, v1, cb1.reshape(1, n1),
+      w2, u2, v2, ls.reshape(1, k), lb.reshape(1, k))
+    return (dx[:m], s * du1[:, :r1], s * dv1[:r1],
+            s * du2[:, :r2], s * dv2[:r2], ds1[0], ds2[0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
+def cp_mlp_block(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
+                 ln_scale, ln_bias, s: float, bm: int = 256,
+                 interpret: Optional[bool] = None, act: str = "gelu",
+                 ln_eps: float = 1e-6):
+    """``(act(LN(x)@W1 + b1 + s*((LN(x)@U1)@V1 + cb1))) @ W2 + b2 +
+    s*((h@U2)@V2 + cb2)`` — the full CaRA MLP block
+    (``src/cara/cara.py:72-93``) in one kernel; the (M, 4E) hidden
+    activation never exists in HBM, forward or backward.
+
+    The residual add / drop-path stay outside (they consume the raw ``x``
+    stream the caller already holds).  Requires zero activation dropout
+    between the GEMMs (the ViT default).
+    """
+    out, _ = _mlp_fwd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
+                      ln_scale, ln_bias, s, bm, interpret, act, ln_eps)
+    return out
+
+
+def _mlp_fwd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+             s, bm, interpret, act, ln_eps):
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    out = _mlp_fwd_raw(x2, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+                       s, bm, interpret, act, ln_eps)
+    return (out.reshape(*lead, w2.shape[1]),
+            (x2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb, lead))
+
+
+def _mlp_fwd_rule(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+                  s, bm, interpret, act, ln_eps):
+    return _mlp_fwd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+                    s, bm, interpret, act, ln_eps)
+
+
+def _mlp_bwd_rule(s, bm, interpret, act, ln_eps, res, g):
+    x2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb, lead = res
+    k = w1.shape[0]
+    e = w2.shape[1]
+    g2 = g.reshape(-1, e)
+    dx, du1, dv1, du2, dv2, ds1, ds2 = _mlp_bwd_raw(
+        x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb,
+        s, bm, interpret, act, ln_eps)
+    dt = g.dtype
+    # Backbone W1/W2/LN are frozen by construction (CaRA trains factors +
+    # biases only); their cotangents are explicit zeros, as in cp_dense_ln.
+    return (dx.reshape(*lead, k).astype(dt),
+            jnp.zeros_like(w1), ds1.astype(dt),
+            du1.astype(dt), dv1.astype(dt), (s * ds1).astype(dt),
+            jnp.zeros_like(w2), ds2.astype(dt),
+            du2.astype(dt), dv2.astype(dt), (s * ds2).astype(dt),
+            jnp.zeros_like(ls), jnp.zeros_like(lb))
+
+
+cp_mlp_block.defvjp(_mlp_fwd_rule, _mlp_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Element-wise weight-dropout variant (exact cara.py:81,92 semantics).
+# ---------------------------------------------------------------------------
+
+
+def _mlp_bwd_wd_kernel(x_ref, g_ref, w1p_ref, b1_ref, cb1_ref, w2p_ref,
+                       u1_ref, v1_ref, u2_ref, v2_ref, ls_ref, lb_ref,
+                       seed1_ref, seed2_ref,
+                       dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
+                       ds1_ref, ds2_ref, dt1_ref, dt2_ref,
+                       *, s, drop_rate, act, ln_eps, nm, chunk1, chunk2):
+    """Backward with folded masked weights: the dense per-site cotangents
+    ``dT1 = xa^T dpre`` (K, 4E) and ``dT2 = h^T g`` (4E, E) accumulate in
+    VMEM scratch across the grid; the mask is applied chunk-wise at the last
+    step (the (K, N) planes and the hash are touched once per step)."""
+    mm = pl.program_id(0)
+
+    @pl.when(mm == 0)
+    def _init():
+        for ref in (du1_ref, dv1_ref, du2_ref, dv2_ref, ds1_ref, ds2_ref,
+                    dt1_ref, dt2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    # Forward recompute against the folded weights (delta already inside
+    # w1p/w2p; the s*cb bias terms remain explicit).
+    xa = _ln_rows(x, ls_ref[...], lb_ref[...], ln_eps)
+    pre = (jax.lax.dot(xa, w1p_ref[...], preferred_element_type=jnp.float32)
+           + b1_ref[...].astype(jnp.float32)
+           + s * cb1_ref[...].astype(jnp.float32))
+    h = _apply_act(pre, act).astype(xa.dtype)
+
+    dh = jax.lax.dot_general(g, w2p_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpre = dh if act is None else dh * _act_grad(pre, act)
+    dprec = dpre.astype(g.dtype)
+    dxa = jax.lax.dot_general(dprec, w1p_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx_ref[...] = _ln_input_bwd(x, dxa, ls_ref[...], ln_eps).astype(
+        dx_ref.dtype)
+
+    dt1_ref[...] += jax.lax.dot_general(xa, dprec, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dt2_ref[...] += jax.lax.dot_general(h, g, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    ds1_ref[...] += jnp.sum(dpre, axis=0, keepdims=True)
+    ds2_ref[...] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(mm == nm - 1)
+    def _finish():
+        inv = s / (1.0 - drop_rate)
+
+        def _site(dt_ref, u_ref, v_ref, seed, du_ref, dv_ref, chunk):
+            kk, nn = dt_ref.shape
+            for c in range(0, nn, chunk):
+                keep = hash_keep(0, c, kk, chunk, seed, drop_rate)
+                dtc = jnp.where(keep, dt_ref[:, c:c + chunk] * inv,
+                                0.0).astype(x_ref.dtype)
+                du_ref[...] += jax.lax.dot_general(
+                    dtc, v_ref[:, c:c + chunk], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dv_ref[:, c:c + chunk] = jax.lax.dot_general(
+                    u_ref[...], dtc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+        _site(dt1_ref, u1_ref, v1_ref, seed1_ref[0, 0], du1_ref, dv1_ref,
+              chunk1)
+        _site(dt2_ref, u2_ref, v2_ref, seed2_ref[0, 0], du2_ref, dv2_ref,
+              chunk2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20))
+def cp_mlp_block_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
+                    ln_scale, ln_bias, seed1, seed2, s: float,
+                    drop_rate: float, bm: int = 256,
+                    interpret: Optional[bool] = None, act: str = "gelu",
+                    ln_eps: float = 1e-6):
+    """cp_mlp_block with EXACT element-wise weight dropout on both dense
+    deltas (reference semantics ``cara.py:81,92``); per-site masks derive
+    from ``seed1``/``seed2`` (int32 scalar arrays) via ``hash_keep``."""
+    out, _ = _mlp_fwd_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
+                         ln_scale, ln_bias, seed1, seed2, s, drop_rate, bm,
+                         interpret, act, ln_eps)
+    return out
+
+
+def _zero_uv1(k, n, dtype):
+    return jnp.zeros((k, 1), dtype), jnp.zeros((1, n), dtype)
+
+
+def _mlp_fwd_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+                seed1, seed2, s, drop_rate, bm, interpret, act, ln_eps):
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n1, e = w1.shape[1], w2.shape[1]
+    x2 = x.reshape(-1, k)
+    w1p = _build_wd_weight(w1, u1, v1, seed1, s, drop_rate, interpret)
+    w2p = _build_wd_weight(w2, u2, v2, seed2, s, drop_rate, interpret)
+    u0a, v0a = _zero_uv1(k, n1, x.dtype)
+    u0b, v0b = _zero_uv1(n1, e, x.dtype)
+    out = _mlp_fwd_raw(x2, w1p, b1, u0a, v0a, cb1, w2p, b2, u0b, v0b, cb2,
+                       ls, lb, s, bm, interpret, act, ln_eps)
+    return (out.reshape(*lead, e),
+            (x2, w1p, b1, u1, v1, cb1, w2p, u2, v2, ls, lb, seed1, seed2,
+             lead))
+
+
+def _mlp_fwd_wd_rule(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+                     seed1, seed2, s, drop_rate, bm, interpret, act, ln_eps):
+    return _mlp_fwd_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+                       seed1, seed2, s, drop_rate, bm, interpret, act,
+                       ln_eps)
+
+
+def _mlp_bwd_wd_rule(s, drop_rate, bm, interpret, act, ln_eps, res, g):
+    (x2, w1p, b1, u1, v1, cb1, w2p, u2, v2, ls, lb, seed1, seed2,
+     lead) = res
+    k, n1 = w1p.shape
+    e = w2p.shape[1]
+    r1, r2 = u1.shape[1], v2.shape[0]
+    u1p, v1p = _pad_rank(u1, v1)
+    u2p, v2p = _pad_rank(u2, v2)
+    rp1, rp2 = u1p.shape[1], u2p.shape[1]
+    g2 = g.reshape(-1, e)
+    (x2p, g2p), m = _pad_m([x2, g2], bm)
+    nm = x2p.shape[0] // bm
+    dx, du1, dv1, du2, dv2, ds1, ds2 = pl.pallas_call(
+        functools.partial(
+            _mlp_bwd_wd_kernel, s=s, drop_rate=drop_rate, act=act,
+            ln_eps=ln_eps, nm=nm, chunk1=_fit_block(n1, 512),
+            chunk2=_fit_block(e, 512)),
+        grid=(nm,),
+        in_specs=[
+            _row(bm, k), _row(bm, e),
+            _full((k, n1)), _full((1, n1)), _full((1, n1)),
+            _full((n1, e)),
+            _full((k, rp1)), _full((rp1, n1)),
+            _full((n1, rp2)), _full((rp2, e)),
+            _full((1, k)), _full((1, k)),
+            pl.BlockSpec((1, 1), lambda mm: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda mm: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            _row(bm, k),
+            _full((k, rp1)), _full((rp1, n1)),
+            _full((n1, rp2)), _full((rp2, e)),
+            _full((1, n1)), _full((1, e)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x2p.shape[0], k), g2.dtype),
+            jax.ShapeDtypeStruct((k, rp1), jnp.float32),
+            jax.ShapeDtypeStruct((rp1, n1), jnp.float32),
+            jax.ShapeDtypeStruct((n1, rp2), jnp.float32),
+            jax.ShapeDtypeStruct((rp2, e), jnp.float32),
+            jax.ShapeDtypeStruct((1, n1), jnp.float32),
+            jax.ShapeDtypeStruct((1, e), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, n1), jnp.float32),
+            pltpu.VMEM((n1, e), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 2 ** 20),
+        interpret=_resolve_interpret(interpret),
+    )(x2p, g2p, w1p, b1.reshape(1, n1), cb1.reshape(1, n1), w2p,
+      u1p, v1p, u2p, v2p, ls.reshape(1, k), lb.reshape(1, k),
+      seed1.reshape(1, 1), seed2.reshape(1, 1))
+    dt = g.dtype
+    return (dx[:m].reshape(*lead, k).astype(dt),
+            jnp.zeros_like(w1p), ds1[0].astype(dt),
+            du1[:, :r1].astype(dt), dv1[:r1].astype(dt),
+            (s * ds1[0]).astype(dt),
+            jnp.zeros_like(w2p), ds2[0].astype(dt),
+            du2[:, :r2].astype(dt), dv2[:r2].astype(dt),
+            (s * ds2[0]).astype(dt),
+            jnp.zeros_like(ls), jnp.zeros_like(lb), _f0(seed1), _f0(seed2))
+
+
+cp_mlp_block_wd.defvjp(_mlp_fwd_wd_rule, _mlp_bwd_wd_rule)
