@@ -63,21 +63,42 @@ def _augment_decode_pil(path: str, size: int, rng: np.random.RandomState):
 
 
 class AugmentedFileListSource(FileListSource):
-    """FileListSource with train-time augmentation (PIL path)."""
+    """FileListSource with train-time augmentation.
 
-    def __init__(self, root, flist, image_size=224, num_workers=8, seed=0):
+    ``backend="auto"`` uses the native C++ RRC path (crop sampled in C++,
+    PIL-parity bicubic, flip + normalize fused — one call per batch);
+    PIL is the fallback, same distribution.
+    """
+
+    def __init__(self, root, flist, image_size=224, num_workers=8, seed=0,
+                 backend: str = "auto"):
         super().__init__(root, flist, image_size, num_workers,
-                         backend="pil")
+                         backend="pil" if backend == "pil" else backend)
         self._rng = np.random.RandomState(seed)
         self._lock = __import__("threading").Lock()
 
     def load(self, idx: int) -> np.ndarray:
         path = os.path.join(self.root, self.items[idx][0])
         with self._lock:
-            # Hand each decode its own derived seed; PIL work happens outside
-            # the lock in the thread pool via the child RandomState.
-            child = np.random.RandomState(self._rng.randint(2 ** 31))
+            # Hand each decode its own derived seed; decode work happens
+            # outside the lock in the thread pool.
+            if self._native is not None:
+                seed = np.uint64(self._rng.randint(2 ** 63))
+            else:
+                child = np.random.RandomState(self._rng.randint(2 ** 31))
+        if self._native is not None:
+            return self._native.decode_batch_rrc(
+                [path], np.asarray([seed], np.uint64))[0]
         return normalize(_augment_decode_pil(path, self.image_size, child))
+
+    def load_batch(self, indices) -> np.ndarray:
+        if self._native is None:
+            raise AttributeError("no native batch path")
+        paths = [os.path.join(self.root, self.items[i][0]) for i in indices]
+        with self._lock:
+            seeds = self._rng.randint(
+                2 ** 63, size=len(paths)).astype(np.uint64)
+        return self._native.decode_batch_rrc(paths, seeds)
 
 
 def get_data(

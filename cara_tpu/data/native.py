@@ -73,6 +73,12 @@ def get_lib():
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
             ]
+            lib.cara_loader_decode_batch_rrc.restype = ctypes.c_int
+            lib.cara_loader_decode_batch_rrc.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ]
             _LIB = lib
         except Exception as exc:  # no compiler / libs -> PIL fallback
             _LIB_ERR = str(exc)
@@ -124,6 +130,29 @@ class NativeBatchDecoder:
         fails = self._lib.cara_loader_decode_batch_u8(
             self._handle, arr, n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), statuses)
+        if fails:
+            bad = [paths[i] for i in range(n) if statuses[i]]
+            raise IOError(f"failed to decode {fails} image(s), e.g. {bad[:3]}")
+        return out
+
+    def decode_batch_rrc(self, paths: List[str],
+                         seeds: np.ndarray) -> np.ndarray:
+        """Train augmentation: random resized crop (torchvision parameters,
+        crop sampled in C++ from splitmix64(seed) per image) + horizontal
+        flip + normalize — the FGVC training transform without any
+        per-image Python work."""
+        n = len(paths)
+        s = self.image_size
+        seeds = np.ascontiguousarray(seeds, np.uint64)
+        if seeds.shape != (n,):
+            raise ValueError(f"need {n} seeds, got {seeds.shape}")
+        out = np.empty((n, s, s, 3), np.float32)
+        statuses = (ctypes.c_int * n)()
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        fails = self._lib.cara_loader_decode_batch_rrc(
+            self._handle, arr, n,
+            seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), statuses)
         if fails:
             bad = [paths[i] for i in range(n) if statuses[i]]
             raise IOError(f"failed to decode {fails} image(s), e.g. {bad[:3]}")

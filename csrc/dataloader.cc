@@ -196,16 +196,21 @@ inline uint8_t clip8(double v) {
   return uint8_t(r);
 }
 
-// Resize h*w*3 uint8 -> out*out*3 uint8.  Matches PIL semantics: separable
-// passes with the intermediate image rounded+clipped back to uint8 (PIL
-// resamples 8bpc images pass-by-pass in fixed point).
-void resize_bicubic(const Image& img, int out_size, std::vector<uint8_t>* out) {
-  Weights wx = precompute(img.w, out_size);
-  Weights wy = precompute(img.h, out_size);
-  // Horizontal pass: (h, w, 3) -> (h, out, 3), clipped to uint8 like PIL.
-  std::vector<uint8_t> tmp(size_t(img.h) * out_size * 3);
-  for (int y = 0; y < img.h; ++y) {
-    const uint8_t* row = img.rgb.data() + size_t(y) * img.w * 3;
+// Resize a (cw, ch) crop at (x0, y0) of h*w*3 uint8 -> out*out*3 uint8.
+// Identical to PIL crop(box).resize(bicubic): the kernels are computed in
+// crop-local coordinates, so clamping happens at the crop edges.  Matches
+// PIL semantics: separable passes with the intermediate image
+// rounded+clipped back to uint8 (PIL resamples 8bpc pass-by-pass in fixed
+// point).
+void resize_bicubic_box(const Image& img, int x0, int y0, int cw, int ch,
+                        int out_size, std::vector<uint8_t>* out) {
+  Weights wx = precompute(cw, out_size);
+  Weights wy = precompute(ch, out_size);
+  // Horizontal pass: (ch, cw, 3) -> (ch, out, 3), clipped to uint8 like PIL.
+  std::vector<uint8_t> tmp(size_t(ch) * out_size * 3);
+  for (int y = 0; y < ch; ++y) {
+    const uint8_t* row =
+        img.rgb.data() + size_t(y0 + y) * img.w * 3 + size_t(x0) * 3;
     uint8_t* trow = tmp.data() + size_t(y) * out_size * 3;
     for (int xx = 0; xx < out_size; ++xx) {
       int xmin = wx.bounds[xx * 2], xcount = wx.bounds[xx * 2 + 1];
@@ -222,7 +227,7 @@ void resize_bicubic(const Image& img, int out_size, std::vector<uint8_t>* out) {
       trow[xx * 3 + 2] = clip8(acc[2]);
     }
   }
-  // Vertical pass: (h, out, 3) -> (out, out, 3).
+  // Vertical pass: (ch, out, 3) -> (out, out, 3).
   out->assign(size_t(out_size) * out_size * 3, 0);
   std::vector<double> acc(size_t(out_size) * 3);
   for (int yy = 0; yy < out_size; ++yy) {
@@ -236,6 +241,67 @@ void resize_bicubic(const Image& img, int out_size, std::vector<uint8_t>* out) {
     }
     uint8_t* orow = out->data() + size_t(yy) * out_size * 3;
     for (int x = 0; x < out_size * 3; ++x) orow[x] = clip8(acc[x]);
+  }
+}
+
+void resize_bicubic(const Image& img, int out_size, std::vector<uint8_t>* out) {
+  resize_bicubic_box(img, 0, 0, img.w, img.h, out_size, out);
+}
+
+// ---------------------------------------------------------------------------
+// Random resized crop (FGVC train augmentation)
+// ---------------------------------------------------------------------------
+
+// Deterministic counter-free generator (splitmix64): chosen over std::mt19937
+// so the Python test suite can replicate the exact draw sequence and verify
+// the sampled crop against a PIL crop+resize reference.
+struct SplitMix64 {
+  uint64_t s;
+  explicit SplitMix64(uint64_t seed) : s(seed) {}
+  uint64_t next_u64() {
+    s += 0x9E3779B97F4A7C15ULL;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+  }
+  double next_double() {  // uniform [0, 1)
+    return double(next_u64() >> 11) * 0x1.0p-53;
+  }
+};
+
+// torchvision RandomResizedCrop.get_params semantics: 10 attempts at
+// scale U(0.08, 1.0) of the area and log-uniform aspect in [3/4, 4/3];
+// fall back to the full image (matching the PIL path in data/fgvc.py).
+// A final draw decides the horizontal flip (applied after the resize).
+void sample_rrc(SplitMix64* rng, int w, int h, int* x0, int* y0, int* cw,
+                int* ch, bool* flip) {
+  *x0 = 0; *y0 = 0; *cw = w; *ch = h;
+  double area = double(w) * h;
+  const double log_lo = std::log(3.0 / 4.0), log_hi = std::log(4.0 / 3.0);
+  for (int i = 0; i < 10; ++i) {
+    double target = (0.08 + rng->next_double() * (1.0 - 0.08)) * area;
+    double ar = std::exp(log_lo + rng->next_double() * (log_hi - log_lo));
+    int tw = int(lround(std::sqrt(target * ar)));
+    int th = int(lround(std::sqrt(target / ar)));
+    if (tw > 0 && tw <= w && th > 0 && th <= h) {
+      *x0 = int(rng->next_double() * (w - tw + 1));
+      *y0 = int(rng->next_double() * (h - th + 1));
+      *cw = tw;
+      *ch = th;
+      break;
+    }
+  }
+  *flip = rng->next_double() < 0.5;
+}
+
+void hflip_u8(std::vector<uint8_t>* img, int size) {
+  for (int y = 0; y < size; ++y) {
+    uint8_t* row = img->data() + size_t(y) * size * 3;
+    for (int x = 0; x < size / 2; ++x) {
+      for (int c = 0; c < 3; ++c)
+        std::swap(row[x * 3 + c], row[(size - 1 - x) * 3 + c]);
+    }
   }
 }
 
@@ -306,6 +372,9 @@ bool decode_resize(Loader* L, const char* path, std::vector<uint8_t>* out) {
   return true;
 }
 
+void normalize_to(const Loader* L, const std::vector<uint8_t>& resized,
+                  float* dst);
+
 void process_one(Loader* L, const char* path, float* dst, int* status) {
   std::vector<uint8_t> resized;
   if (!decode_resize(L, path, &resized)) {
@@ -313,6 +382,12 @@ void process_one(Loader* L, const char* path, float* dst, int* status) {
     std::memset(dst, 0, sizeof(float) * size_t(L->image_size) * L->image_size * 3);
     return;
   }
+  normalize_to(L, resized, dst);
+  *status = 0;
+}
+
+void normalize_to(const Loader* L, const std::vector<uint8_t>& resized,
+                  float* dst) {
   // Fused ToTensor + Normalize via a per-channel 256-entry LUT.
   float lut[3][256];
   for (int c = 0; c < 3; ++c)
@@ -324,6 +399,25 @@ void process_one(Loader* L, const char* path, float* dst, int* status) {
     dst[i * 3 + 1] = lut[1][resized[i * 3 + 1]];
     dst[i * 3 + 2] = lut[2][resized[i * 3 + 2]];
   }
+}
+
+void process_one_rrc(Loader* L, const char* path, uint64_t seed, float* dst,
+                     int* status) {
+  Image img;
+  if (!decode_file(path, &img) || img.w < 1 || img.h < 1) {
+    *status = 1;
+    std::memset(dst, 0,
+                sizeof(float) * size_t(L->image_size) * L->image_size * 3);
+    return;
+  }
+  SplitMix64 rng(seed);
+  int x0, y0, cw, ch;
+  bool flip;
+  sample_rrc(&rng, img.w, img.h, &x0, &y0, &cw, &ch, &flip);
+  std::vector<uint8_t> resized;
+  resize_bicubic_box(img, x0, y0, cw, ch, L->image_size, &resized);
+  if (flip) hflip_u8(&resized, L->image_size);
+  normalize_to(L, resized, dst);
   *status = 0;
 }
 
@@ -363,6 +457,37 @@ int cara_loader_decode_batch(void* p, const char** paths, int n, float* out,
     L->pool.submit([L, path = std::string(paths[i]), dst = out + i * stride,
                     st = statuses + i, &remaining, &mu, &cv] {
       process_one(L, path.c_str(), dst, st);
+      if (remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> g(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return remaining.load() == 0; });
+  int fails = 0;
+  for (int i = 0; i < n; ++i) fails += statuses[i];
+  return fails;
+}
+
+// Random-resized-crop + horizontal-flip train augmentation (FGVC suite):
+// per-image crop sampled in C++ from splitmix64(seeds[i]) with torchvision
+// RandomResizedCrop parameters (scale 0.08-1.0, aspect 3/4-4/3, 10
+// attempts, full-image fallback), PIL-parity bicubic resize of the crop,
+// flip after resize, fused normalization.  seeds: n uint64s.
+int cara_loader_decode_batch_rrc(void* p, const char** paths, int n,
+                                 const uint64_t* seeds, float* out,
+                                 int* statuses) {
+  auto* L = static_cast<Loader*>(p);
+  std::atomic<int> remaining(n);
+  std::mutex mu;
+  std::condition_variable cv;
+  size_t stride = size_t(L->image_size) * L->image_size * 3;
+  for (int i = 0; i < n; ++i) {
+    L->pool.submit([L, path = std::string(paths[i]), seed = seeds[i],
+                    dst = out + i * stride, st = statuses + i, &remaining,
+                    &mu, &cv] {
+      process_one_rrc(L, path.c_str(), seed, dst, st);
       if (remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> g(mu);
         cv.notify_one();

@@ -70,3 +70,105 @@ def test_pipeline_uses_native(image_dir, tmp_path):
     batches = list(iter(loader))
     assert batches[0]["image"].shape == (3, 24, 24, 3)
     assert batches[-1]["valid"].sum() == 1  # 4 images: 3 + 1 padded
+
+
+# --- Random-resized-crop augmentation (FGVC train path) ---------------------
+
+
+def _splitmix64(seed):
+    """Python replica of the C++ SplitMix64 (csrc/dataloader.cc)."""
+    mask = (1 << 64) - 1
+    state = [int(seed) & mask]
+
+    def next_u64():
+        state[0] = (state[0] + 0x9E3779B97F4A7C15) & mask
+        z = state[0]
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    def next_double():
+        return (next_u64() >> 11) * (2.0 ** -53)
+
+    return next_double
+
+
+def _expected_rrc(seed, w, h):
+    """Replicates csrc sample_rrc: the exact crop rect + flip for a seed."""
+    nd = _splitmix64(seed)
+    x0, y0, cw, ch = 0, 0, w, h
+    area = float(w * h)
+    for _ in range(10):
+        target = (0.08 + nd() * 0.92) * area
+        ar = np.exp(np.log(3 / 4) + nd() * (np.log(4 / 3) - np.log(3 / 4)))
+        tw = int(round(np.sqrt(target * ar)))
+        th = int(round(np.sqrt(target / ar)))
+        if 0 < tw <= w and 0 < th <= h:
+            x0 = int(nd() * (w - tw + 1))
+            y0 = int(nd() * (h - th + 1))
+            cw, ch = tw, th
+            break
+    flip = nd() < 0.5
+    return x0, y0, cw, ch, flip
+
+
+def test_rrc_matches_pil_crop_resize(image_dir):
+    """decode_batch_rrc == PIL crop(predicted rect) -> bicubic -> flip ->
+    normalize, for several seeds (verifies both the sampling replica and
+    the box-resize parity)."""
+    from PIL import Image
+
+    size = 32
+    dec = native.NativeBatchDecoder(image_size=size, num_threads=2)
+    path = image_dir[1]  # PNG: lossless, exact decode
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        for seed in (1, 7, 123456789, 2 ** 62 + 5):
+            got = dec.decode_batch_rrc(
+                [path], np.asarray([seed], np.uint64))[0]
+            x0, y0, cw, ch, flip = _expected_rrc(seed, w, h)
+            ref = im.crop((x0, y0, x0 + cw, y0 + ch)).resize(
+                (size, size), Image.BICUBIC)
+            arr = np.asarray(ref, np.float32) / 255.0
+            if flip:
+                arr = arr[:, ::-1]
+            ref_n = vtab_lib.normalize(np.ascontiguousarray(arr))
+            diff = np.abs(got - ref_n)
+            assert diff.max() < 0.1, (seed, (x0, y0, cw, ch, flip),
+                                      diff.max())
+            assert np.mean(diff) < 0.02, seed
+
+
+def test_rrc_seeds_vary_and_are_deterministic(image_dir):
+    dec = native.NativeBatchDecoder(image_size=32, num_threads=2)
+    paths = [image_dir[1]] * 4
+    seeds = np.asarray([5, 5, 9, 10], np.uint64)
+    b1 = dec.decode_batch_rrc(paths, seeds)
+    b2 = dec.decode_batch_rrc(paths, seeds)
+    np.testing.assert_array_equal(b1, b2)          # deterministic per seed
+    np.testing.assert_array_equal(b1[0], b1[1])    # same seed -> same crop
+    assert np.abs(b1[0] - b1[2]).max() > 1e-3      # different seed -> differs
+
+
+def test_augmented_source_native_batch(image_dir, tmp_path):
+    """AugmentedFileListSource uses the native RRC batch path end-to-end."""
+    import os
+
+    from cara_tpu.data.fgvc import AugmentedFileListSource
+
+    flist = tmp_path / "train.txt"
+    with open(flist, "w") as f:
+        for i, p in enumerate(image_dir):
+            f.write(f"{os.path.basename(p)} {i % 2}\n")
+    src = AugmentedFileListSource(
+        os.path.dirname(image_dir[0]), str(flist), image_size=32,
+        num_workers=2, seed=3)
+    assert src._native is not None
+    batch = src.load_batch([0, 1, 2, 3])
+    assert batch.shape == (4, 32, 32, 3)
+    one = src.load(0)
+    assert one.shape == (32, 32, 3)
+    # Augmentation is stochastic across draws of the source RNG.
+    two = src.load(0)
+    assert np.abs(one - two).max() > 1e-3
