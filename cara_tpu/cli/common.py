@@ -109,5 +109,9 @@ def setup_runtime(args) -> None:
             jax.distributed.initialize()
     if args.nan_check:
         jax.config.update("jax_debug_nans", True)
-    if getattr(args, "compilation_cache", None):
-        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
+    # Persistent compilation cache, ON by default (CARA_JIT_CACHE=0 or
+    # --compilation-cache to override) — see utils/jit_cache.py for why the
+    # persistence thresholds must be zeroed on the tunneled backend.
+    from cara_tpu.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache(getattr(args, "compilation_cache", None))

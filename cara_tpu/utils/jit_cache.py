@@ -1,0 +1,39 @@
+"""Persistent XLA compilation-cache helper.
+
+Round-1 finding (docs/NEXT_ROUND.md item 10): ``.jax_cache`` never
+populated through the remote compile service, so every fresh process paid
+the full 1-5 minute compile.  Root cause: the tunneled backend compiles in
+a remote service, so JAX's *local* compile-time measurement is ~0 seconds
+and the default ``jax_persistent_cache_min_compile_time_secs = 1.0``
+rejected every entry.  Forcing both persistence thresholds to zero makes
+the cache work: measured 224.7 s cold -> 20.8 s warm start for a toy jit
+on the tunneled v5e (2026-08-16).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+DEFAULT_DIR = os.path.expanduser("~/.cache/cara_tpu_xla")
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> str:
+    """Enable the persistent compilation cache (idempotent); returns dir.
+
+    Resolution order: explicit ``path`` > ``$CARA_JIT_CACHE`` >
+    ``~/.cache/cara_tpu_xla``.  Set ``CARA_JIT_CACHE=0`` to disable.
+    """
+    import jax
+
+    env = os.environ.get("CARA_JIT_CACHE")
+    if path is None and env == "0":
+        return ""
+    path = path or env or DEFAULT_DIR
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # The remote compile service hides compile latency from the local
+    # timer — persist everything unconditionally.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

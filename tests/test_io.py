@@ -279,3 +279,23 @@ def test_profiler_trace_smoke(tmp_path):
             jnp.ones((8, 8)).sum().block_until_ready()
     assert any((tmp_path / "prof").rglob("*.pb")) or \
         any((tmp_path / "prof").rglob("*.json.gz"))
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache sets dir + zeroes the persistence
+    thresholds (the tunneled backend reports ~0 local compile seconds, so
+    nonzero thresholds silently disable persistence)."""
+    import jax
+
+    from cara_tpu.utils.jit_cache import enable_compilation_cache
+
+    d = str(tmp_path / "cache")
+    got = enable_compilation_cache(d)
+    assert got == d
+    assert jax.config.jax_compilation_cache_dir == d
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+    assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
+    # CARA_JIT_CACHE=0 disables (explicit path still wins).
+    monkeypatch.setenv("CARA_JIT_CACHE", "0")
+    assert enable_compilation_cache() == ""
+    assert enable_compilation_cache(d) == d
