@@ -24,6 +24,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from cara_tpu.utils.jit_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def measure_inference(model_name: str, rank: int, batch_size: int,
                       steps: int, dtype, merged: bool) -> float:

@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from cara_tpu.utils.jit_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from cara_tpu import api  # noqa: E402
 from cara_tpu.models.vit import vit_forward  # noqa: E402
 from cara_tpu.train import steps as steps_lib  # noqa: E402

@@ -48,9 +48,45 @@ _ATTNPROJ = os.environ.get("CARA_ATTNPROJ", "0") == "1"
 
 # MLP block megakernel (LN2 -> fc1+delta -> GELU -> fc2+delta in one
 # pallas_call; the (B, N, 4E) hidden activation never exists in HBM, fwd or
-# bwd — docs/DESIGN.md section 8 roofline lever).  CARA_MLP_MEGA=0 falls
-# back to the two-kernel cp_dense stack.
+# bwd — docs/DESIGN.md section 8 roofline lever).  Paired A/B at bs64 rank8:
+# 92.6 vs 103.0 ms/step (element dropout), 75.0 vs 82.2 (rank).
+# CARA_MLP_MEGA=0 falls back to the two-kernel cp_dense stack.
 _MLP_MEGA = os.environ.get("CARA_MLP_MEGA", "1") == "1"
+
+# Attention block megakernel (LN1 -> qkv+delta -> attention -> proj+delta in
+# one pallas_call; qkv and attn_out never exist in HBM).  Unlike the rejected
+# attention+proj epilogue fusion its backward keeps only the raw x residual
+# and recomputes qkv in VMEM.  Paired A/B at bs64 rank8 (same session):
+# element dropout 86.8 vs 92.6 ms/step (WIN — the split path pays an extra
+# dT stream), rank dropout 75.7 vs 74.9 (slight loss — recompute FLOPs vs
+# the split path's cheap rank-space grads), eval fwd 24.9 vs 25.8.
+# Default "auto" = ON exactly for the element-dropout training path;
+# CARA_ATTN_MEGA=1/0 forces.
+_ATTN_MEGA = os.environ.get("CARA_ATTN_MEGA", "auto")
+
+
+def _attn_mega_on(use_elem: bool, training: bool) -> bool:
+    if isinstance(_ATTN_MEGA, bool):  # tests monkeypatch a bool
+        return _ATTN_MEGA
+    if _ATTN_MEGA == "1":
+        return True
+    if _ATTN_MEGA == "0":
+        return False
+    # auto: ON for eval forwards and element-dropout training; OFF only for
+    # rank-dropout training, where the split path's rank-space factor grads
+    # beat the megakernel's recompute (74.9 vs 75.7 ms).
+    return use_elem or not training
+
+
+def _dp_gate(rng, rate, b, dtype):
+    """Per-sample drop-path gate ``mask/keep`` (B, 1, 1); ones when ``rng``
+    is None (eval).  Mirrors ``ops.layers.drop_path`` so the megakernels can
+    fuse the residual + stochastic-depth add without leaving VMEM."""
+    if rng is None:
+        return jnp.ones((b, 1, 1), dtype)
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (b, 1, 1)).astype(dtype)
+    return mask / jnp.asarray(keep, dtype)
 
 
 def _trunc_normal(rng, shape, std, dtype):
@@ -231,8 +267,61 @@ def _block(
     fused_attn = attn_impl == "fused" and cfg.attn_dropout_rate == 0.0
     xa = None if fused_dense and fused_attn else layer_norm(
         x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
-    proj = None  # set directly by the attention+projection fused kernel
-    if fused_attn:
+    proj = None  # set directly by the attention megakernel / attnproj fusion
+    attn_mega = False
+    if (fused_dense and fused_attn
+            and _attn_mega_on(use_elem, key is not None)
+            and cfg.dropout_rate == 0.0):
+        from cara_tpu.ops.pallas.cp_attn_block import (
+            cp_attn_block, cp_attn_block_wd)
+        from cara_tpu.ops.pallas.fused_qkv_attention import (
+            MAX_NP_FULL_SCORES)
+
+        npad = -(-n // 128) * 128
+        attn_mega = npad <= MAX_NP_FULL_SCORES
+    if attn_mega:
+        # Whole attention half-block in ONE kernel (cara.py:25-58 + the
+        # Block residual): LN1, the qkv GEMM + CP delta, per-head
+        # attention, the projection GEMM + CP delta and the residual +
+        # drop-path add all run on resident VMEM tiles.
+        x_p = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0))) \
+            if npad != n else x
+        dpm = _dp_gate(k_dp1, dpr, b, x.dtype)
+        if use_elem:
+            u1, v1 = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg)
+            u2, v2 = cara_lib.rows_out_uv(
+                p1[0:1], cara_params["P2"], cara_params["P3"],
+                cara_params["R2"])
+            x = cp_attn_block_wd(
+                x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
+                u1.astype(x.dtype), v1.astype(x.dtype),
+                bp["proj"]["kernel"], bp["proj"]["bias"],
+                u2.astype(x.dtype), v2.astype(x.dtype),
+                cara_params["bias1"].astype(x.dtype),
+                bp["ln1_scale"], bp["ln1_bias"], dpm,
+                _wd_seed(k_wd_qkv), _wd_seed(k_wd_proj),
+                h, d ** -0.5, n, s, cara_cfg.weight_dropout, 2, None,
+                cfg.layernorm_eps)[:, :n, :]
+        else:
+            comp_q = cp_ops.weight_dropout_mask(
+                k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout,
+                x.dtype)
+            comp_p = cp_ops.weight_dropout_mask(
+                k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
+                x.dtype)
+            u1, v1 = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg, comp_q)
+            u2, v2 = cara_lib.rows_out_uv(
+                p1[0:1], cara_params["P2"], cara_params["P3"],
+                cara_params["R2"], comp_p)
+            x = cp_attn_block(
+                x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
+                u1.astype(x.dtype), v1.astype(x.dtype),
+                bp["proj"]["kernel"], bp["proj"]["bias"],
+                u2.astype(x.dtype), v2.astype(x.dtype),
+                cara_params["bias1"].astype(x.dtype),
+                bp["ln1_scale"], bp["ln1_bias"], dpm,
+                h, d ** -0.5, n, s, 2, None, cfg.layernorm_eps)[:, :n, :]
+    elif fused_attn:
         # Layout-native path: pad the token axis once, keep the qkv GEMM
         # output layout all the way through the Pallas kernel (no 5-D
         # transposes), slice back before the projection.  Past the
@@ -329,8 +418,8 @@ def _block(
                 q, k, v, d ** -0.5, cfg.attn_dropout_rate, k_attn
             )  # (B, N, E)
 
-    if proj is not None:
-        pass  # attention+projection already fused in one kernel above
+    if attn_mega or proj is not None:
+        pass  # attention (+ residual) already fused in one kernel above
     elif fused_dense:
         if use_elem:
             u, vmat = cara_lib.rows_out_uv(
@@ -369,8 +458,9 @@ def _block(
                 attn_out, p1[0:1], cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp)
         proj = proj + (pd + cara_params["bias1"]) * s  # cara.py:57-58
-    proj = dropout(proj, cfg.dropout_rate, k_do1)
-    x = x + drop_path(proj, dpr, k_dp1)
+    if not attn_mega:  # megakernel already emitted x + dpm*proj
+        proj = dropout(proj, cfg.dropout_rate, k_do1)
+        x = x + drop_path(proj, dpr, k_dp1)
 
     # --- MLP ---------------------------------------------------------------
     if use_cara:
@@ -382,6 +472,7 @@ def _block(
         # ViT default; nonzero rates use the two-kernel path below).
         from cara_tpu.ops.pallas.cp_mlp import cp_mlp_block, cp_mlp_block_wd
 
+        dpm = _dp_gate(k_dp2, dpr, b, x.dtype)
         if use_elem:
             u1, v1 = cara_lib.rows_out_uv(
                 p1_up, cara_params["P2"], cara_params["P3"],
@@ -389,14 +480,14 @@ def _block(
             u2, v2 = cara_lib.rows_in_uv(
                 p1_down, cara_params["P2"], cara_params["P3"],
                 cara_params["R2"])
-            down = cp_mlp_block_wd(
+            x = cp_mlp_block_wd(
                 x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
                 u1.astype(x.dtype), v1.astype(x.dtype),
                 cara_params["bias2"].astype(x.dtype),
                 bp["fc2"]["kernel"], bp["fc2"]["bias"],
                 u2.astype(x.dtype), v2.astype(x.dtype),
                 cara_params["bias3"].astype(x.dtype),
-                bp["ln2_scale"], bp["ln2_bias"],
+                bp["ln2_scale"], bp["ln2_bias"], dpm,
                 _wd_seed(k_wd_up), _wd_seed(k_wd_down),
                 s, cara_cfg.weight_dropout, 256, None, cfg.activation,
                 cfg.layernorm_eps)
@@ -412,17 +503,16 @@ def _block(
             u2, v2 = cara_lib.rows_in_uv(
                 p1_down, cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp_down)
-            down = cp_mlp_block(
+            x = cp_mlp_block(
                 x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
                 u1.astype(x.dtype), v1.astype(x.dtype),
                 cara_params["bias2"].astype(x.dtype),
                 bp["fc2"]["kernel"], bp["fc2"]["bias"],
                 u2.astype(x.dtype), v2.astype(x.dtype),
                 cara_params["bias3"].astype(x.dtype),
-                bp["ln2_scale"], bp["ln2_bias"], s,
+                bp["ln2_scale"], bp["ln2_bias"], dpm, s,
                 256, None, cfg.activation, cfg.layernorm_eps)
-        x = x + drop_path(down, dpr, k_dp2)
-        return x
+        return x  # residual + drop-path fused in-kernel
     if fused_dense:
         # LN2 prologue + GELU epilogue fused into the fc1 kernel — neither
         # the normalized input nor the (B,N,4E) pre-activation round-trips

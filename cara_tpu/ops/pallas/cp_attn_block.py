@@ -34,16 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cara_tpu.ops.pallas.cp_dense import (
-    _build_wd_weight, _f0, _fit_block, _pad_rank, _resolve_interpret,
-    hash_keep)
+    _build_wd_weight, _f0, _fit_block, _ln_rows, _pad_rank,
+    _resolve_interpret, hash_keep)
+from cara_tpu.ops.pallas.cp_mlp import _ln_input_bwd
 from cara_tpu.ops.pallas.fused_qkv_attention import _attn_heads, _check_np
 
 # (bb, NP, E) x (E, X) -> (bb, NP, X)
 _DN_W = (((2,), (0,)), ((), ()))
-# (bb, NP, A) x (B_, A) -> contraction over the last/lane axis
-_DN_WT = (((2,), (1,)), ((), ()))
-# (bb, NP, A) x (bb, NP, B_) -> (A, B_): reduce batch+token axes
-_DN_ACC = (((0, 1), (0, 1)), ((), ()))
 
 
 def _ln3(x, ls, lb, eps):
@@ -54,18 +51,6 @@ def _ln3(x, ls, lb, eps):
     xn = (xf - mu) * jax.lax.rsqrt(var + eps)
     return (xn * ls.astype(jnp.float32).reshape(1, 1, -1)
             + lb.astype(jnp.float32).reshape(1, 1, -1)).astype(x.dtype)
-
-
-def _ln3_input_bwd(x, dxa, ls, eps):
-    """d(x) of the row LayerNorm given d(LN(x)); frozen scale/bias."""
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    xn = (xf - mu) * rstd
-    dyg = dxa * ls.astype(jnp.float32).reshape(1, 1, -1)
-    return rstd * (dyg - jnp.mean(dyg, axis=-1, keepdims=True)
-                   - xn * jnp.mean(dyg * xn, axis=-1, keepdims=True))
 
 
 def _site_fwd(xa, w_ref, b_ref, u_ref, v_ref, cb_ref, s):
@@ -80,18 +65,6 @@ def _site_fwd(xa, w_ref, b_ref, u_ref, v_ref, cb_ref, s):
     if cb_ref is not None:
         y = y + s * cb_ref[...].astype(jnp.float32).reshape(1, 1, -1)
     return y, z.astype(xa.dtype)
-
-
-def _site_bwd_dx(g, w_ref, u_ref, v_ref, s):
-    """``dx = g W^T + s (g V^T) U^T`` on a 3-D tile; also returns gv."""
-    gv = jax.lax.dot_general(g, v_ref[...], _DN_WT,
-                             preferred_element_type=jnp.float32)
-    gvc = gv.astype(g.dtype)
-    dx = (jax.lax.dot_general(g, w_ref[...], _DN_WT,
-                              preferred_element_type=jnp.float32)
-          + s * jax.lax.dot_general(gvc, u_ref[...], _DN_WT,
-                                    preferred_element_type=jnp.float32))
-    return dx, gvc
 
 
 def _attn_bwd_tile(qkv, do_full, scale, n_real, heads, dh, dqkv_ref):
@@ -141,18 +114,43 @@ def _attn_bwd_tile(qkv, do_full, scale, n_real, heads, dh, dqkv_ref):
 
 def _attn_block_fwd_kernel(x_ref, wq_ref, bq_ref, u1_ref, v1_ref,
                            wp_ref, bp_ref, u2_ref, v2_ref, cb2_ref,
-                           ls_ref, lb_ref, y_ref,
+                           ls_ref, lb_ref, dpm_ref, y_ref,
                            *, heads, dh, sm_scale, n_real, s, ln_eps):
-    xa = _ln3(x_ref[...], ls_ref[...], lb_ref[...], ln_eps)
+    x = x_ref[...]
+    xa = _ln3(x, ls_ref[...], lb_ref[...], ln_eps)
     qkv, _ = _site_fwd(xa, wq_ref, bq_ref, u1_ref, v1_ref, None, s)
     qkv = qkv.astype(xa.dtype)
     o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
     y, _ = _site_fwd(o, wp_ref, bp_ref, u2_ref, v2_ref, cb2_ref, s)
-    y_ref[...] = y.astype(y_ref.dtype)
+    # Fused residual + drop-path gate (1.0 in eval).  The gate arrives
+    # pre-expanded to per-token rows (bb*NP, 1) — a (bb, 1) block violates
+    # the (8, 128) tiling rule at bb=2, and a dynamic sublane slice of a
+    # resident (B, 1) can't be proven aligned.
+    bb, np_, _ = x.shape
+    dpm3 = dpm_ref[...].astype(jnp.float32).reshape(bb, np_, 1)
+    y_ref[...] = (x.astype(jnp.float32) + dpm3 * y).astype(y_ref.dtype)
+
+
+def _site_bwd_dx2(g2, w_ref, u_ref, v_ref, s):
+    """2-D ``dx = g W^T + s (g V^T) U^T`` (Mosaic-native lane contraction);
+    also returns gv.  The batch/token axes are pre-flattened — tpu.matmul
+    does not lower multi-dim (0,1)x(0,1) contractions on 3-D tiles."""
+    dn = (((1,), (1,)), ((), ()))
+    gv = jax.lax.dot_general(g2, v_ref[...], dn,
+                             preferred_element_type=jnp.float32)
+    gvc = gv.astype(g2.dtype)
+    dx = (jax.lax.dot_general(g2, w_ref[...], dn,
+                              preferred_element_type=jnp.float32)
+          + s * jax.lax.dot_general(gvc, u_ref[...], dn,
+                                    preferred_element_type=jnp.float32))
+    return dx, gvc
+
+
+_DN_T = (((0,), (0,)), ((), ()))  # (M, A)^T @ (M, B_) -> (A, B_)
 
 
 def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
-                           wp_ref, u2_ref, v2_ref, ls_ref, lb_ref,
+                           wp_ref, u2_ref, v2_ref, ls_ref, lb_ref, dpm_ref,
                            dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
                            dsq_ref, dsp_ref, dqkv_ref,
                            *, heads, dh, sm_scale, n_real, s, ln_eps, nm):
@@ -163,40 +161,50 @@ def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
         for ref in (du1_ref, dv1_ref, du2_ref, dv2_ref, dsq_ref, dsp_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    x = x_ref[...]
-    g = g_ref[...]
-    # Forward recompute (x -> xa -> qkv -> attention output).
-    xa = _ln3(x, ls_ref[...], lb_ref[...], ln_eps)
-    qkv_f, z1c = _site_fwd(xa, wq_ref, bq_ref, u1_ref, v1_ref, None, s)
-    qkv = qkv_f.astype(xa.dtype)
+    bb, np_, e = x_ref.shape
+    m = bb * np_
+    x2 = x_ref[...].reshape(m, e)
+    g2_res = g_ref[...].reshape(m, e)
+    # out = x + dpm*y: branch sees g*dpm, residual passes g through.
+    g2 = (g2_res.astype(jnp.float32)
+          * dpm_ref[...].astype(jnp.float32)).astype(g2_res.dtype)
+    # Forward recompute (x -> xa -> qkv -> attention output); GEMMs run on
+    # the flattened (M, E) view, only the attention math is per-image 3-D.
+    xa = _ln_rows(x2, ls_ref[...], lb_ref[...], ln_eps)
+    z1 = jax.lax.dot(xa, u1_ref[...], preferred_element_type=jnp.float32)
+    z1c = z1.astype(xa.dtype)
+    qkv2 = (jax.lax.dot(xa, wq_ref[...], preferred_element_type=jnp.float32)
+            + bq_ref[...].astype(jnp.float32)
+            + s * jax.lax.dot(z1c, v1_ref[...],
+                              preferred_element_type=jnp.float32))
+    qkv = qkv2.astype(xa.dtype).reshape(bb, np_, 3 * e)
     o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
+    o2 = o.reshape(m, e)
 
     # Projection-site backward.
-    do, gv2c = _site_bwd_dx(g, wp_ref, u2_ref, v2_ref, s)
-    du2_ref[...] += jax.lax.dot_general(o, gv2c, _DN_ACC,
+    do, gv2c = _site_bwd_dx2(g2, wp_ref, u2_ref, v2_ref, s)
+    du2_ref[...] += jax.lax.dot_general(o2, gv2c, _DN_T,
                                         preferred_element_type=jnp.float32)
-    z2 = jax.lax.dot_general(o, u2_ref[...], _DN_W,
-                             preferred_element_type=jnp.float32)
-    dv2_ref[...] += jax.lax.dot_general(z2.astype(o.dtype), g, _DN_ACC,
+    z2 = jax.lax.dot(o2, u2_ref[...], preferred_element_type=jnp.float32)
+    dv2_ref[...] += jax.lax.dot_general(z2.astype(o2.dtype), g2, _DN_T,
                                         preferred_element_type=jnp.float32)
-    dsp_ref[...] += jnp.sum(g.astype(jnp.float32), axis=(0, 1),
-                            keepdims=True)[0]
+    dsp_ref[...] += jnp.sum(g2.astype(jnp.float32), axis=0, keepdims=True)
 
     # Attention backward into the dqkv VMEM scratch.
-    _attn_bwd_tile(qkv, do.astype(qkv.dtype), sm_scale, n_real, heads, dh,
-                   dqkv_ref)
-    dqkv = dqkv_ref[...]
+    _attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, e), sm_scale,
+                   n_real, heads, dh, dqkv_ref)
+    dqkv = dqkv_ref[...].reshape(m, 3 * e)
 
-    # QKV-site backward + fused LayerNorm input-backward.
-    dxa, gv1c = _site_bwd_dx(dqkv, wq_ref, u1_ref, v1_ref, s)
-    dx_ref[...] = _ln3_input_bwd(x, dxa, ls_ref[...], ln_eps).astype(
-        dx_ref.dtype)
-    du1_ref[...] += jax.lax.dot_general(xa, gv1c, _DN_ACC,
+    # QKV-site backward + fused LayerNorm input-backward + residual g.
+    dxa, gv1c = _site_bwd_dx2(dqkv, wq_ref, u1_ref, v1_ref, s)
+    dx_ref[...] = (g2_res.astype(jnp.float32)
+                   + _ln_input_bwd(x2, dxa, ls_ref[...], ln_eps)).astype(
+        dx_ref.dtype).reshape(bb, np_, e)
+    du1_ref[...] += jax.lax.dot_general(xa, gv1c, _DN_T,
                                         preferred_element_type=jnp.float32)
-    dv1_ref[...] += jax.lax.dot_general(z1c, dqkv, _DN_ACC,
+    dv1_ref[...] += jax.lax.dot_general(z1c, dqkv, _DN_T,
                                         preferred_element_type=jnp.float32)
-    dsq_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1),
-                            keepdims=True)[0]
+    dsq_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
 
 
 def _block_b(bsz, block_b):
@@ -217,27 +225,29 @@ def _const(shape):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(12, 13, 14, 15, 16, 17, 18))
+                   nondiff_argnums=(13, 14, 15, 16, 17, 18, 19))
 def cp_attn_block(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale, ln_bias,
-                  heads: int, sm_scale: float, n_real: int, s: float,
+                  dpm, heads: int, sm_scale: float, n_real: int, s: float,
                   block_b: int = 2, interpret: Optional[bool] = None,
                   ln_eps: float = 1e-6):
     """x (B, NP, E) raw residual (token axis pre-padded to a multiple of
     128) -> LN1 -> qkv+delta (``cara.py:42``) -> attention -> proj+delta
-    (``cara.py:57-58``), all in one kernel.  Returns (B, NP, E); the caller
-    slices the valid tokens and adds the residual outside.
+    (``cara.py:57-58``) -> ``x + dpm*y`` (residual + drop-path gate), all
+    in one kernel.  Returns (B, NP, E); the caller slices the valid tokens.
 
     ``u1`` (E, r) / ``v1`` (r, 3E) from ``cara.qkv_uv``; ``u2`` (E, r) /
-    ``v2`` (r, E) from ``cara.rows_out_uv``; ``cb2`` = CP_bias1.
+    ``v2`` (r, E) from ``cara.rows_out_uv``; ``cb2`` = CP_bias1; ``dpm``
+    (B, 1) per-sample drop-path ``mask/keep`` (ones in eval), cotangent an
+    explicit zero.
     """
     out, _ = _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale,
-                     ln_bias, heads, sm_scale, n_real, s, block_b, interpret,
-                     ln_eps)
+                     ln_bias, dpm, heads, sm_scale, n_real, s, block_b,
+                     interpret, ln_eps)
     return out
 
 
-def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, heads, sm_scale,
-            n_real, s, block_b, interpret, ln_eps):
+def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
+            sm_scale, n_real, s, block_b, interpret, ln_eps):
     bsz, np_, e = x.shape
     _check_np(np_)
     dh = e // heads
@@ -245,6 +255,8 @@ def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, heads, sm_scale,
     u1p, v1p = _pad_rank(u1, v1)
     u2p, v2p = _pad_rank(u2, v2)
     rp1, rp2 = u1p.shape[1], u2p.shape[1]
+    dpm2 = jnp.broadcast_to(dpm.reshape(bsz, 1, 1), (bsz, np_, 1)
+                            ).reshape(bsz * np_, 1).astype(x.dtype)
     out = pl.pallas_call(
         functools.partial(_attn_block_fwd_kernel, heads=heads, dh=dh,
                           sm_scale=sm_scale, n_real=n_real, s=s,
@@ -257,6 +269,8 @@ def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, heads, sm_scale,
             _const((e, e)), _const((1, e)), _const((e, rp2)),
             _const((rp2, e)), _const((1, e)),
             _const((1, e)), _const((1, e)),
+            pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=_tile(bb, np_, e),
         out_shape=jax.ShapeDtypeStruct((bsz, np_, e), x.dtype),
@@ -265,19 +279,19 @@ def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, heads, sm_scale,
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x, wq, bq.reshape(1, -1), u1p, v1p, wp, bp.reshape(1, -1), u2p, v2p,
-      cb2.reshape(1, -1), ls.reshape(1, -1), lb.reshape(1, -1))
-    return out, (x, wq, bq, u1, v1, wp, u2, v2, ls, lb)
+      cb2.reshape(1, -1), ls.reshape(1, -1), lb.reshape(1, -1), dpm2)
+    return out, (x, wq, bq, u1, v1, wp, u2, v2, ls, lb, dpm2, dpm)
 
 
-def _ab_fwd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, heads,
+def _ab_fwd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
                  sm_scale, n_real, s, block_b, interpret, ln_eps):
-    return _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, heads,
-                   sm_scale, n_real, s, block_b, interpret, ln_eps)
+    return _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm,
+                   heads, sm_scale, n_real, s, block_b, interpret, ln_eps)
 
 
 def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
                  res, g):
-    x, wq, bq, u1, v1, wp, u2, v2, ls, lb = res
+    x, wq, bq, u1, v1, wp, u2, v2, ls, lb, dpm2, dpm = res
     bsz, np_, e = x.shape
     dh = e // heads
     bb = _block_b(bsz, block_b)
@@ -297,6 +311,8 @@ def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
             _const((rp1, 3 * e)),
             _const((e, e)), _const((e, rp2)), _const((rp2, e)),
             _const((1, e)), _const((1, e)),
+            pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             _tile(bb, np_, e),
@@ -319,13 +335,14 @@ def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x, g, wq, bq.reshape(1, -1), u1p, v1p, wp, u2p, v2p,
-      ls.reshape(1, -1), lb.reshape(1, -1))
+      ls.reshape(1, -1), lb.reshape(1, -1), dpm2)
     dt = g.dtype
     return (dx.astype(dt), jnp.zeros_like(wq), dsq[0].astype(dt),
             (s * du1[:, :r1]).astype(dt), (s * dv1[:r1]).astype(dt),
             jnp.zeros_like(wp), dsp[0].astype(dt),
             (s * du2[:, :r2]).astype(dt), (s * dv2[:r2]).astype(dt),
-            (s * dsp[0]).astype(dt), jnp.zeros_like(ls), jnp.zeros_like(lb))
+            (s * dsp[0]).astype(dt), jnp.zeros_like(ls), jnp.zeros_like(lb),
+            jnp.zeros_like(dpm))
 
 
 cp_attn_block.defvjp(_ab_fwd_rule, _ab_bwd_rule)
@@ -338,7 +355,7 @@ cp_attn_block.defvjp(_ab_fwd_rule, _ab_bwd_rule)
 
 def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
                               u1_ref, v1_ref, u2_ref, v2_ref,
-                              ls_ref, lb_ref, seed1_ref, seed2_ref,
+                              ls_ref, lb_ref, dpm_ref, seed1_ref, seed2_ref,
                               dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
                               dsq_ref, dsp_ref,
                               dqkv_ref, dt1_ref, dt2_ref,
@@ -355,34 +372,38 @@ def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
                     dt1_ref, dt2_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    x = x_ref[...]
-    g = g_ref[...]
-    xa = _ln3(x, ls_ref[...], lb_ref[...], ln_eps)
-    qkv = (jax.lax.dot_general(xa, wqp_ref[...], _DN_W,
-                               preferred_element_type=jnp.float32)
-           + bq_ref[...].astype(jnp.float32).reshape(1, 1, -1)
-           ).astype(xa.dtype)
+    bb, np_, e = x_ref.shape
+    m = bb * np_
+    dn = (((1,), (1,)), ((), ()))
+    x2 = x_ref[...].reshape(m, e)
+    g2_res = g_ref[...].reshape(m, e)
+    g2 = (g2_res.astype(jnp.float32)
+          * dpm_ref[...].astype(jnp.float32)).astype(g2_res.dtype)
+    xa = _ln_rows(x2, ls_ref[...], lb_ref[...], ln_eps)
+    qkv2 = (jax.lax.dot(xa, wqp_ref[...], preferred_element_type=jnp.float32)
+            + bq_ref[...].astype(jnp.float32)).astype(xa.dtype)
+    qkv = qkv2.reshape(bb, np_, 3 * e)
     o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
+    o2 = o.reshape(m, e)
 
-    do = jax.lax.dot_general(g, wpp_ref[...], _DN_WT,
+    do = jax.lax.dot_general(g2, wpp_ref[...], dn,
                              preferred_element_type=jnp.float32)
-    dt2_ref[...] += jax.lax.dot_general(o, g, _DN_ACC,
+    dt2_ref[...] += jax.lax.dot_general(o2, g2, _DN_T,
                                         preferred_element_type=jnp.float32)
-    dsp_ref[...] += jnp.sum(g.astype(jnp.float32), axis=(0, 1),
-                            keepdims=True)[0]
+    dsp_ref[...] += jnp.sum(g2.astype(jnp.float32), axis=0, keepdims=True)
 
-    _attn_bwd_tile(qkv, do.astype(qkv.dtype), sm_scale, n_real, heads, dh,
-                   dqkv_ref)
-    dqkv = dqkv_ref[...]
+    _attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, e), sm_scale,
+                   n_real, heads, dh, dqkv_ref)
+    dqkv = dqkv_ref[...].reshape(m, 3 * e)
 
-    dxa = jax.lax.dot_general(dqkv, wqp_ref[...], _DN_WT,
+    dxa = jax.lax.dot_general(dqkv, wqp_ref[...], dn,
                               preferred_element_type=jnp.float32)
-    dx_ref[...] = _ln3_input_bwd(x, dxa, ls_ref[...], ln_eps).astype(
-        dx_ref.dtype)
-    dt1_ref[...] += jax.lax.dot_general(xa, dqkv, _DN_ACC,
+    dx_ref[...] = (g2_res.astype(jnp.float32)
+                   + _ln_input_bwd(x2, dxa, ls_ref[...], ln_eps)).astype(
+        dx_ref.dtype).reshape(bb, np_, e)
+    dt1_ref[...] += jax.lax.dot_general(xa, dqkv, _DN_T,
                                         preferred_element_type=jnp.float32)
-    dsq_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1),
-                            keepdims=True)[0]
+    dsq_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
 
     @pl.when(mm == nm - 1)
     def _finish():
@@ -408,23 +429,23 @@ def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(14, 15, 16, 17, 18, 19, 20, 21))
+                   nondiff_argnums=(15, 16, 17, 18, 19, 20, 21, 22))
 def cp_attn_block_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale,
-                     ln_bias, seed1, seed2, heads: int, sm_scale: float,
-                     n_real: int, s: float, drop_rate: float,
-                     block_b: int = 2, interpret: Optional[bool] = None,
-                     ln_eps: float = 1e-6):
+                     ln_bias, dpm, seed1, seed2, heads: int,
+                     sm_scale: float, n_real: int, s: float,
+                     drop_rate: float, block_b: int = 2,
+                     interpret: Optional[bool] = None, ln_eps: float = 1e-6):
     """cp_attn_block with EXACT element-wise weight dropout on both dense
     deltas (``cara.py:35,57``); per-site masks from ``seed1``/``seed2``."""
     out, _ = _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale,
-                        ln_bias, seed1, seed2, heads, sm_scale, n_real, s,
-                        drop_rate, block_b, interpret, ln_eps)
+                        ln_bias, dpm, seed1, seed2, heads, sm_scale, n_real,
+                        s, drop_rate, block_b, interpret, ln_eps)
     return out
 
 
-def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, seed1, seed2,
-               heads, sm_scale, n_real, s, drop_rate, block_b, interpret,
-               ln_eps):
+def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, seed1,
+               seed2, heads, sm_scale, n_real, s, drop_rate, block_b,
+               interpret, ln_eps):
     bsz, np_, e = x.shape
     _check_np(np_)
     dh = e // heads
@@ -437,6 +458,8 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, seed1, seed2,
     v0b = jnp.zeros((1, e), x.dtype)
     u0ap, v0ap = _pad_rank(u0a, v0a)
     u0bp, v0bp = _pad_rank(u0b, v0b)
+    dpm2 = jnp.broadcast_to(dpm.reshape(bsz, 1, 1), (bsz, np_, 1)
+                            ).reshape(bsz * np_, 1).astype(x.dtype)
     out = pl.pallas_call(
         functools.partial(_attn_block_fwd_kernel, heads=heads, dh=dh,
                           sm_scale=sm_scale, n_real=n_real, s=s,
@@ -450,6 +473,8 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, seed1, seed2,
             _const((e, u0bp.shape[1])), _const((u0bp.shape[1], e)),
             _const((1, e)),
             _const((1, e)), _const((1, e)),
+            pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=_tile(bb, np_, e),
         out_shape=jax.ShapeDtypeStruct((bsz, np_, e), x.dtype),
@@ -458,21 +483,24 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, seed1, seed2,
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x, wqp, bq.reshape(1, -1), u0ap, v0ap, wpp, bp.reshape(1, -1),
-      u0bp, v0bp, cb2.reshape(1, -1), ls.reshape(1, -1), lb.reshape(1, -1))
-    return out, (x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, seed1, seed2)
+      u0bp, v0bp, cb2.reshape(1, -1), ls.reshape(1, -1), lb.reshape(1, -1),
+      dpm2)
+    return out, (x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, dpm2, dpm,
+                 seed1, seed2)
 
 
-def _ab_fwd_wd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, seed1,
-                    seed2, heads, sm_scale, n_real, s, drop_rate, block_b,
-                    interpret, ln_eps):
-    return _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, seed1,
-                      seed2, heads, sm_scale, n_real, s, drop_rate, block_b,
-                      interpret, ln_eps)
+def _ab_fwd_wd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm,
+                    seed1, seed2, heads, sm_scale, n_real, s, drop_rate,
+                    block_b, interpret, ln_eps):
+    return _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm,
+                      seed1, seed2, heads, sm_scale, n_real, s, drop_rate,
+                      block_b, interpret, ln_eps)
 
 
 def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
                     interpret, ln_eps, res, g):
-    x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, seed1, seed2 = res
+    (x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, dpm2, dpm, seed1,
+     seed2) = res
     bsz, np_, e = x.shape
     dh = e // heads
     bb = _block_b(bsz, block_b)
@@ -495,6 +523,8 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
             _const((e, rp1)), _const((rp1, 3 * e)),
             _const((e, rp2)), _const((rp2, e)),
             _const((1, e)), _const((1, e)),
+            pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             smem, smem,
         ],
         out_specs=(
@@ -522,7 +552,7 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x, g, wqp, bq.reshape(1, -1), wpp, u1p, v1p, u2p, v2p,
-      ls.reshape(1, -1), lb.reshape(1, -1),
+      ls.reshape(1, -1), lb.reshape(1, -1), dpm2,
       seed1.reshape(1, 1), seed2.reshape(1, 1))
     dt = g.dtype
     return (dx.astype(dt), jnp.zeros_like(wqp), dsq[0].astype(dt),
@@ -530,7 +560,7 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
             jnp.zeros_like(wpp), dsp[0].astype(dt),
             du2[:, :r2].astype(dt), dv2[:r2].astype(dt),
             (s * dsp[0]).astype(dt), jnp.zeros_like(ls), jnp.zeros_like(lb),
-            _f0(seed1), _f0(seed2))
+            jnp.zeros_like(dpm), _f0(seed1), _f0(seed2))
 
 
 cp_attn_block_wd.defvjp(_ab_fwd_wd_rule, _ab_bwd_wd_rule)

@@ -83,9 +83,10 @@ def _recompute_h(x, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref, ls_ref, lb_ref,
 
 def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref,
                     w2_ref, b2_ref, u2_ref, v2_ref, cb2_ref,
-                    ls_ref, lb_ref, o_ref, *, s, act, ln_eps):
+                    ls_ref, lb_ref, dpm_ref, o_ref, *, s, act, ln_eps):
+    x = x_ref[...]
     _, _, _, h = _recompute_h(
-        x_ref[...], w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref, ls_ref, lb_ref,
+        x, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref, ls_ref, lb_ref,
         s, act, ln_eps)
     z2 = jax.lax.dot(h, u2_ref[...], preferred_element_type=jnp.float32)
     d2 = jax.lax.dot(z2.astype(h.dtype), v2_ref[...],
@@ -93,11 +94,14 @@ def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref,
     y = (jax.lax.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
          + b2_ref[...].astype(jnp.float32)
          + s * (d2 + cb2_ref[...].astype(jnp.float32)))
-    o_ref[...] = y.astype(o_ref.dtype)
+    # Fused residual + drop-path gate: out = x + dpm * y (dpm = per-row
+    # mask/keep, 1.0 in eval) — the residual stream never leaves VMEM.
+    o_ref[...] = (x.astype(jnp.float32)
+                  + dpm_ref[...].astype(jnp.float32) * y).astype(o_ref.dtype)
 
 
 def _mlp_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref,
-                    w2_ref, u2_ref, v2_ref, ls_ref, lb_ref,
+                    w2_ref, u2_ref, v2_ref, ls_ref, lb_ref, dpm_ref,
                     dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
                     ds1_ref, ds2_ref, *, s, act, ln_eps, nm):
     mm = pl.program_id(0)
@@ -108,7 +112,10 @@ def _mlp_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref,
             ref[...] = jnp.zeros_like(ref)
 
     x = x_ref[...]
-    g = g_ref[...]
+    g_res = g_ref[...]
+    # out = x + dpm*y: the branch sees g*dpm, the residual passes g through.
+    g = (g_res.astype(jnp.float32)
+         * dpm_ref[...].astype(jnp.float32)).astype(g_res.dtype)
     xa, z1c, pre, h = _recompute_h(
         x, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref, ls_ref, lb_ref,
         s, act, ln_eps)
@@ -134,7 +141,8 @@ def _mlp_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref,
            + s * jax.lax.dot_general(gv1c, u1_ref[...],
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32))
-    dx_ref[...] = _ln_input_bwd(x, dxa, ls_ref[...], ln_eps).astype(
+    dx_ref[...] = (g_res.astype(jnp.float32)
+                   + _ln_input_bwd(x, dxa, ls_ref[...], ln_eps)).astype(
         dx_ref.dtype)
 
     # Factor gradients: rank-space contractions accumulated across the
@@ -168,14 +176,16 @@ def _pad_m(arrs, bm):
     return [jnp.pad(a, ((0, mp - m), (0, 0))) for a in arrs], m
 
 
-def _mlp_fwd_raw(x2, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+def _mlp_fwd_raw(x2, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb, dpm2,
                  s, bm, interpret, act, ln_eps):
     k, n1 = w1.shape
     e = w2.shape[1]
+    if e != k:
+        raise ValueError(f"residual-fused MLP needs W2 out == K ({e} vs {k})")
     u1, v1 = _pad_rank(u1, v1)
     u2, v2 = _pad_rank(u2, v2)
     rp1, rp2 = u1.shape[1], u2.shape[1]
-    (x2,), m = _pad_m([x2], bm)
+    (x2, dpm2), m = _pad_m([x2, dpm2], bm)
     nm = x2.shape[0] // bm
     out = pl.pallas_call(
         functools.partial(_mlp_fwd_kernel, s=s, act=act, ln_eps=ln_eps),
@@ -186,7 +196,7 @@ def _mlp_fwd_raw(x2, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
             _full((rp1, n1)), _full((1, n1)),
             _full((n1, e)), _full((1, e)), _full((n1, rp2)),
             _full((rp2, e)), _full((1, e)),
-            _full((1, k)), _full((1, k)),
+            _full((1, k)), _full((1, k)), _row(bm, 1),
         ],
         out_specs=_row(bm, e),
         out_shape=jax.ShapeDtypeStruct((x2.shape[0], e), x2.dtype),
@@ -196,11 +206,11 @@ def _mlp_fwd_raw(x2, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
         interpret=_resolve_interpret(interpret),
     )(x2, w1, b1.reshape(1, n1), u1, v1, cb1.reshape(1, n1),
       w2, b2.reshape(1, e), u2, v2, cb2.reshape(1, e),
-      ls.reshape(1, k), lb.reshape(1, k))
+      ls.reshape(1, k), lb.reshape(1, k), dpm2)
     return out[:m]
 
 
-def _mlp_bwd_raw(x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb,
+def _mlp_bwd_raw(x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb, dpm2,
                  s, bm, interpret, act, ln_eps):
     k, n1 = w1.shape
     e = w2.shape[1]
@@ -208,7 +218,7 @@ def _mlp_bwd_raw(x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb,
     u1, v1 = _pad_rank(u1, v1)
     u2, v2 = _pad_rank(u2, v2)
     rp1, rp2 = u1.shape[1], u2.shape[1]
-    (x2, g2), m = _pad_m([x2, g2], bm)
+    (x2, g2, dpm2), m = _pad_m([x2, g2, dpm2], bm)
     nm = x2.shape[0] // bm
     dx, du1, dv1, du2, dv2, ds1, ds2 = pl.pallas_call(
         functools.partial(_mlp_bwd_kernel, s=s, act=act, ln_eps=ln_eps,
@@ -219,7 +229,7 @@ def _mlp_bwd_raw(x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb,
             _full((k, n1)), _full((1, n1)), _full((k, rp1)),
             _full((rp1, n1)), _full((1, n1)),
             _full((n1, e)), _full((n1, rp2)), _full((rp2, e)),
-            _full((1, k)), _full((1, k)),
+            _full((1, k)), _full((1, k)), _row(bm, 1),
         ],
         out_specs=(
             _row(bm, k),
@@ -241,54 +251,57 @@ def _mlp_bwd_raw(x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb,
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x2, g2, w1, b1.reshape(1, n1), u1, v1, cb1.reshape(1, n1),
-      w2, u2, v2, ls.reshape(1, k), lb.reshape(1, k))
+      w2, u2, v2, ls.reshape(1, k), lb.reshape(1, k), dpm2)
     return (dx[:m], s * du1[:, :r1], s * dv1[:r1],
             s * du2[:, :r2], s * dv2[:r2], ds1[0], ds2[0])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
 def cp_mlp_block(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
-                 ln_scale, ln_bias, s: float, bm: int = 256,
+                 ln_scale, ln_bias, dpm, s: float, bm: int = 256,
                  interpret: Optional[bool] = None, act: str = "gelu",
                  ln_eps: float = 1e-6):
-    """``(act(LN(x)@W1 + b1 + s*((LN(x)@U1)@V1 + cb1))) @ W2 + b2 +
-    s*((h@U2)@V2 + cb2)`` — the full CaRA MLP block
-    (``src/cara/cara.py:72-93``) in one kernel; the (M, 4E) hidden
-    activation never exists in HBM, forward or backward.
+    """``x + dpm * (act(LN(x)@W1 + b1 + s*((LN(x)@U1)@V1 + cb1)) @ W2 + b2
+    + s*((h@U2)@V2 + cb2))`` — the full CaRA MLP block incl. residual and
+    drop-path gate (``src/cara/cara.py:72-93`` + the Block residual) in one
+    kernel; neither the (M, 4E) hidden activation nor the residual stream
+    round-trips HBM, forward or backward.
 
-    The residual add / drop-path stay outside (they consume the raw ``x``
-    stream the caller already holds).  Requires zero activation dropout
-    between the GEMMs (the ViT default).
+    ``dpm``: per-row drop-path gate ``mask/keep`` with shape
+    ``lead + (1,)`` — pass ones for eval.  Its cotangent is an explicit
+    zero (it is sampled noise, never trained).  Requires zero activation
+    dropout between the GEMMs (the ViT default).
     """
     out, _ = _mlp_fwd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
-                      ln_scale, ln_bias, s, bm, interpret, act, ln_eps)
+                      ln_scale, ln_bias, dpm, s, bm, interpret, act, ln_eps)
     return out
 
 
-def _mlp_fwd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+def _mlp_fwd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb, dpm,
              s, bm, interpret, act, ln_eps):
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
+    dpm2 = jnp.broadcast_to(dpm, lead + (1,)).reshape(-1, 1).astype(x.dtype)
     out = _mlp_fwd_raw(x2, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
-                       s, bm, interpret, act, ln_eps)
+                       dpm2, s, bm, interpret, act, ln_eps)
     return (out.reshape(*lead, w2.shape[1]),
-            (x2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb, lead))
+            (x2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb, dpm2, dpm, lead))
 
 
-def _mlp_fwd_rule(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+def _mlp_fwd_rule(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb, dpm,
                   s, bm, interpret, act, ln_eps):
     return _mlp_fwd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
-                    s, bm, interpret, act, ln_eps)
+                    dpm, s, bm, interpret, act, ln_eps)
 
 
 def _mlp_bwd_rule(s, bm, interpret, act, ln_eps, res, g):
-    x2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb, lead = res
+    x2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb, dpm2, dpm, lead = res
     k = w1.shape[0]
     e = w2.shape[1]
     g2 = g.reshape(-1, e)
     dx, du1, dv1, du2, dv2, ds1, ds2 = _mlp_bwd_raw(
-        x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb,
+        x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb, dpm2,
         s, bm, interpret, act, ln_eps)
     dt = g.dtype
     # Backbone W1/W2/LN are frozen by construction (CaRA trains factors +
@@ -298,7 +311,7 @@ def _mlp_bwd_rule(s, bm, interpret, act, ln_eps, res, g):
             du1.astype(dt), dv1.astype(dt), (s * ds1).astype(dt),
             jnp.zeros_like(w2), ds2.astype(dt),
             du2.astype(dt), dv2.astype(dt), (s * ds2).astype(dt),
-            jnp.zeros_like(ls), jnp.zeros_like(lb))
+            jnp.zeros_like(ls), jnp.zeros_like(lb), jnp.zeros_like(dpm))
 
 
 cp_mlp_block.defvjp(_mlp_fwd_rule, _mlp_bwd_rule)
@@ -311,7 +324,7 @@ cp_mlp_block.defvjp(_mlp_fwd_rule, _mlp_bwd_rule)
 
 def _mlp_bwd_wd_kernel(x_ref, g_ref, w1p_ref, b1_ref, cb1_ref, w2p_ref,
                        u1_ref, v1_ref, u2_ref, v2_ref, ls_ref, lb_ref,
-                       seed1_ref, seed2_ref,
+                       dpm_ref, seed1_ref, seed2_ref,
                        dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
                        ds1_ref, ds2_ref, dt1_ref, dt2_ref,
                        *, s, drop_rate, act, ln_eps, nm, chunk1, chunk2):
@@ -328,7 +341,9 @@ def _mlp_bwd_wd_kernel(x_ref, g_ref, w1p_ref, b1_ref, cb1_ref, w2p_ref,
             ref[...] = jnp.zeros_like(ref)
 
     x = x_ref[...]
-    g = g_ref[...]
+    g_res = g_ref[...]
+    g = (g_res.astype(jnp.float32)
+         * dpm_ref[...].astype(jnp.float32)).astype(g_res.dtype)
     # Forward recompute against the folded weights (delta already inside
     # w1p/w2p; the s*cb bias terms remain explicit).
     xa = _ln_rows(x, ls_ref[...], lb_ref[...], ln_eps)
@@ -343,7 +358,8 @@ def _mlp_bwd_wd_kernel(x_ref, g_ref, w1p_ref, b1_ref, cb1_ref, w2p_ref,
     dprec = dpre.astype(g.dtype)
     dxa = jax.lax.dot_general(dprec, w1p_ref[...], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dx_ref[...] = _ln_input_bwd(x, dxa, ls_ref[...], ln_eps).astype(
+    dx_ref[...] = (g_res.astype(jnp.float32)
+                   + _ln_input_bwd(x, dxa, ls_ref[...], ln_eps)).astype(
         dx_ref.dtype)
 
     dt1_ref[...] += jax.lax.dot_general(xa, dprec, (((0,), (0,)), ((), ())),
@@ -376,9 +392,9 @@ def _mlp_bwd_wd_kernel(x_ref, g_ref, w1p_ref, b1_ref, cb1_ref, w2p_ref,
               chunk2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21))
 def cp_mlp_block_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
-                    ln_scale, ln_bias, seed1, seed2, s: float,
+                    ln_scale, ln_bias, dpm, seed1, seed2, s: float,
                     drop_rate: float, bm: int = 256,
                     interpret: Optional[bool] = None, act: str = "gelu",
                     ln_eps: float = 1e-6):
@@ -386,8 +402,8 @@ def cp_mlp_block_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
     deltas (reference semantics ``cara.py:81,92``); per-site masks derive
     from ``seed1``/``seed2`` (int32 scalar arrays) via ``hash_keep``."""
     out, _ = _mlp_fwd_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
-                         ln_scale, ln_bias, seed1, seed2, s, drop_rate, bm,
-                         interpret, act, ln_eps)
+                         ln_scale, ln_bias, dpm, seed1, seed2, s, drop_rate,
+                         bm, interpret, act, ln_eps)
     return out
 
 
@@ -395,33 +411,35 @@ def _zero_uv1(k, n, dtype):
     return jnp.zeros((k, 1), dtype), jnp.zeros((1, n), dtype)
 
 
-def _mlp_fwd_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
+def _mlp_fwd_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb, dpm,
                 seed1, seed2, s, drop_rate, bm, interpret, act, ln_eps):
     lead = x.shape[:-1]
     k = x.shape[-1]
     n1, e = w1.shape[1], w2.shape[1]
     x2 = x.reshape(-1, k)
+    dpm2 = jnp.broadcast_to(dpm, lead + (1,)).reshape(-1, 1).astype(x.dtype)
     w1p = _build_wd_weight(w1, u1, v1, seed1, s, drop_rate, interpret)
     w2p = _build_wd_weight(w2, u2, v2, seed2, s, drop_rate, interpret)
     u0a, v0a = _zero_uv1(k, n1, x.dtype)
     u0b, v0b = _zero_uv1(n1, e, x.dtype)
     out = _mlp_fwd_raw(x2, w1p, b1, u0a, v0a, cb1, w2p, b2, u0b, v0b, cb2,
-                       ls, lb, s, bm, interpret, act, ln_eps)
+                       ls, lb, dpm2, s, bm, interpret, act, ln_eps)
     return (out.reshape(*lead, e),
-            (x2, w1p, b1, u1, v1, cb1, w2p, u2, v2, ls, lb, seed1, seed2,
-             lead))
+            (x2, w1p, b1, u1, v1, cb1, w2p, u2, v2, ls, lb, dpm2, dpm,
+             seed1, seed2, lead))
 
 
 def _mlp_fwd_wd_rule(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
-                     seed1, seed2, s, drop_rate, bm, interpret, act, ln_eps):
+                     dpm, seed1, seed2, s, drop_rate, bm, interpret, act,
+                     ln_eps):
     return _mlp_fwd_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb,
-                       seed1, seed2, s, drop_rate, bm, interpret, act,
+                       dpm, seed1, seed2, s, drop_rate, bm, interpret, act,
                        ln_eps)
 
 
 def _mlp_bwd_wd_rule(s, drop_rate, bm, interpret, act, ln_eps, res, g):
-    (x2, w1p, b1, u1, v1, cb1, w2p, u2, v2, ls, lb, seed1, seed2,
-     lead) = res
+    (x2, w1p, b1, u1, v1, cb1, w2p, u2, v2, ls, lb, dpm2, dpm, seed1,
+     seed2, lead) = res
     k, n1 = w1p.shape
     e = w2p.shape[1]
     r1, r2 = u1.shape[1], v2.shape[0]
@@ -429,7 +447,7 @@ def _mlp_bwd_wd_rule(s, drop_rate, bm, interpret, act, ln_eps, res, g):
     u2p, v2p = _pad_rank(u2, v2)
     rp1, rp2 = u1p.shape[1], u2p.shape[1]
     g2 = g.reshape(-1, e)
-    (x2p, g2p), m = _pad_m([x2, g2], bm)
+    (x2p, g2p, dpm2p), m = _pad_m([x2, g2, dpm2], bm)
     nm = x2p.shape[0] // bm
     dx, du1, dv1, du2, dv2, ds1, ds2 = pl.pallas_call(
         functools.partial(
@@ -443,7 +461,7 @@ def _mlp_bwd_wd_rule(s, drop_rate, bm, interpret, act, ln_eps, res, g):
             _full((n1, e)),
             _full((k, rp1)), _full((rp1, n1)),
             _full((n1, rp2)), _full((rp2, e)),
-            _full((1, k)), _full((1, k)),
+            _full((1, k)), _full((1, k)), _row(bm, 1),
             pl.BlockSpec((1, 1), lambda mm: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda mm: (0, 0),
@@ -473,7 +491,7 @@ def _mlp_bwd_wd_rule(s, drop_rate, bm, interpret, act, ln_eps, res, g):
             vmem_limit_bytes=120 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x2p, g2p, w1p, b1.reshape(1, n1), cb1.reshape(1, n1), w2p,
-      u1p, v1p, u2p, v2p, ls.reshape(1, k), lb.reshape(1, k),
+      u1p, v1p, u2p, v2p, ls.reshape(1, k), lb.reshape(1, k), dpm2p,
       seed1.reshape(1, 1), seed2.reshape(1, 1))
     dt = g.dtype
     return (dx[:m].reshape(*lead, k).astype(dt),
@@ -483,7 +501,8 @@ def _mlp_bwd_wd_rule(s, drop_rate, bm, interpret, act, ln_eps, res, g):
             jnp.zeros_like(w2p), ds2[0].astype(dt),
             du2[:, :r2].astype(dt), dv2[:r2].astype(dt),
             (s * ds2[0]).astype(dt),
-            jnp.zeros_like(ls), jnp.zeros_like(lb), _f0(seed1), _f0(seed2))
+            jnp.zeros_like(ls), jnp.zeros_like(lb), jnp.zeros_like(dpm),
+            _f0(seed1), _f0(seed2))
 
 
 cp_mlp_block_wd.defvjp(_mlp_fwd_wd_rule, _mlp_bwd_wd_rule)

@@ -40,7 +40,8 @@ def _ref(p, s, n_real):
     xa = _ln(p["x"], p["ls"], p["lb"])
     qkv = xa @ p["wq"] + p["bq"] + s * ((xa @ p["u1"]) @ p["v1"])
     o = _attn_ref(qkv, n_real)
-    return o @ p["wp"] + p["bp"] + s * ((o @ p["u2"]) @ p["v2"] + p["cb2"])
+    y = o @ p["wp"] + p["bp"] + s * ((o @ p["u2"]) @ p["v2"] + p["cb2"])
+    return p["x"] + p["dpm"][:, :, None] * y  # fused residual + drop-path
 
 
 def _setup(b, r, key=0):
@@ -58,13 +59,17 @@ def _setup(b, r, key=0):
         cb2=jax.random.normal(ks[9], (E,)) * 0.1,
         ls=1.0 + 0.1 * jax.random.normal(ks[10], (E,)),
         lb=0.05 + 0.0 * jax.random.normal(ks[11], (E,)),
+        # Nontrivial per-sample drop-path gate (0 or 1/keep).
+        dpm=jax.random.bernoulli(
+            jax.random.key(key + 100), 0.75, (b, 1)).astype(jnp.float32)
+        / 0.75,
     )
 
 
 def _call(p, s, n_real, block_b=2):
     return cp_attn_block(
         p["x"], p["wq"], p["bq"], p["u1"], p["v1"], p["wp"], p["bp"],
-        p["u2"], p["v2"], p["cb2"], p["ls"], p["lb"],
+        p["u2"], p["v2"], p["cb2"], p["ls"], p["lb"], p["dpm"],
         HEADS, SM, n_real, s, block_b, True, EPS)
 
 
@@ -132,14 +137,15 @@ def _ref_wd(p, s, n_real, seed1, seed2):
     xa = _ln(p["x"], p["ls"], p["lb"])
     qkv = xa @ _masked(p["wq"], p["u1"], p["v1"], s, seed1) + p["bq"]
     o = _attn_ref(qkv, n_real)
-    return (o @ _masked(p["wp"], p["u2"], p["v2"], s, seed2)
-            + p["bp"] + s * p["cb2"])
+    y = (o @ _masked(p["wp"], p["u2"], p["v2"], s, seed2)
+         + p["bp"] + s * p["cb2"])
+    return p["x"] + p["dpm"][:, :, None] * y
 
 
 def _call_wd(p, s, n_real, seed1, seed2):
     return cp_attn_block_wd(
         p["x"], p["wq"], p["bq"], p["u1"], p["v1"], p["wp"], p["bp"],
-        p["u2"], p["v2"], p["cb2"], p["ls"], p["lb"],
+        p["u2"], p["v2"], p["cb2"], p["ls"], p["lb"], p["dpm"],
         jnp.asarray(seed1, jnp.int32), jnp.asarray(seed2, jnp.int32),
         HEADS, SM, n_real, s, RATE, 2, True, EPS)
 
@@ -175,3 +181,93 @@ def test_wd_grads_match():
             a, b = a[:, :n_real], b[:, :n_real]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=1e-2, err_msg=name)
+
+
+def test_model_attn_megakernel_matches_split():
+    """vit_forward with the attention megakernel == the split fused path,
+    eval + train (rank and element dropout), fwd + grads."""
+    from cara_tpu.config import CaraConfig, ViTConfig
+    from cara_tpu.models import cara as cara_lib, vit as vit_lib
+
+    cfg = ViTConfig(image_size=16, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, repr_size=None, num_classes=5,
+                    drop_path_rate=0.0)
+    x = jax.random.normal(jax.random.key(3), (2, 16, 16, 3))
+    for impl in ("element", "rank"):
+        cc = CaraConfig(rank=4, scale=1.5, l_mu=1.1, l_std=0.05,
+                        weight_dropout=0.3, weight_dropout_impl=impl)
+        params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+        cara = cara_lib.init_cara_params(jax.random.key(1), cfg, cc)
+        for nm in ("A2", "P2"):
+            cara[nm] = 0.3 * jax.random.normal(jax.random.key(2),
+                                               cara[nm].shape)
+
+        def fwd(mega, train=False, c=cara, cc=cc):
+            old = vit_lib._ATTN_MEGA
+            vit_lib._ATTN_MEGA = mega
+            try:
+                return vit_lib.vit_forward(
+                    params, x, cfg, cara_params=c, cara_cfg=cc,
+                    train=train, rng=jax.random.key(7) if train else None,
+                    attn_impl="fused", dense_impl="fused")
+            finally:
+                vit_lib._ATTN_MEGA = old
+
+        np.testing.assert_allclose(np.asarray(fwd(True)),
+                                   np.asarray(fwd(False)), atol=3e-4,
+                                   err_msg=f"eval:{impl}")
+        np.testing.assert_allclose(
+            np.asarray(fwd(True, train=True)),
+            np.asarray(fwd(False, train=True)), atol=3e-4,
+            err_msg=f"train:{impl}")
+
+        def loss(c, mega):
+            return (fwd(mega, train=True, c=c).astype(jnp.float32)
+                    ** 2).mean()
+
+        gm = jax.grad(loss)(cara, True)
+        gt = jax.grad(loss)(cara, False)
+        for nm in ("A2", "A3", "R1", "P2", "P3", "R2", "bias1"):
+            np.testing.assert_allclose(
+                np.asarray(gm[nm]), np.asarray(gt[nm]), atol=3e-4,
+                rtol=5e-3, err_msg=f"grad:{impl}:{nm}")
+
+
+def test_model_droppath_fused_matches_split():
+    """Nonzero drop_path_rate: the megakernels' fused per-sample gate draws
+    the same bernoulli mask as ops.layers.drop_path, so train outputs match
+    the split path exactly."""
+    from cara_tpu.config import CaraConfig, ViTConfig
+    from cara_tpu.models import cara as cara_lib, vit as vit_lib
+
+    cfg = ViTConfig(image_size=16, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, repr_size=None, num_classes=5,
+                    drop_path_rate=0.5)
+    cc = CaraConfig(rank=4, scale=1.5, l_mu=1.1, l_std=0.05,
+                    weight_dropout=0.0)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara = cara_lib.init_cara_params(jax.random.key(1), cfg, cc)
+    for nm in ("A2", "P2"):
+        cara[nm] = 0.3 * jax.random.normal(jax.random.key(2), cara[nm].shape)
+    x = jax.random.normal(jax.random.key(3), (4, 16, 16, 3))
+
+    def fwd(attn_mega, mlp_mega):
+        old = vit_lib._ATTN_MEGA, vit_lib._MLP_MEGA
+        vit_lib._ATTN_MEGA, vit_lib._MLP_MEGA = attn_mega, mlp_mega
+        try:
+            return vit_lib.vit_forward(
+                params, x, cfg, cara_params=cara, cara_cfg=cc, train=True,
+                rng=jax.random.key(11), attn_impl="fused",
+                dense_impl="fused")
+        finally:
+            vit_lib._ATTN_MEGA, vit_lib._MLP_MEGA = old
+
+    both = fwd(True, True)
+    split = fwd(False, False)
+    np.testing.assert_allclose(np.asarray(both), np.asarray(split),
+                               atol=3e-4)
+    # The gate actually fires at rate 0.5 on some layer/sample: train
+    # differs from eval.
+    ev = vit_lib.vit_forward(params, x, cfg, cara_params=cara, cara_cfg=cc,
+                             attn_impl="fused", dense_impl="fused")
+    assert float(jnp.abs(both - ev).max()) > 1e-4

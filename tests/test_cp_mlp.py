@@ -32,7 +32,8 @@ def _ref(x, p, s, act="gelu"):
         h = pre * jax.nn.sigmoid(1.702 * pre)
     else:
         h = pre
-    return _site(h, p["w2"], p["b2"], p["u2"], p["v2"], p["cb2"], s)
+    y = _site(h, p["w2"], p["b2"], p["u2"], p["v2"], p["cb2"], s)
+    return x + p["dpm"] * y  # fused residual + drop-path gate
 
 
 def _setup(m, k, n1, r, key=0):
@@ -51,6 +52,11 @@ def _setup(m, k, n1, r, key=0):
         cb2=jax.random.normal(ks[10], (k,)) * 0.1,
         ls=1.0 + 0.1 * jax.random.normal(ks[11], (k,)),
         lb=jnp.zeros((k,)) + 0.05,
+        # Nontrivial per-row drop-path gate (0 or 1/keep) exercises the
+        # fused residual in every test.
+        dpm=jax.random.bernoulli(
+            jax.random.key(key + 100), 0.8, (m, 1)).astype(jnp.float32)
+        / 0.8,
     )
 
 
@@ -58,7 +64,7 @@ def _call(p, s, act="gelu", bm=64):
     return cp_mlp_block(
         p["x"], p["w1"], p["b1"], p["u1"], p["v1"], p["cb1"],
         p["w2"], p["b2"], p["u2"], p["v2"], p["cb2"], p["ls"], p["lb"],
-        s, bm, True, act, EPS)
+        p["dpm"], s, bm, True, act, EPS)
 
 
 @pytest.mark.parametrize("m", [128, 200])  # 200: ragged, padded M
@@ -77,7 +83,7 @@ def test_leading_dims():
     out = cp_mlp_block(
         x3, p["w1"], p["b1"], p["u1"], p["v1"], p["cb1"],
         p["w2"], p["b2"], p["u2"], p["v2"], p["cb2"], p["ls"], p["lb"],
-        2.0, 64, True)
+        p["dpm"].reshape(6, 32, 1), 2.0, 64, True)
     assert out.shape == (6, 32, 128)
     np.testing.assert_allclose(
         np.asarray(out.reshape(-1, 128)),
@@ -137,15 +143,15 @@ def _ref_wd(x, p, s, seed1, seed2, act="gelu"):
     pre = xa @ w1p + p["b1"] + s * p["cb1"]
     h = jax.nn.gelu(pre, approximate=False) if act == "gelu" else pre
     w2p = _masked(p["w2"], p["u2"], p["v2"], s, seed2)
-    return h @ w2p + p["b2"] + s * p["cb2"]
+    return x + p["dpm"] * (h @ w2p + p["b2"] + s * p["cb2"])
 
 
 def _call_wd(p, s, seed1, seed2, bm=64):
     return cp_mlp_block_wd(
         p["x"], p["w1"], p["b1"], p["u1"], p["v1"], p["cb1"],
         p["w2"], p["b2"], p["u2"], p["v2"], p["cb2"], p["ls"], p["lb"],
-        jnp.asarray(seed1, jnp.int32), jnp.asarray(seed2, jnp.int32),
-        s, RATE, bm, True, "gelu", EPS)
+        p["dpm"], jnp.asarray(seed1, jnp.int32),
+        jnp.asarray(seed2, jnp.int32), s, RATE, bm, True, "gelu", EPS)
 
 
 @pytest.mark.parametrize("m", [128, 200])
