@@ -64,6 +64,19 @@ _MLP_MEGA = os.environ.get("CARA_MLP_MEGA", "1") == "1"
 # CARA_ATTN_MEGA=1/0 forces.
 _ATTN_MEGA = os.environ.get("CARA_ATTN_MEGA", "auto")
 
+# Megakernel tile knobs (swept on v5e, .bench_tune3/4.jsonl): images per
+# attention program (8 fails VMEM, 4 beats 2 by ~3 ms/step) and m-rows per
+# MLP program — the wd (element-dropout) variant prefers 512 (82.9 vs 85.9
+# ms), the rank variant 256 (75.0 vs 78.4).
+_MLP_BM = os.environ.get("CARA_MLP_BM", "auto")
+_ATTN_BB = int(os.environ.get("CARA_ATTN_BB", "4"))
+
+
+def _mlp_bm(use_elem: bool) -> int:
+    if _MLP_BM != "auto":
+        return int(_MLP_BM)
+    return 512 if use_elem else 256
+
 
 def _attn_mega_on(use_elem: bool, training: bool) -> bool:
     if isinstance(_ATTN_MEGA, bool):  # tests monkeypatch a bool
@@ -251,6 +264,10 @@ def _block(
                     and key is not None and cara_cfg.weight_dropout > 0.0)
     fused_dense = (dense_impl == "fused" and use_cara and not materialized
                    and cara_cfg.cp_order != 2)
+    # Plain / merged-weight backbone (no adapter): the megakernels still pay
+    # off — they run with zero CP factors (the rank GEMMs cost ~2%, the
+    # deleted qkv / hidden-activation / residual round-trips dominate).
+    fused_plain = dense_impl == "fused" and not use_cara
     if fused_dense:
         from cara_tpu.ops.pallas.cp_dense import (
             cp_dense, cp_dense_ln, cp_dense_ln_wd, cp_dense_wd)
@@ -269,7 +286,7 @@ def _block(
         x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
     proj = None  # set directly by the attention megakernel / attnproj fusion
     attn_mega = False
-    if (fused_dense and fused_attn
+    if ((fused_dense or fused_plain) and fused_attn
             and _attn_mega_on(use_elem, key is not None)
             and cfg.dropout_rate == 0.0):
         from cara_tpu.ops.pallas.cp_attn_block import (
@@ -287,7 +304,16 @@ def _block(
         x_p = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0))) \
             if npad != n else x
         dpm = _dp_gate(k_dp1, dpr, b, x.dtype)
-        if use_elem:
+        if not use_cara:
+            z1 = jnp.zeros((e, 1), x.dtype)
+            x = cp_attn_block(
+                x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
+                z1, jnp.zeros((1, 3 * e), x.dtype),
+                bp["proj"]["kernel"], bp["proj"]["bias"],
+                z1, jnp.zeros((1, e), x.dtype), jnp.zeros((e,), x.dtype),
+                bp["ln1_scale"], bp["ln1_bias"], dpm,
+                h, d ** -0.5, n, 0.0, _ATTN_BB, None, cfg.layernorm_eps)[:, :n, :]
+        elif use_elem:
             u1, v1 = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg)
             u2, v2 = cara_lib.rows_out_uv(
                 p1[0:1], cara_params["P2"], cara_params["P3"],
@@ -300,7 +326,7 @@ def _block(
                 cara_params["bias1"].astype(x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
                 _wd_seed(k_wd_qkv), _wd_seed(k_wd_proj),
-                h, d ** -0.5, n, s, cara_cfg.weight_dropout, 2, None,
+                h, d ** -0.5, n, s, cara_cfg.weight_dropout, _ATTN_BB, None,
                 cfg.layernorm_eps)[:, :n, :]
         else:
             comp_q = cp_ops.weight_dropout_mask(
@@ -320,7 +346,7 @@ def _block(
                 u2.astype(x.dtype), v2.astype(x.dtype),
                 cara_params["bias1"].astype(x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
-                h, d ** -0.5, n, s, 2, None, cfg.layernorm_eps)[:, :n, :]
+                h, d ** -0.5, n, s, _ATTN_BB, None, cfg.layernorm_eps)[:, :n, :]
     elif fused_attn:
         # Layout-native path: pad the token axis once, keep the qkv GEMM
         # output layout all the way through the Pallas kernel (no 5-D
@@ -465,6 +491,21 @@ def _block(
     # --- MLP ---------------------------------------------------------------
     if use_cara:
         p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
+    if fused_plain and _MLP_MEGA and cfg.dropout_rate == 0.0:
+        from cara_tpu.ops.pallas.cp_mlp import cp_mlp_block
+
+        dpm = _dp_gate(k_dp2, dpr, b, x.dtype)
+        hid = mr * e
+        x = cp_mlp_block(
+            x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
+            jnp.zeros((e, 1), x.dtype), jnp.zeros((1, hid), x.dtype),
+            jnp.zeros((hid,), x.dtype),
+            bp["fc2"]["kernel"], bp["fc2"]["bias"],
+            jnp.zeros((hid, 1), x.dtype), jnp.zeros((1, e), x.dtype),
+            jnp.zeros((e,), x.dtype),
+            bp["ln2_scale"], bp["ln2_bias"], dpm, 0.0,
+            _mlp_bm(False), None, cfg.activation, cfg.layernorm_eps)
+        return x
     if fused_dense and _MLP_MEGA and cfg.dropout_rate == 0.0:
         # Block megakernel: both MLP GEMMs + deltas + LN2 + GELU in ONE
         # pallas_call (cara.py:72-93 in one pass).  Inter-GEMM activation
@@ -489,7 +530,7 @@ def _block(
                 cara_params["bias3"].astype(x.dtype),
                 bp["ln2_scale"], bp["ln2_bias"], dpm,
                 _wd_seed(k_wd_up), _wd_seed(k_wd_down),
-                s, cara_cfg.weight_dropout, 256, None, cfg.activation,
+                s, cara_cfg.weight_dropout, _mlp_bm(True), None, cfg.activation,
                 cfg.layernorm_eps)
         else:
             comp_up = cp_ops.weight_dropout_mask(
@@ -511,7 +552,7 @@ def _block(
                 u2.astype(x.dtype), v2.astype(x.dtype),
                 cara_params["bias3"].astype(x.dtype),
                 bp["ln2_scale"], bp["ln2_bias"], dpm, s,
-                256, None, cfg.activation, cfg.layernorm_eps)
+                _mlp_bm(False), None, cfg.activation, cfg.layernorm_eps)
         return x  # residual + drop-path fused in-kernel
     if fused_dense:
         # LN2 prologue + GELU epilogue fused into the fc1 kernel — neither
@@ -605,15 +646,23 @@ def _block(
 
 
 def resolve_dense_impl(has_cara: bool, cara_cfg) -> str:
-    """Default dense implementation: the fused Pallas cp_dense stack (LN
-    prologue + GEMM + CP delta + activation epilogue, custom VJP) on TPU —
-    measured at parity with XLA's pipelined GEMMs (86.6 vs 86.3ms/step,
-    ViT-B rank-8 bs64) with structurally fewer HBM round-trips.  Falls back
-    to XLA off-TPU, for the materialized-delta path (element-wise weight
-    dropout), and for CP order 2 (no rank-space contraction)."""
-    if (jax.default_backend() == "tpu" and has_cara
-            and cara_cfg.delta_impl == "factorized"
-            and cara_cfg.cp_order != 2):
+    """Default dense implementation: the fused Pallas stack (block
+    megakernels + cp_dense, custom VJPs) on TPU — measured past XLA's
+    pipelined GEMMs (85.9 vs 103 ms/step element-dropout, 24.6 vs 27.7 ms
+    eval fwd, ViT-B rank-8 bs64).  Applies to the plain/merged backbone
+    too (zero CP factors).  Falls back to XLA off-TPU, for the
+    materialized-delta path, and for CP order 2 (no rank-space
+    contraction)."""
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if not has_cara:
+        # Measured: the plain/merged backbone is FASTER on XLA dense +
+        # fused attention (2846 img/s serving) than through the megakernels
+        # with zero factors (2578) — without adapter math to amortize, the
+        # zero-rank GEMMs and coarser grids only cost.  dense_impl="fused"
+        # opts in explicitly.
+        return "xla"
+    if cara_cfg.delta_impl == "factorized" and cara_cfg.cp_order != 2:
         return "fused"
     return "xla"
 

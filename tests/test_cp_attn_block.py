@@ -271,3 +271,22 @@ def test_model_droppath_fused_matches_split():
     ev = vit_lib.vit_forward(params, x, cfg, cara_params=cara, cara_cfg=cc,
                              attn_impl="fused", dense_impl="fused")
     assert float(jnp.abs(both - ev).max()) > 1e-4
+
+
+def test_plain_backbone_megakernels_match_xla():
+    """No-adapter (plain / merged-weight) forward through the megakernels
+    (zero CP factors) == the XLA path — the serving configuration."""
+    from cara_tpu.config import ViTConfig
+    from cara_tpu.models import vit as vit_lib
+
+    cfg = ViTConfig(image_size=16, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, repr_size=None, num_classes=5,
+                    drop_path_rate=0.0)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(3), (2, 16, 16, 3))
+    ref = vit_lib.vit_forward(params, x, cfg, attn_impl="xla",
+                              dense_impl="xla")
+    fused = vit_lib.vit_forward(params, x, cfg, attn_impl="fused",
+                                dense_impl="fused")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
+                               atol=3e-4)
