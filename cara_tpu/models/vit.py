@@ -233,6 +233,7 @@ def _block(
     p1: Optional[jax.Array],
     dpr: jax.Array,
     key: Optional[jax.Array],
+    skey: Optional[jax.Array],
     cfg: ViTConfig,
     cara_params: Optional[Dict[str, jax.Array]],
     cara_cfg: Optional[CaraConfig],
@@ -240,12 +241,19 @@ def _block(
     dense_impl: str = "xla",
 ) -> jax.Array:
     """One transformer block with optional CaRA deltas (reference hot loop,
-    SURVEY.md section 3.3)."""
+    SURVEY.md section 3.3).
+
+    ``key`` drives the weight-dropout masks (shared across the batch by
+    reference semantics, ``cara.py:35`` — under data-parallel shard_map it
+    must be shard-invariant); ``skey`` drives per-sample randomness
+    (drop-path, activation/attention dropout — per-shard under shard_map).
+    """
     e, h, d = cfg.embed_dim, cfg.num_heads, cfg.head_dim
     mr = cfg.mlp_ratio
     if key is not None:
-        (k_wd_qkv, k_wd_proj, k_wd_up, k_wd_down, k_dp1, k_dp2, k_attn,
-         k_do1, k_do2, k_do3) = jax.random.split(key, 10)
+        k_wd_qkv, k_wd_proj, k_wd_up, k_wd_down = jax.random.split(key, 4)
+        (k_dp1, k_dp2, k_attn, k_do1, k_do2, k_do3) = jax.random.split(
+            skey, 6)
     else:
         k_wd_qkv = k_wd_proj = k_wd_up = k_wd_down = k_dp1 = k_dp2 = None
         k_attn = k_do1 = k_do2 = k_do3 = None
@@ -676,6 +684,7 @@ def vit_forward(
     cara_cfg: Optional[CaraConfig] = None,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    sample_rng: Optional[jax.Array] = None,
     remat=False,
     attn_impl: str = "auto",
     dense_impl: str = "auto",
@@ -683,10 +692,14 @@ def vit_forward(
     """Full forward: images (B, H, W, C) NHWC -> logits (B, num_classes).
 
     ``train=True`` with an ``rng`` enables drop-path and the CaRA weight
-    dropout; eval is fully deterministic.  ``remat`` wraps the per-layer body
-    in ``jax.checkpoint`` to trade FLOPs for HBM during training.
-    ``attn_impl``: "flash" (fused Pallas kernel), "xla", or "auto"
-    (flash on TPU, xla elsewhere).
+    dropout; eval is fully deterministic.  ``sample_rng`` (default: ``rng``)
+    separately drives per-sample randomness (drop-path, activation dropout)
+    — under data-parallel ``shard_map`` the caller folds the shard index
+    into it while ``rng`` stays shard-invariant, keeping the weight-dropout
+    masks shared across the global batch (``cara.py:35`` semantics).
+    ``remat`` wraps the per-layer body in ``jax.checkpoint`` to trade FLOPs
+    for HBM during training.  ``attn_impl``: "flash" (fused Pallas kernel),
+    "xla", or "auto" (flash on TPU, xla elsewhere).
     """
     if (cara_params is None) != (cara_cfg is None):
         raise ValueError("cara_params and cara_cfg must be provided together")
@@ -724,15 +737,17 @@ def vit_forward(
         a1_stack = p1_stack = jnp.zeros((L, 1, 1), tokens.dtype)  # unused
 
     keys = jax.random.split(rng, L) if use_rng else None
+    skeys = jax.random.split(
+        rng if sample_rng is None else sample_rng, L) if use_rng else None
 
     def body(carry, xs):
         if use_rng:
-            bp, f1, p1, dpr_l, key = xs
+            bp, f1, p1, dpr_l, key, skey = xs
         else:
             bp, f1, p1, dpr_l = xs
-            key = None
+            key = skey = None
         out = _block(
-            carry, bp, f1, p1, dpr_l, key, cfg, cara_params, cara_cfg,
+            carry, bp, f1, p1, dpr_l, key, skey, cfg, cara_params, cara_cfg,
             attn_impl, dense_impl
         )
         return out, None
@@ -747,7 +762,7 @@ def vit_forward(
 
     xs = (params["blocks"], a1_stack, p1_stack, dpr)
     if use_rng:
-        xs = xs + (keys,)
+        xs = xs + (keys, skeys)
     tokens, _ = jax.lax.scan(body, tokens, xs)
 
     tokens = layer_norm(

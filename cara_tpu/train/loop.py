@@ -111,10 +111,11 @@ def fit(
     train_step = train_step or jax.jit(
         steps_lib.make_train_step(
             cfg, cara_cfg, tx, compute_dtype=compute_dtype, remat=remat,
-            attn_impl=attn_impl, dense_impl=dense_impl),
+            attn_impl=attn_impl, dense_impl=dense_impl, mesh=mesh),
         donate_argnums=(0,))
     eval_step = eval_step or jax.jit(
-        steps_lib.make_eval_step(cfg, cara_cfg, compute_dtype=compute_dtype))
+        steps_lib.make_eval_step(cfg, cara_cfg, compute_dtype=compute_dtype,
+                                 mesh=mesh))
 
     put = (lambda b: mesh_lib.put_batch(mesh, b)) if mesh is not None else (
         lambda b: b)

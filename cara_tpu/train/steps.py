@@ -95,6 +95,35 @@ def cast_floating(tree, dtype):
         if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
 
 
+def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
+                   has_cara: bool = True):
+    """Resolve auto impls and decide the multi-device strategy.
+
+    Pallas kernels are opaque custom calls to GSPMD: with a sharded batch
+    the partitioner ALL-GATHERS the batch and replicates the kernel on every
+    device (measured: 10 all-gathers in the compiled HLO of one fused
+    forward on an 8-device data mesh).  So on a >1-device data mesh the
+    fused path runs under ``shard_map`` (per-shard kernels + explicit
+    pmean/psum); tensor parallelism needs GSPMD to split the weight GEMMs,
+    which only the XLA path supports — a model axis forces xla impls.
+    """
+    from cara_tpu.models.vit import resolve_dense_impl
+    from cara_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    if attn_impl == "auto":
+        attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if dense_impl == "auto":
+        dense_impl = resolve_dense_impl(has_cara, cara_cfg)
+    tp = mesh is not None and mesh.shape[MODEL_AXIS] > 1
+    if tp:
+        attn_impl = "xla"
+        dense_impl = "xla"
+    use_shard_map = (
+        mesh is not None and not tp and mesh.shape[DATA_AXIS] > 1
+        and (attn_impl != "xla" or dense_impl == "fused"))
+    return attn_impl, dense_impl, use_shard_map
+
+
 def make_train_step(
     cfg: ViTConfig,
     cara_cfg: CaraConfig,
@@ -104,6 +133,7 @@ def make_train_step(
     compute_dtype=None,
     attn_impl: str = "auto",
     dense_impl: str = "auto",
+    mesh=None,
 ):
     """Build the jittable train step: (state, frozen, batch, rng) -> (state, metrics).
 
@@ -118,15 +148,13 @@ def make_train_step(
     (measured faster: residual HBM traffic > recompute) but disabled for the
     fused-kernel path, whose custom VJPs already hold the minimal residuals.
     """
-    from cara_tpu.models.vit import resolve_dense_impl
-
-    if dense_impl == "auto":
-        dense_impl = resolve_dense_impl(True, cara_cfg)
+    attn_impl, dense_impl, use_shard_map = _resolve_impls(
+        attn_impl, dense_impl, cara_cfg, mesh)
     if remat == "auto":
         remat = dense_impl != "fused"
 
-    def train_step(state: TrainState, frozen: Params, batch, rng):
-        step_rng = jax.random.fold_in(rng, state.step)
+    def compute(trainable, frozen, batch, wd_rng, sample_rng):
+        """(loss, acc, grads) for one (possibly per-shard) batch."""
 
         def loss_fn(trainable):
             if compute_dtype is not None:
@@ -136,19 +164,47 @@ def make_train_step(
             cara = trainable["cara"]
             logits = vit_forward(
                 p, x, cfg, cara_params=cara, cara_cfg=cara_cfg,
-                train=True, rng=step_rng, remat=remat,
+                train=True, rng=wd_rng, sample_rng=sample_rng, remat=remat,
                 attn_impl=attn_impl, dense_impl=dense_impl,
             ).astype(jnp.float32)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, batch["label"]).mean()
-            return loss, logits
+            acc = jnp.mean((jnp.argmax(logits, axis=-1)
+                            == batch["label"]).astype(jnp.float32))
+            return loss, acc
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable)
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable)
+        return loss, acc, grads
+
+    if use_shard_map:
+        from jax.sharding import PartitionSpec as P
+
+        from cara_tpu.parallel.mesh import DATA_AXIS
+
+        def sharded_compute(trainable, frozen, batch, rng):
+            # Weight-dropout masks stay shard-invariant (shared across the
+            # global batch, cara.py:35); per-sample randomness decorrelates
+            # across shards via the axis index.
+            srng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+            out = compute(trainable, frozen, batch, rng, srng)
+            return jax.lax.pmean(out, DATA_AXIS)
+
+        sharded_compute = jax.shard_map(
+            sharded_compute, mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P()),
+            out_specs=P(), check_vma=False)
+
+    def train_step(state: TrainState, frozen: Params, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        if use_shard_map:
+            loss, acc, grads = sharded_compute(
+                state.trainable, frozen, batch, step_rng)
+        else:
+            loss, acc, grads = compute(
+                state.trainable, frozen, batch, step_rng, step_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
-        acc = jnp.mean(
-            (jnp.argmax(logits, axis=-1) == batch["label"]).astype(jnp.float32))
         gnorm = optax.global_norm(grads)
         new_state = TrainState(state.step + 1, trainable, opt_state)
         return new_state, {"loss": loss, "accuracy": acc, "grad_norm": gnorm}
@@ -157,14 +213,21 @@ def make_train_step(
 
 
 def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
-                   compute_dtype=None):
+                   compute_dtype=None, mesh=None, attn_impl: str = "auto",
+                   dense_impl: str = "auto"):
     """(params, cara, batch) -> per-batch (num_correct, num_total).
 
     Equivalent of the reference eval loop's avalanche ``Accuracy.update``
     (``vit_cp.py:73-82``); accuracy = correct/total accumulated by the caller
     (plain mean(argmax==y), SURVEY.md section 7 "avalanche semantics").
     Supports a ``valid`` mask so padded final batches don't skew accuracy.
+    On a >1-device data mesh the fused-kernel forward runs under
+    ``shard_map`` (Pallas kernels are opaque to GSPMD — see
+    ``_resolve_impls``) and the (correct, total) sums are psum'd.
     """
+    attn_impl, dense_impl, use_shard_map = _resolve_impls(
+        attn_impl, dense_impl, cara_cfg, mesh,
+        has_cara=cara_cfg is not None)
 
     def eval_step(params: Params, cara_params, batch):
         p, cara = params, cara_params
@@ -175,7 +238,8 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
                 cara = cast_floating(cara, compute_dtype)
         logits = vit_forward(
             p, x, cfg, cara_params=cara,
-            cara_cfg=cara_cfg if cara is not None else None, train=False)
+            cara_cfg=cara_cfg if cara is not None else None, train=False,
+            attn_impl=attn_impl, dense_impl=dense_impl)
         pred = jnp.argmax(logits, axis=-1)
         valid = batch.get("valid")
         if valid is None:
@@ -183,4 +247,17 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
         correct = jnp.sum((pred == batch["label"]).astype(jnp.float32) * valid)
         return correct, jnp.sum(valid)
 
-    return eval_step
+    if not use_shard_map:
+        return eval_step
+
+    from jax.sharding import PartitionSpec as P
+
+    from cara_tpu.parallel.mesh import DATA_AXIS
+
+    def sharded_eval(params, cara_params, batch):
+        c, t = eval_step(params, cara_params, batch)
+        return jax.lax.psum((c, t), DATA_AXIS)
+
+    return jax.shard_map(
+        sharded_eval, mesh=mesh, in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=P(), check_vma=False)

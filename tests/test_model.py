@@ -72,21 +72,23 @@ def test_delta_impls_agree_in_eval(tiny):
 
 def test_train_mode_stochastic(tiny):
     """Train mode consumes RNG: different keys => different outputs
-    (drop-path + weight dropout active)."""
+    (drop-path + weight dropout active).  The only live randomness at the
+    zero-initialized adapter is drop-path at rates <= 0.1, so a single key
+    pair can coincide (all gates drawn 1) — assert over several keys."""
     cfg, cara_cfg, params, cara_params = tiny
     x = jax.random.normal(jax.random.key(5), (4, 32, 32, 3))
-    o1 = vit_lib.vit_forward(
-        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
-        train=True, rng=jax.random.key(10))
-    o2 = vit_lib.vit_forward(
-        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
-        train=True, rng=jax.random.key(11))
-    assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+    def fwd(k):
+        return vit_lib.vit_forward(
+            params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+            train=True, rng=jax.random.key(k))
+
+    outs = [fwd(k) for k in range(10, 18)]
+    diffs = [float(jnp.abs(outs[0] - o).max()) for o in outs[1:]]
+    assert max(diffs) > 1e-6, diffs
     # Same key => deterministic.
-    o3 = vit_lib.vit_forward(
-        params, x, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
-        train=True, rng=jax.random.key(10))
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(fwd(10)),
+                               atol=1e-6)
 
 
 def test_remat_matches(tiny):

@@ -169,3 +169,71 @@ def test_uint8_batch_sharded(setup):
         "label": ubatch["label"]}, jax.random.key(7))
     np.testing.assert_allclose(
         float(metrics["loss"]), float(mref["loss"]), rtol=1e-4)
+
+
+def test_shard_map_fused_dp_matches_single_device(setup):
+    """The fused Pallas path on a data mesh runs under shard_map (GSPMD
+    treats pallas_call as opaque and would all-gather the batch — measured
+    10 all-gathers in a fused forward's compiled HLO).  One DP step through
+    shard_map must equal the single-device step, and its HLO must contain
+    psum-style all-reduces but NO all-gather of the batch."""
+    cfg, _, params, _ = setup
+    cc = CaraConfig(rank=4, scale=1.5, l_mu=1.0, l_std=0.0,
+                    weight_dropout=0.3, weight_dropout_impl="element")
+    cara_params = cara_lib.init_cara_params(jax.random.key(1), cfg, cc)
+    cara_params["A2"] = 0.1 * jax.random.normal(
+        jax.random.key(2), cara_params["A2"].shape)
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=10)
+    frozen, state = steps_lib.init_train_state(tx, params, cara_params)
+    batch = _synthetic_batch(jax.random.key(5), 16, cfg, 4)
+    rng = jax.random.key(7)
+
+    single = steps_lib.make_train_step(
+        cfg, cc, tx, attn_impl="fused", dense_impl="fused")
+    ref_state, ref_metrics = jax.jit(single)(state, frozen, batch, rng)
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    sharded = steps_lib.make_train_step(
+        cfg, cc, tx, attn_impl="fused", dense_impl="fused", mesh=mesh)
+    sb = mesh_lib.put_batch(mesh, batch)
+    fr = mesh_lib.put_replicated(mesh, frozen)
+    st = mesh_lib.put_replicated(mesh, state)
+    jitted = jax.jit(sharded)
+    hlo = jitted.lower(st, fr, sb, rng).compile().as_text()
+    assert "all-gather" not in hlo, "fused DP path still replicates"
+    assert "all-reduce" in hlo, "expected gradient psum collectives"
+    got_state, got_metrics = jitted(st, fr, sb, rng)
+
+    # drop_path/dropout rates are 0 => per-sample rng differences are inert;
+    # weight-dropout masks are shard-invariant by construction => exact.
+    np.testing.assert_allclose(float(ref_metrics["loss"]),
+                               float(got_metrics["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(ref_metrics["accuracy"]),
+                               float(got_metrics["accuracy"]), atol=1e-6)
+    for name in ("A2", "P2", "R1", "bias1"):
+        np.testing.assert_allclose(
+            np.asarray(ref_state.trainable["cara"][name]),
+            np.asarray(got_state.trainable["cara"][name]),
+            atol=2e-6, err_msg=name)
+
+
+def test_shard_map_fused_eval_matches(setup):
+    cfg, cc, params, cara_params = setup
+    batch = _synthetic_batch(jax.random.key(9), 16, cfg, 4)
+    single = steps_lib.make_eval_step(cfg, cc, attn_impl="fused",
+                                      dense_impl="fused")
+    c0, t0 = jax.jit(single)(params, cara_params, batch)
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    sharded = steps_lib.make_eval_step(cfg, cc, mesh=mesh,
+                                       attn_impl="fused",
+                                       dense_impl="fused")
+    sb = mesh_lib.put_batch(mesh, batch)
+    pr = mesh_lib.put_replicated(mesh, params)
+    cr = mesh_lib.put_replicated(mesh, cara_params)
+    jitted = jax.jit(sharded)
+    hlo = jitted.lower(pr, cr, sb).compile().as_text()
+    assert "all-gather" not in hlo
+    c1, t1 = jitted(pr, cr, sb)
+    assert float(t0) == float(t1) == 16.0
+    np.testing.assert_allclose(float(c0), float(c1), atol=1e-6)
