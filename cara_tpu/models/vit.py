@@ -65,17 +65,27 @@ _MLP_MEGA = os.environ.get("CARA_MLP_MEGA", "1") == "1"
 _ATTN_MEGA = os.environ.get("CARA_ATTN_MEGA", "auto")
 
 # Megakernel tile knobs (swept on v5e, .bench_tune3/4.jsonl): images per
-# attention program (8 fails VMEM, 4 beats 2 by ~3 ms/step) and m-rows per
-# MLP program — the wd (element-dropout) variant prefers 512 (82.9 vs 85.9
-# ms), the rank variant 256 (75.0 vs 78.4).
+# attention program (8 fails VMEM, 4 beats 2 by ~3 ms/step at ViT-B) and
+# m-rows per MLP program — the wd (element-dropout) variant prefers 512
+# (82.9 vs 85.9 ms), the rank variant 256 (75.0 vs 78.4).
 _MLP_BM = os.environ.get("CARA_MLP_BM", "auto")
-_ATTN_BB = int(os.environ.get("CARA_ATTN_BB", "4"))
+_ATTN_BB = os.environ.get("CARA_ATTN_BB", "auto")
 
 
 def _mlp_bm(use_elem: bool) -> int:
     if _MLP_BM != "auto":
         return int(_MLP_BM)
     return 512 if use_elem else 256
+
+
+def _attn_bb(npad: int, e: int) -> int:
+    """Images per attention-megakernel program: 4 at the ViT-B tile size,
+    scaled down for larger (NP, E) so the backward's resident qkv scratch +
+    dT accumulators stay inside VMEM (CLIP ViT-L/14 at bb=4 measured 155M
+    vs the 128M capacity)."""
+    if _ATTN_BB != "auto":
+        return int(_ATTN_BB)
+    return max(1, (4 * 256 * 2304) // (npad * 3 * e))
 
 
 def _attn_mega_on(use_elem: bool, training: bool) -> bool:
@@ -320,7 +330,8 @@ def _block(
                 bp["proj"]["kernel"], bp["proj"]["bias"],
                 z1, jnp.zeros((1, e), x.dtype), jnp.zeros((e,), x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
-                h, d ** -0.5, n, 0.0, _ATTN_BB, None, cfg.layernorm_eps)[:, :n, :]
+                h, d ** -0.5, n, 0.0, _attn_bb(npad, e), None,
+                cfg.layernorm_eps)[:, :n, :]
         elif use_elem:
             u1, v1 = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg)
             u2, v2 = cara_lib.rows_out_uv(
@@ -334,7 +345,8 @@ def _block(
                 cara_params["bias1"].astype(x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
                 _wd_seed(k_wd_qkv), _wd_seed(k_wd_proj),
-                h, d ** -0.5, n, s, cara_cfg.weight_dropout, _ATTN_BB, None,
+                h, d ** -0.5, n, s, cara_cfg.weight_dropout,
+                _attn_bb(npad, e), None,
                 cfg.layernorm_eps)[:, :n, :]
         else:
             comp_q = cp_ops.weight_dropout_mask(
@@ -354,7 +366,8 @@ def _block(
                 u2.astype(x.dtype), v2.astype(x.dtype),
                 cara_params["bias1"].astype(x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
-                h, d ** -0.5, n, s, _ATTN_BB, None, cfg.layernorm_eps)[:, :n, :]
+                h, d ** -0.5, n, s, _attn_bb(npad, e), None,
+                cfg.layernorm_eps)[:, :n, :]
     elif fused_attn:
         # Layout-native path: pad the token axis once, keep the qkv GEMM
         # output layout all the way through the Pallas kernel (no 5-D
