@@ -76,3 +76,38 @@ def test_clip_merge_parity():
         merge_lib.merge_cara(params, cara_params, cfg, cara_cfg), x, cfg)
     np.testing.assert_allclose(
         np.asarray(adapted), np.asarray(merged), atol=2e-4)
+
+
+def test_clip_megakernel_matches_xla():
+    """The CLIP architectural switches (ln_pre, quickGELU, projection head)
+    through the fused megakernel path == the XLA path, eval + train."""
+    import jax.numpy as jnp
+
+    cfg = _small_clip()
+    cfg = dataclasses.replace(cfg, num_classes=5)
+    cc = CaraConfig(rank=4, scale=2.0, l_mu=1.1, l_std=0.05,
+                    weight_dropout=0.3)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara = cara_lib.init_cara_params(jax.random.key(1), cfg, cc)
+    for nm in ("A2", "P2"):
+        cara[nm] = 0.2 * jax.random.normal(jax.random.key(2), cara[nm].shape)
+    x = jax.random.normal(jax.random.key(3),
+                          (2, cfg.image_size, cfg.image_size, 3))
+
+    def fwd(dense, attn, train=False, c=cc):
+        return vit_lib.vit_forward(
+            params, x, cfg, cara_params=cara, cara_cfg=c, train=train,
+            rng=jax.random.key(7) if train else None,
+            attn_impl=attn, dense_impl=dense)
+
+    np.testing.assert_allclose(
+        np.asarray(fwd("fused", "fused")), np.asarray(fwd("xla", "xla")),
+        atol=5e-4)
+    # Train mode: the fused hash-mask weight dropout is a DIFFERENT draw
+    # than the XLA bernoulli mask (same distribution, different stream), so
+    # exact train equality only holds at weight_dropout=0.
+    cc0 = dataclasses.replace(cc, weight_dropout=0.0)
+    np.testing.assert_allclose(
+        np.asarray(fwd("fused", "fused", train=True, c=cc0)),
+        np.asarray(fwd("xla", "xla", train=True, c=cc0)), atol=5e-4)
+    assert bool(jnp.all(jnp.isfinite(fwd("fused", "fused", train=True))))
