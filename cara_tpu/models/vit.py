@@ -723,12 +723,15 @@ def vit_forward(
     use_rng = train and rng is not None
     if train and rng is None and (
             cfg.dropout_rate > 0.0 or cfg.attn_dropout_rate > 0.0
-            or cfg.drop_path_rate > 0.0):
+            or cfg.drop_path_rate > 0.0
+            or (cara_cfg is not None and cara_cfg.weight_dropout > 0.0)):
         raise ValueError(
-            "train=True with a nonzero dropout/drop-path rate requires an "
-            "rng — refusing to silently skip regularization "
-            f"(dropout={cfg.dropout_rate}, attn={cfg.attn_dropout_rate}, "
-            f"drop_path={cfg.drop_path_rate})")
+            "train=True with a nonzero dropout/drop-path/weight-dropout "
+            "rate requires an rng — refusing to silently skip "
+            f"regularization (dropout={cfg.dropout_rate}, "
+            f"attn={cfg.attn_dropout_rate}, "
+            f"drop_path={cfg.drop_path_rate}, weight_dropout="
+            f"{cara_cfg.weight_dropout if cara_cfg is not None else 0.0})")
     L = cfg.depth
 
     tokens = patch_embed(params, x, cfg)
@@ -749,9 +752,18 @@ def vit_forward(
     else:
         a1_stack = p1_stack = jnp.zeros((L, 1, 1), tokens.dtype)  # unused
 
-    keys = jax.random.split(rng, L) if use_rng else None
-    skeys = jax.random.split(
-        rng if sample_rng is None else sample_rng, L) if use_rng else None
+    # Two DISTINCT derived streams: jax.random.split(key, 4) is an exact
+    # prefix of split(key, 6) (partitionable threefry), so seeding both
+    # streams from the same key would alias the per-layer weight-dropout
+    # keys with the drop-path/dropout keys — the two regularizers would be
+    # deterministically coupled.  fold_in with distinct tags decorrelates
+    # them even when sample_rng defaults to rng.
+    if use_rng:
+        keys = jax.random.split(jax.random.fold_in(rng, 0), L)
+        s_base = rng if sample_rng is None else sample_rng
+        skeys = jax.random.split(jax.random.fold_in(s_base, 1), L)
+    else:
+        keys = skeys = None
 
     def body(carry, xs):
         if use_rng:

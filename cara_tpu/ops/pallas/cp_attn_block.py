@@ -35,9 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cara_tpu.ops.pallas.cp_dense import (
     _build_wd_weight, _f0, _fit_block, _ln_rows, _pad_rank,
-    _resolve_interpret, hash_keep)
+    _resolve_interpret, _zero_uv, masked_site_grads)
 from cara_tpu.ops.pallas.cp_mlp import _ln_input_bwd
-from cara_tpu.ops.pallas.fused_qkv_attention import _attn_heads, _check_np
+from cara_tpu.ops.pallas.fused_qkv_attention import (
+    _attn_heads, _check_np, attn_bwd_tile)
 
 # (bb, NP, E) x (E, X) -> (bb, NP, X)
 _DN_W = (((2,), (0,)), ((), ()))
@@ -65,51 +66,6 @@ def _site_fwd(xa, w_ref, b_ref, u_ref, v_ref, cb_ref, s):
     if cb_ref is not None:
         y = y + s * cb_ref[...].astype(jnp.float32).reshape(1, 1, -1)
     return y, z.astype(xa.dtype)
-
-
-def _attn_bwd_tile(qkv, do_full, scale, n_real, heads, dh, dqkv_ref):
-    """Per-head attention backward on resident tiles -> dqkv_ref (VMEM).
-    Same math as fused_qkv_attention._bwd_kernel, factored for reuse."""
-    e = heads * dh
-    np_ = qkv.shape[1]
-    col = None
-    if n_real < np_:
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (qkv.shape[0], np_, np_), dimension=2)
-    for h in range(heads):
-        q = qkv[:, :, h * dh:(h + 1) * dh]
-        k = qkv[:, :, e + h * dh:e + (h + 1) * dh]
-        v = qkv[:, :, 2 * e + h * dh:2 * e + (h + 1) * dh]
-        do = do_full[:, :, h * dh:(h + 1) * dh]
-        sc = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        if col is not None:
-            sc = jnp.where(col < n_real, sc, -1e30)
-        m = jnp.max(sc, axis=-1, keepdims=True)
-        ex = jnp.exp(sc - m)
-        l = jnp.sum(ex, axis=-1, keepdims=True)
-        p = ex / l
-        pb = p.astype(qkv.dtype)
-        dv = jax.lax.dot_general(
-            pb, do, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        row = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - row)).astype(qkv.dtype)
-        dq = jax.lax.dot_general(
-            ds, k, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(
-            ds, q, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        dqkv_ref[:, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, e + h * dh:e + (h + 1) * dh] = \
-            dk.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, 2 * e + h * dh:2 * e + (h + 1) * dh] = \
-            dv.astype(dqkv_ref.dtype)
 
 
 def _attn_block_fwd_kernel(x_ref, wq_ref, bq_ref, u1_ref, v1_ref,
@@ -153,7 +109,7 @@ def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
                            wp_ref, u2_ref, v2_ref, ls_ref, lb_ref, dpm_ref,
                            dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
                            dsq_ref, dsp_ref, dqkv_ref,
-                           *, heads, dh, sm_scale, n_real, s, ln_eps, nm):
+                           *, heads, dh, sm_scale, n_real, s, ln_eps):
     mm = pl.program_id(0)
 
     @pl.when(mm == 0)
@@ -191,7 +147,7 @@ def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
     dsp_ref[...] += jnp.sum(g2.astype(jnp.float32), axis=0, keepdims=True)
 
     # Attention backward into the dqkv VMEM scratch.
-    _attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, e), sm_scale,
+    attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, e), sm_scale,
                    n_real, heads, dh, dqkv_ref)
     dqkv = dqkv_ref[...].reshape(m, 3 * e)
 
@@ -303,7 +259,7 @@ def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
     dx, du1, dv1, du2, dv2, dsq, dsp = pl.pallas_call(
         functools.partial(_attn_block_bwd_kernel, heads=heads, dh=dh,
                           sm_scale=sm_scale, n_real=n_real, s=s,
-                          ln_eps=ln_eps, nm=nm),
+                          ln_eps=ln_eps),
         grid=(nm,),
         in_specs=[
             _tile(bb, np_, e), _tile(bb, np_, e),
@@ -392,7 +348,7 @@ def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
                                         preferred_element_type=jnp.float32)
     dsp_ref[...] += jnp.sum(g2.astype(jnp.float32), axis=0, keepdims=True)
 
-    _attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, e), sm_scale,
+    attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, e), sm_scale,
                    n_real, heads, dh, dqkv_ref)
     dqkv = dqkv_ref[...].reshape(m, 3 * e)
 
@@ -407,25 +363,12 @@ def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
 
     @pl.when(mm == nm - 1)
     def _finish():
-        inv = s / (1.0 - drop_rate)
-
-        def _site(dt_ref, u_ref, v_ref, seed, du_ref, dv_ref, chunk):
-            kk, nn = dt_ref.shape
-            for c in range(0, nn, chunk):
-                keep = hash_keep(0, c, kk, chunk, seed, drop_rate)
-                dtc = jnp.where(keep, dt_ref[:, c:c + chunk] * inv,
-                                0.0).astype(x_ref.dtype)
-                du_ref[...] += jax.lax.dot_general(
-                    dtc, v_ref[:, c:c + chunk], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dv_ref[:, c:c + chunk] = jax.lax.dot_general(
-                    u_ref[...], dtc, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-
-        _site(dt1_ref, u1_ref, v1_ref, seed1_ref[0, 0], du1_ref, dv1_ref,
-              chunk1)
-        _site(dt2_ref, u2_ref, v2_ref, seed2_ref[0, 0], du2_ref, dv2_ref,
-              chunk2)
+        masked_site_grads(dt1_ref, u1_ref, v1_ref, seed1_ref[0, 0],
+                          du1_ref, dv1_ref, chunk1, s, drop_rate,
+                          x_ref.dtype)
+        masked_site_grads(dt2_ref, u2_ref, v2_ref, seed2_ref[0, 0],
+                          du2_ref, dv2_ref, chunk2, s, drop_rate,
+                          x_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp,
@@ -452,12 +395,8 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, seed1,
     bb = _block_b(bsz, block_b)
     wqp = _build_wd_weight(wq, u1, v1, seed1, s, drop_rate, interpret)
     wpp = _build_wd_weight(wp, u2, v2, seed2, s, drop_rate, interpret)
-    u0a = jnp.zeros((e, 1), x.dtype)
-    v0a = jnp.zeros((1, 3 * e), x.dtype)
-    u0b = jnp.zeros((e, 1), x.dtype)
-    v0b = jnp.zeros((1, e), x.dtype)
-    u0ap, v0ap = _pad_rank(u0a, v0a)
-    u0bp, v0bp = _pad_rank(u0b, v0b)
+    u0ap, v0ap = _pad_rank(*_zero_uv(e, 3 * e, x.dtype))
+    u0bp, v0bp = _pad_rank(*_zero_uv(e, e, x.dtype))
     dpm2 = jnp.broadcast_to(dpm.reshape(bsz, 1, 1), (bsz, np_, 1)
                             ).reshape(bsz * np_, 1).astype(x.dtype)
     out = pl.pallas_call(

@@ -591,6 +591,27 @@ def _zero_uv(k, n, dtype):
     return jnp.zeros((k, 1), dtype), jnp.zeros((1, n), dtype)
 
 
+def masked_site_grads(dt_ref, u_ref, v_ref, seed, du_ref, dv_ref, chunk,
+                      s, drop_rate, work_dtype):
+    """Chunk-wise masked factor grads from an accumulated dense cotangent:
+    ``dU += ((dT (el-mul) M) * s/keep) @ V^T``, ``dV = U^T @ (...)`` — the
+    shared finish step of every element-dropout backward (cp_dense,
+    cp_mlp, cp_attn_block), regenerating the hash mask per chunk so the
+    (K, N) plane is touched exactly once."""
+    kk, nn = dt_ref.shape
+    inv = s / (1.0 - drop_rate)
+    for c in range(0, nn, chunk):
+        keep = hash_keep(0, c, kk, chunk, seed, drop_rate)
+        dtc = jnp.where(keep, dt_ref[:, c:c + chunk] * inv,
+                        0.0).astype(work_dtype)
+        du_ref[...] += jax.lax.dot_general(
+            dtc, v_ref[:, c:c + chunk], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv_ref[:, c:c + chunk] = jax.lax.dot_general(
+            u_ref[...], dtc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
 def _cp_wd_grads_kernel(x_ref, g_ref, u_ref, v_ref, seed_ref,
                         du_ref, dv_ref, dt_ref, du_acc, *, nm, s,
                         drop_rate, chunk):
@@ -612,19 +633,8 @@ def _cp_wd_grads_kernel(x_ref, g_ref, u_ref, v_ref, seed_ref,
 
     @pl.when(mm == nm - 1)
     def _finish():
-        k, n = dt_ref.shape
-        inv = s / (1.0 - drop_rate)
-        for c in range(0, n, chunk):
-            keep = hash_keep(0, c, k, chunk, seed_ref[0, 0], drop_rate)
-            dtc = jnp.where(keep, dt_ref[:, c:c + chunk] * inv,
-                            0.0).astype(x_ref.dtype)
-            # dU += dtc @ Vc^T ; dV[:, c] = U^T @ dtc
-            du_acc[...] += jax.lax.dot_general(
-                dtc, v_ref[:, c:c + chunk], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dv_ref[:, c:c + chunk] = jax.lax.dot_general(
-                u_ref[...], dtc, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        masked_site_grads(dt_ref, u_ref, v_ref, seed_ref[0, 0], du_acc,
+                          dv_ref, chunk, s, drop_rate, x_ref.dtype)
         du_ref[...] = du_acc[...].astype(du_ref.dtype)
 
 

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cara_tpu.ops.pallas.cp_dense import (
     _act_grad, _apply_act, _build_wd_weight, _f0, _fit_block, _ln_rows,
-    _pad_rank, _resolve_interpret, hash_keep)
+    _pad_rank, _resolve_interpret, _zero_uv, masked_site_grads)
 
 
 def _full(shape):
@@ -103,7 +103,7 @@ def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref,
 def _mlp_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, u1_ref, v1_ref, cb1_ref,
                     w2_ref, u2_ref, v2_ref, ls_ref, lb_ref, dpm_ref,
                     dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
-                    ds1_ref, ds2_ref, *, s, act, ln_eps, nm):
+                    ds1_ref, ds2_ref, *, s, act, ln_eps):
     mm = pl.program_id(0)
 
     @pl.when(mm == 0)
@@ -221,8 +221,7 @@ def _mlp_bwd_raw(x2, g2, w1, b1, u1, v1, cb1, w2, u2, v2, ls, lb, dpm2,
     (x2, g2, dpm2), m = _pad_m([x2, g2, dpm2], bm)
     nm = x2.shape[0] // bm
     dx, du1, dv1, du2, dv2, ds1, ds2 = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, s=s, act=act, ln_eps=ln_eps,
-                          nm=nm),
+        functools.partial(_mlp_bwd_kernel, s=s, act=act, ln_eps=ln_eps),
         grid=(nm,),
         in_specs=[
             _row(bm, k), _row(bm, e),
@@ -371,25 +370,12 @@ def _mlp_bwd_wd_kernel(x_ref, g_ref, w1p_ref, b1_ref, cb1_ref, w2p_ref,
 
     @pl.when(mm == nm - 1)
     def _finish():
-        inv = s / (1.0 - drop_rate)
-
-        def _site(dt_ref, u_ref, v_ref, seed, du_ref, dv_ref, chunk):
-            kk, nn = dt_ref.shape
-            for c in range(0, nn, chunk):
-                keep = hash_keep(0, c, kk, chunk, seed, drop_rate)
-                dtc = jnp.where(keep, dt_ref[:, c:c + chunk] * inv,
-                                0.0).astype(x_ref.dtype)
-                du_ref[...] += jax.lax.dot_general(
-                    dtc, v_ref[:, c:c + chunk], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dv_ref[:, c:c + chunk] = jax.lax.dot_general(
-                    u_ref[...], dtc, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-
-        _site(dt1_ref, u1_ref, v1_ref, seed1_ref[0, 0], du1_ref, dv1_ref,
-              chunk1)
-        _site(dt2_ref, u2_ref, v2_ref, seed2_ref[0, 0], du2_ref, dv2_ref,
-              chunk2)
+        masked_site_grads(dt1_ref, u1_ref, v1_ref, seed1_ref[0, 0],
+                          du1_ref, dv1_ref, chunk1, s, drop_rate,
+                          x_ref.dtype)
+        masked_site_grads(dt2_ref, u2_ref, v2_ref, seed2_ref[0, 0],
+                          du2_ref, dv2_ref, chunk2, s, drop_rate,
+                          x_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21))
@@ -407,10 +393,6 @@ def cp_mlp_block_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2,
     return out
 
 
-def _zero_uv1(k, n, dtype):
-    return jnp.zeros((k, 1), dtype), jnp.zeros((1, n), dtype)
-
-
 def _mlp_fwd_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb, dpm,
                 seed1, seed2, s, drop_rate, bm, interpret, act, ln_eps):
     lead = x.shape[:-1]
@@ -420,8 +402,8 @@ def _mlp_fwd_wd(x, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb, dpm,
     dpm2 = jnp.broadcast_to(dpm, lead + (1,)).reshape(-1, 1).astype(x.dtype)
     w1p = _build_wd_weight(w1, u1, v1, seed1, s, drop_rate, interpret)
     w2p = _build_wd_weight(w2, u2, v2, seed2, s, drop_rate, interpret)
-    u0a, v0a = _zero_uv1(k, n1, x.dtype)
-    u0b, v0b = _zero_uv1(n1, e, x.dtype)
+    u0a, v0a = _zero_uv(k, n1, x.dtype)
+    u0b, v0b = _zero_uv(n1, e, x.dtype)
     out = _mlp_fwd_raw(x2, w1p, b1, u0a, v0a, cb1, w2p, b2, u0b, v0b, cb2,
                        ls, lb, dpm2, s, bm, interpret, act, ln_eps)
     return (out.reshape(*lead, e),

@@ -100,9 +100,14 @@ def _fwd_proj_kernel(qkv_ref, w_ref, b_ref, u_ref, v_ref, cb_ref, y_ref,
     y_ref[...] = y.astype(y_ref.dtype)
 
 
-def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale, n_real, heads, dh):
-    qkv = qkv_ref[...]
-    do_full = do_ref[...]  # (bb, NP, E)
+def attn_bwd_tile(qkv, do_full, scale, n_real, heads, dh, dqkv_ref):
+    """Per-head softmax-attention backward on resident VMEM tiles -> dqkv_ref.
+
+    The single source of this math — shared by the plain fused-attention
+    backward, the attnproj backward and the attention-block megakernels
+    (cp_attn_block), so the masking/max-shift/p*(dp-row) subtleties cannot
+    diverge between the split and fused paths.
+    """
     e = heads * dh
     np_ = qkv.shape[1]
     col = None
@@ -142,6 +147,11 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale, n_real, heads, dh):
         dqkv_ref[:, :, e + h * dh:e + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, 2 * e + h * dh:2 * e + (h + 1) * dh] = \
             dv.astype(dqkv_ref.dtype)
+
+
+def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale, n_real, heads, dh):
+    attn_bwd_tile(qkv_ref[...], do_ref[...], scale, n_real, heads, dh,
+                  dqkv_ref)
 
 
 def _resolve_interpret(interpret):

@@ -225,12 +225,22 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
     ``shard_map`` (Pallas kernels are opaque to GSPMD — see
     ``_resolve_impls``) and the (correct, total) sums are psum'd.
     """
+    auto_dense = dense_impl == "auto"
     attn_impl, dense_impl, use_shard_map = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh,
         has_cara=cara_cfg is not None)
 
     def eval_step(params: Params, cara_params, batch):
         p, cara = params, cara_params
+        # cara_cfg being set doesn't mean THIS call carries an adapter
+        # (e.g. merged-weight eval passes cara_params=None): re-resolve an
+        # auto dense impl for the plain backbone, which measures faster on
+        # XLA dense (resolve_dense_impl).
+        from cara_tpu.models.vit import resolve_dense_impl
+
+        di = dense_impl
+        if auto_dense and cara is None:
+            di = resolve_dense_impl(False, None)
         x = prep_images(batch["image"], compute_dtype)
         if compute_dtype is not None:
             p = cast_floating(p, compute_dtype)
@@ -239,7 +249,7 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
         logits = vit_forward(
             p, x, cfg, cara_params=cara,
             cara_cfg=cara_cfg if cara is not None else None, train=False,
-            attn_impl=attn_impl, dense_impl=dense_impl)
+            attn_impl=attn_impl, dense_impl=di)
         pred = jnp.argmax(logits, axis=-1)
         valid = batch.get("valid")
         if valid is None:
