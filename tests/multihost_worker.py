@@ -58,6 +58,21 @@ def main():
     loss = float(metrics["loss"])  # replicated scalar: fetch syncs
     assert np.isfinite(loss), loss
 
+    # Second leg: the FUSED Pallas path routed through shard_map across the
+    # two processes (interpret-mode kernels on CPU) — the multi-host
+    # equivalent of the single-process shard_map DP test.
+    frozen2, state2 = steps_lib.init_train_state(
+        tx, model.params, model.cara_params)
+    frozen2 = mesh_lib.put_replicated(mesh, frozen2)
+    state2 = mesh_lib.put_replicated(mesh, state2)
+    fused_step = jax.jit(steps_lib.make_train_step(
+        model.cfg, model.cara_cfg, tx, compute_dtype=jnp.float32,
+        attn_impl="fused", dense_impl="fused", mesh=mesh),
+        donate_argnums=(0,))
+    _, m2 = fused_step(state2, frozen2, batch, jax.random.key(0))
+    loss_fused = float(m2["loss"])
+    assert np.isfinite(loss_fused), loss_fused
+
     flat = {}
     for k, v in jax.tree_util.tree_leaves_with_path(state.trainable):
         flat[jax.tree_util.keystr(k)] = np.asarray(jax.device_get(v))
