@@ -54,6 +54,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "devices on the data axis)")
     p.add_argument("--no-remat", action="store_true",
                    help="Disable per-layer rematerialization")
+    p.add_argument("--grad-accum", default=1, type=int,
+                   help="Gradient-accumulation microbatches per step "
+                        "(large effective batches without the activation "
+                        "memory of one pass)")
     p.add_argument("--attn-impl", default="auto",
                    choices=["auto", "fused", "flash", "xla"],
                    help="Attention implementation (auto = fused Pallas "

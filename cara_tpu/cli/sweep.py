@@ -70,6 +70,7 @@ def run_task(task: str, args, results: dict) -> float:
         logger=MetricLogger(enabled=False), keeper=keeper,
         compute_dtype=common.resolve_dtype(args.dtype),
         remat=False if args.no_remat else "auto", attn_impl=args.attn_impl,
+        grad_accum=args.grad_accum,
         dense_impl=args.dense_impl,
         ckpt_meta={"model": args.model, "dataset": task})
     results[task] = {

@@ -120,6 +120,7 @@ def main(argv=None) -> float:
         tx=tx, train_loader=train_loader, eval_loader=eval_loader,
         rng=jax.random.key(seed), fit_cfg=fit_cfg, mesh=mesh, logger=logger,
         keeper=keeper, compute_dtype=dtype, remat=False if args.no_remat else "auto",
+        grad_accum=args.grad_accum,
         attn_impl=args.attn_impl, dense_impl=args.dense_impl,
         ckpt_meta={"model": args.model, "dataset": args.dataset})
 

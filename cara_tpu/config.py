@@ -142,6 +142,7 @@ MODEL_REGISTRY = {
     ),
     "vit_small_patch16_224_in21k": ViTConfig(
         embed_dim=384, depth=12, num_heads=6, repr_size=384),
+    "vit_base_patch32_224_in21k": ViTConfig(patch_size=32),
     "vit_tiny_patch16_224_in21k": ViTConfig(
         embed_dim=192, depth=12, num_heads=3, repr_size=192),
     # Small geometry for smoke tests / CI (not a reference model).

@@ -99,6 +99,7 @@ def fit(
     remat="auto",
     attn_impl: str = "auto",
     dense_impl: str = "auto",
+    grad_accum: int = 1,
     ckpt_meta: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Run the fine-tuning protocol; returns summary dict with best accuracy."""
@@ -111,7 +112,8 @@ def fit(
     train_step = train_step or jax.jit(
         steps_lib.make_train_step(
             cfg, cara_cfg, tx, compute_dtype=compute_dtype, remat=remat,
-            attn_impl=attn_impl, dense_impl=dense_impl, mesh=mesh),
+            attn_impl=attn_impl, dense_impl=dense_impl, mesh=mesh,
+            grad_accum=grad_accum),
         donate_argnums=(0,))
     eval_step = eval_step or jax.jit(
         steps_lib.make_eval_step(cfg, cara_cfg, compute_dtype=compute_dtype,

@@ -134,6 +134,7 @@ def make_train_step(
     attn_impl: str = "auto",
     dense_impl: str = "auto",
     mesh=None,
+    grad_accum: int = 1,
 ):
     """Build the jittable train step: (state, frozen, batch, rng) -> (state, metrics).
 
@@ -147,6 +148,13 @@ def make_train_step(
     ``remat="auto"``: block-level remat is enabled for the XLA dense path
     (measured faster: residual HBM traffic > recompute) but disabled for the
     fused-kernel path, whose custom VJPs already hold the minimal residuals.
+
+    ``grad_accum > 1`` splits the (per-shard) batch into that many
+    microbatches scanned sequentially with fp32 gradient averaging —
+    large effective batches without the activation HBM of a single pass.
+    The weight-dropout masks stay constant across the whole step (one step
+    = one mask, reference semantics); per-sample randomness differs per
+    microbatch.
     """
     attn_impl, dense_impl, use_shard_map = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh)
@@ -156,26 +164,55 @@ def make_train_step(
     def compute(trainable, frozen, batch, wd_rng, sample_rng):
         """(loss, acc, grads) for one (possibly per-shard) batch."""
 
-        def loss_fn(trainable):
+        def loss_fn(trainable, mb, srng):
             if compute_dtype is not None:
                 trainable = cast_floating(trainable, compute_dtype)
-            x = prep_images(batch["image"], compute_dtype)
+            x = prep_images(mb["image"], compute_dtype)
             p = merge_params(frozen, trainable)
             cara = trainable["cara"]
             logits = vit_forward(
                 p, x, cfg, cara_params=cara, cara_cfg=cara_cfg,
-                train=True, rng=wd_rng, sample_rng=sample_rng, remat=remat,
+                train=True, rng=wd_rng, sample_rng=srng, remat=remat,
                 attn_impl=attn_impl, dense_impl=dense_impl,
             ).astype(jnp.float32)
             loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, batch["label"]).mean()
+                logits, mb["label"]).mean()
             acc = jnp.mean((jnp.argmax(logits, axis=-1)
-                            == batch["label"]).astype(jnp.float32))
+                            == mb["label"]).astype(jnp.float32))
             return loss, acc
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable)
-        return loss, acc, grads
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (loss, acc), grads = grad_fn(trainable, batch, sample_rng)
+            return loss, acc, grads
+
+        b = batch["label"].shape[0]
+        if b % grad_accum:
+            raise ValueError(
+                f"per-device batch {b} not divisible by grad_accum="
+                f"{grad_accum}")
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(grad_accum, b // grad_accum, *x.shape[1:]),
+            batch)
+
+        def body(acc_carry, xs):
+            mb, i = xs
+            (loss, a), grads = grad_fn(
+                trainable, mb, jax.random.fold_in(sample_rng, i))
+            grads = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), grads)
+            l_c, a_c, g_c = acc_carry
+            g_c = jax.tree_util.tree_map(jnp.add, g_c, grads)
+            return (l_c + loss, a_c + a, g_c), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), trainable)
+        (loss, acc, grads), _ = jax.lax.scan(
+            body, (jnp.float32(0), jnp.float32(0), zeros),
+            (micro, jnp.arange(grad_accum)))
+        inv = 1.0 / grad_accum
+        grads = jax.tree_util.tree_map(lambda x: x * inv, grads)
+        return loss * inv, acc * inv, grads
 
     if use_shard_map:
         from jax.sharding import PartitionSpec as P

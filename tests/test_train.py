@@ -237,3 +237,45 @@ def test_shard_map_fused_eval_matches(setup):
     c1, t1 = jitted(pr, cr, sb)
     assert float(t0) == float(t1) == 16.0
     np.testing.assert_allclose(float(c0), float(c1), atol=1e-6)
+
+
+def test_grad_accum_matches_full_batch(setup):
+    """grad_accum=4 microbatch scan == one full-batch step exactly (the
+    weight-dropout mask is per-step constant; drop-path off)."""
+    cfg, _, params, _ = setup
+    cc = CaraConfig(rank=4, scale=1.5, l_mu=1.0, l_std=0.0,
+                    weight_dropout=0.3, weight_dropout_impl="element")
+    cara_params = cara_lib.init_cara_params(jax.random.key(1), cfg, cc)
+    cara_params["A2"] = 0.1 * jax.random.normal(
+        jax.random.key(2), cara_params["A2"].shape)
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=10)
+    frozen, state = steps_lib.init_train_state(tx, params, cara_params)
+    batch = _synthetic_batch(jax.random.key(5), 16, cfg, 4)
+    rng = jax.random.key(7)
+
+    full = jax.jit(steps_lib.make_train_step(cfg, cc, tx))
+    ref_state, ref_m = full(state, frozen, batch, rng)
+
+    accum = jax.jit(steps_lib.make_train_step(cfg, cc, tx, grad_accum=4))
+    got_state, got_m = accum(state, frozen, batch, rng)
+
+    np.testing.assert_allclose(float(ref_m["loss"]), float(got_m["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(ref_m["accuracy"]),
+                               float(got_m["accuracy"]), atol=1e-6)
+    for name in ("A2", "P2", "R1", "bias1"):
+        np.testing.assert_allclose(
+            np.asarray(ref_state.trainable["cara"][name]),
+            np.asarray(got_state.trainable["cara"][name]),
+            atol=2e-6, err_msg=name)
+
+    # And composed with shard_map DP on the 8-device mesh.
+    mesh = mesh_lib.make_mesh((8, 1))
+    sharded = jax.jit(steps_lib.make_train_step(
+        cfg, cc, tx, attn_impl="fused", dense_impl="fused", mesh=mesh,
+        grad_accum=2))
+    sb = mesh_lib.put_batch(mesh, batch)
+    fr = mesh_lib.put_replicated(mesh, frozen)
+    st = mesh_lib.put_replicated(mesh, state)
+    _, m = sharded(st, fr, sb, rng)
+    assert np.isfinite(float(m["loss"]))
