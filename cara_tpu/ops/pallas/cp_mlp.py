@@ -201,7 +201,7 @@ def _mlp_fwd_raw(x2, w1, b1, u1, v1, cb1, w2, b2, u2, v2, cb2, ls, lb, dpm2,
         out_specs=_row(bm, e),
         out_shape=jax.ShapeDtypeStruct((x2.shape[0], e), x2.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),  # fwd has no cross-m deps
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x2, w1, b1.reshape(1, n1), u1, v1, cb1.reshape(1, n1),
