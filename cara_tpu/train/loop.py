@@ -182,6 +182,14 @@ def fit(
                         host_cara = jax.device_get(state.trainable["cara"])
                         keeper.update(acc, host_params, host_cara, meta=meta)
 
+    # If the log cadence never fired (log_every > total steps), still report
+    # an overall wall throughput: sync once and divide by total train time.
+    step = int(state.step)
+    if step > sync_step and last_metrics:
+        float(last_metrics["loss"])  # device sync
+        now = _time.perf_counter()
+        imgs_per_sec = (step - sync_step) * bs / (now - sync_t)
+
     # Final evaluation on a fresh pass (vit_cp.py:189-196).
     params_now = steps_lib.merge_params(frozen_compute, state.trainable)
     final_acc = evaluate(
