@@ -29,10 +29,12 @@ def main():
         "vit_base_patch16_224_in21k", rank=8, scale=1.0, num_classes=100,
         seed=0)
     rng = np.random.RandomState(0)
+    quant = os.environ.get("CARA_SERVE_QUANT")  # "int8" to quantize
     for bs in (1, 4, 16, 64):
         pred = Predictor(model.params, model.cfg,
                          cara_params=model.cara_params,
-                         cara_cfg=model.cara_cfg, merge=True, batch_size=bs)
+                         cara_cfg=model.cara_cfg, merge=True, batch_size=bs,
+                         quantize=quant)
         x = rng.randn(bs, 224, 224, 3).astype(np.float32)
         # End-to-end predict() latency includes the host->device image
         # transfer — on THIS host that is a network tunnel (~75 MB/s), so
@@ -56,7 +58,8 @@ def main():
             o = pred._fwd(pred._params, pred._cara, xd)
         float(o.sum())
         dev = (time.perf_counter() - t0) / steps
-        rec = {"mode": "merged-serving", "batch_size": bs,
+        rec = {"mode": f"merged-serving{'-' + quant if quant else ''}",
+               "batch_size": bs,
                "device_latency_ms": round(dev * 1e3, 2),
                "device_imgs_per_s": round(bs / dev, 1),
                "e2e_tunnel_latency_ms": round(e2e * 1e3, 2),

@@ -1,0 +1,51 @@
+"""Weight-only int8 quantization for serving.
+
+Small-batch serving is weight-bound: a batch-1 merged ViT-B forward reads
+~172 MB of bf16 weights for ~0.2 MB of activations.  Storing the stacked
+transformer-block kernels (the ~85M-param bulk) as per-output-channel
+symmetric int8 halves that stream; the dequant multiply rides inside the
+per-layer GEMM (``models.vit.matk``), so the bf16 weights are never
+materialized in HBM.
+
+Quality: per-channel symmetric weight-only int8 on ViT classifiers is a
+well-characterized <=0.5 top-1 technique; here the scales are exact
+per-(layer, out-channel) maxima and the embed/head/LN parameters stay in
+full precision.  ``tests/test_quant.py`` bounds the logit deviation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+QUANT_NAMES = ("qkv", "proj", "fc1", "fc2")
+
+
+def quantize_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(..., in, out) float kernel -> {"q": int8, "scale": (..., 1, out)}.
+
+    Symmetric per-output-channel: ``w ~= q * scale``.
+    """
+    scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, jnp.asarray(1e-12, w.dtype))
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def dequantize_kernel(k: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    return k["q"].astype(k["scale"].dtype) * k["scale"]
+
+
+def quantize_block_weights(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the stacked block kernels (qkv/proj/fc1/fc2) to int8 quant
+    dicts consumed by ``vit.matk``; biases, LayerNorms, embed, head and
+    positional parameters stay in full precision."""
+    blocks = dict(params["blocks"])
+    for name in QUANT_NAMES:
+        lin = blocks[name]
+        blocks[name] = {"kernel": quantize_kernel(lin["kernel"]),
+                        "bias": lin["bias"]}
+    out = dict(params)
+    out["blocks"] = blocks
+    return out

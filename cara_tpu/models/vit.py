@@ -101,6 +101,19 @@ def _attn_mega_on(use_elem: bool, training: bool) -> bool:
     return use_elem or not training
 
 
+def matk(x, kernel):
+    """``x @ kernel`` where ``kernel`` may be a weight-only int8 quant dict
+    ``{"q": int8 (..., in, out), "scale": (..., 1, out)}`` (per-output-
+    channel symmetric).  The dequant happens per layer inside the scan
+    body, so XLA folds the int8->bf16 convert into the GEMM and the weight
+    streams HBM->VMEM at half the bytes — the win for weight-bound
+    (small-batch serving) shapes.  Produced by ``models.quant``."""
+    if isinstance(kernel, dict) and "q" in kernel:
+        return (x @ kernel["q"].astype(x.dtype)) * kernel["scale"].astype(
+            x.dtype)
+    return x @ kernel
+
+
 def _dp_gate(rng, rate, b, dtype):
     """Per-sample drop-path gate ``mask/keep`` (B, 1, 1); ones when ``rng``
     is None (eval).  Mirrors ``ops.layers.drop_path`` so the megakernels can
@@ -419,7 +432,7 @@ def _block(
         else:
             xa_p = jnp.pad(xa, ((0, 0), (0, npad - n), (0, 0))) \
                 if npad != n else xa
-            qkv = xa_p @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
+            qkv = matk(xa_p, bp["qkv"]["kernel"]) + bp["qkv"]["bias"]
             if use_cara:
                 delta = cara_lib.qkv_delta(
                     xa_p, cara_params, f1, cfg, cara_cfg,
@@ -445,7 +458,7 @@ def _block(
         else:
             attn_out = attn_fn(qkv)[:, :n, :]
     else:
-        qkv = xa @ bp["qkv"]["kernel"] + bp["qkv"]["bias"]
+        qkv = matk(xa, bp["qkv"]["kernel"]) + bp["qkv"]["bias"]
         qkv = qkv.reshape(b, n, 3, h, d)
         if use_cara:
             delta = cara_lib.qkv_delta(
@@ -490,7 +503,7 @@ def _block(
                 cara_params["bias1"].astype(x.dtype), s,
                 512, e, 768)  # cara.py:57-58
     else:
-      proj = attn_out @ bp["proj"]["kernel"] + bp["proj"]["bias"]
+      proj = matk(attn_out, bp["proj"]["kernel"]) + bp["proj"]["bias"]
       if use_cara:
         if materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
@@ -604,7 +617,7 @@ def _block(
                 512, mr * e, 768, None, cfg.activation, cfg.layernorm_eps)
     else:
       xm = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
-      up = xm @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
+      up = matk(xm, bp["fc1"]["kernel"]) + bp["fc1"]["bias"]
       if use_cara:
         if materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
@@ -646,7 +659,7 @@ def _block(
                 u.astype(x.dtype), vmat.astype(x.dtype),
                 cara_params["bias3"].astype(x.dtype), s)  # cara.py:92-93
     else:
-      down = act @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
+      down = matk(act, bp["fc2"]["kernel"]) + bp["fc2"]["bias"]
       if use_cara:
         if materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(

@@ -37,10 +37,21 @@ class Predictor:
         batch_size: int = 64,
         dtype=jnp.bfloat16,
         mesh=None,
+        quantize: Optional[str] = None,
     ):
         if merge and cara_params is not None:
             params = merge_cara(params, cara_params, cfg, cara_cfg)
             cara_params = cara_cfg = None
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r}")
+            if cara_params is not None:
+                raise ValueError(
+                    "quantize requires merged weights (merge=True or no "
+                    "adapter) — the adapter kernels consume dense arrays")
+            from cara_tpu.models.quant import quantize_block_weights
+
+            params = quantize_block_weights(params)
         self.cfg = cfg
         self.batch_size = batch_size
         self._dtype = dtype

@@ -1,0 +1,71 @@
+"""Weight-only int8 serving quantization: round-trip error bounds, forward
+deviation, Predictor integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cara_tpu import api
+from cara_tpu.models import vit as vit_lib
+from cara_tpu.models.quant import (
+    dequantize_kernel, quantize_block_weights, quantize_kernel)
+from cara_tpu.serving import Predictor
+
+
+def test_kernel_roundtrip_error():
+    w = jax.random.normal(jax.random.key(0), (2, 64, 128)) * 0.05
+    q = quantize_kernel(w)
+    assert q["q"].dtype == jnp.int8
+    assert q["scale"].shape == (2, 1, 128)
+    back = dequantize_kernel(q)
+    # per-channel symmetric int8: error <= scale/2 per element
+    err = np.abs(np.asarray(back - w))
+    bound = np.asarray(q["scale"]) / 2 + 1e-7
+    assert (err <= bound).all()
+
+
+def test_matk_quant_matches_dequant():
+    w = jax.random.normal(jax.random.key(1), (96, 128)) * 0.05
+    x = jax.random.normal(jax.random.key(2), (8, 96))
+    q = quantize_kernel(w)
+    np.testing.assert_allclose(
+        np.asarray(vit_lib.matk(x, q)),
+        np.asarray(x @ dequantize_kernel(q)), atol=1e-5)
+
+
+def test_quantized_forward_close_and_agrees():
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=10, seed=0)
+    merged = model.merged()
+    x = jax.random.normal(jax.random.key(3), (8, 32, 32, 3))
+    ref = vit_lib.vit_forward(merged, x, model.cfg, attn_impl="xla",
+                              dense_impl="xla")
+    qp = quantize_block_weights(merged)
+    got = vit_lib.vit_forward(qp, x, model.cfg, attn_impl="xla",
+                              dense_impl="xla")
+    # Logit deviation small relative to the logit spread; argmax unchanged.
+    spread = float(jnp.std(ref))
+    assert float(jnp.abs(got - ref).max()) < 0.1 * spread + 0.05
+    assert (np.asarray(jnp.argmax(got, -1))
+            == np.asarray(jnp.argmax(ref, -1))).mean() >= 0.9
+
+
+def test_predictor_quantized():
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=10, seed=0)
+    rng = np.random.RandomState(0)
+    x = rng.randn(5, 32, 32, 3).astype(np.float32)
+    p_bf = Predictor(model.params, model.cfg, cara_params=model.cara_params,
+                     cara_cfg=model.cara_cfg, batch_size=4,
+                     dtype=jnp.float32)
+    p_q = Predictor(model.params, model.cfg, cara_params=model.cara_params,
+                    cara_cfg=model.cara_cfg, batch_size=4,
+                    dtype=jnp.float32, quantize="int8")
+    lb, lq = p_bf.logits(x), p_q.logits(x)
+    assert lq.shape == lb.shape
+    assert np.abs(lq - lb).max() < 0.1 * np.std(lb) + 0.05
+    # adapter path (merge=False) refuses quantize
+    import pytest
+    with pytest.raises(ValueError):
+        Predictor(model.params, model.cfg, cara_params=model.cara_params,
+                  cara_cfg=model.cara_cfg, merge=False, quantize="int8")
