@@ -109,8 +109,20 @@ def matk(x, kernel):
     streams HBM->VMEM at half the bytes — the win for weight-bound
     (small-batch serving) shapes.  Produced by ``models.quant``."""
     if isinstance(kernel, dict) and "q" in kernel:
-        return (x @ kernel["q"].astype(x.dtype)) * kernel["scale"].astype(
-            x.dtype)
+        wq, s = kernel["q"], kernel["scale"]
+        # An untuned dequant-fused Pallas GEMM (ops/pallas/int8_dense)
+        # measured SLOWER than XLA's convert+GEMM at every batch size
+        # (bs1 0.86 vs 0.76 ms, bs64 32.6 vs 24.6) — XLA's pipelined dense
+        # GEMMs take real tuning to beat (see cp_dense history).  Kept
+        # behind CARA_INT8_PALLAS=1 for future tuning work.
+        if (os.environ.get("CARA_INT8_PALLAS") == "1"
+                and jax.default_backend() == "tpu" and wq.ndim == 2
+                and wq.shape[0] % 128 == 0 and wq.shape[1] % 128 == 0):
+            from cara_tpu.ops.pallas.int8_dense import int8_dense
+
+            return int8_dense(x, wq, s.reshape(-1),
+                              jnp.zeros((wq.shape[1],), x.dtype))
+        return (x @ wq.astype(x.dtype)) * s.astype(x.dtype)
     return x @ kernel
 
 

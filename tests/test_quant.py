@@ -69,3 +69,19 @@ def test_predictor_quantized():
     with pytest.raises(ValueError):
         Predictor(model.params, model.cfg, cara_params=model.cara_params,
                   cara_cfg=model.cara_cfg, merge=False, quantize="int8")
+
+
+def test_int8_dense_kernel_matches():
+    """Dequant-fused Pallas GEMM == XLA dequant reference (interpret)."""
+    from cara_tpu.ops.pallas.int8_dense import int8_dense
+
+    for m in (128, 197):
+        x = jax.random.normal(jax.random.key(5), (m, 128))
+        w = jax.random.normal(jax.random.key(6), (128, 256)) * 0.05
+        q = quantize_kernel(w)
+        b = jax.random.normal(jax.random.key(7), (256,)) * 0.1
+        got = int8_dense(x, q["q"], q["scale"].reshape(-1), b,
+                         64, 128, 128, True)
+        ref = (x @ q["q"].astype(x.dtype)) * q["scale"].reshape(1, -1) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
