@@ -745,6 +745,12 @@ def vit_forward(
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
         dense_impl = resolve_dense_impl(cara_params is not None, cara_cfg)
+    if (dense_impl == "fused"
+            and isinstance(params["blocks"]["qkv"]["kernel"], dict)):
+        raise ValueError(
+            "int8-quantized weights require dense_impl='xla' — the fused "
+            "Pallas kernels consume dense kernel arrays (the quant dicts "
+            "would fail deep inside pallas_call otherwise)")
     use_rng = train and rng is not None
     if train and rng is None and (
             cfg.dropout_rate > 0.0 or cfg.attn_dropout_rate > 0.0

@@ -137,7 +137,9 @@ def fit(
     import time as _time
 
     sync_t = _time.perf_counter()
-    sync_step = 0
+    # Start from the restored step so an auto-resumed run never counts
+    # pre-resume steps as this run's work.
+    sync_step = int(state.step)
     imgs_per_sec = 0.0
     bs = train_loader.batch_size
 
@@ -184,8 +186,11 @@ def fit(
 
     # If the log cadence never fired (log_every > total steps), still report
     # an overall wall throughput: sync once and divide by total train time.
+    # Only when NO cadence measurement exists — a partial tail window would
+    # otherwise overwrite a clean measurement with one polluted by eval
+    # passes and checkpoint host transfers.
     step = int(state.step)
-    if step > sync_step and last_metrics:
+    if imgs_per_sec == 0.0 and step > sync_step and last_metrics:
         float(last_metrics["loss"])  # device sync
         now = _time.perf_counter()
         imgs_per_sec = (step - sync_step) * bs / (now - sync_t)

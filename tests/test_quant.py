@@ -85,3 +85,16 @@ def test_int8_dense_kernel_matches():
         ref = (x @ q["q"].astype(x.dtype)) * q["scale"].reshape(1, -1) + b
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_quantized_fused_refuses():
+    """Quant dicts reaching the fused kernels raise a clear error at entry
+    instead of failing deep inside pallas_call."""
+    import pytest
+
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=10, seed=0)
+    qp = quantize_block_weights(model.merged())
+    x = jax.random.normal(jax.random.key(4), (2, 32, 32, 3))
+    with pytest.raises(ValueError, match="dense_impl='xla'"):
+        vit_lib.vit_forward(qp, x, model.cfg, dense_impl="fused")
