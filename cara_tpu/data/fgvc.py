@@ -55,6 +55,18 @@ def _augment_decode_pil(path: str, size: int, rng: np.random.RandomState):
                 y0 = rng.randint(0, h - ch + 1)
                 im = im.crop((x0, y0, x0 + cw, y0 + ch))
                 break
+        else:
+            # torchvision get_params fallback: ratio-clamped center crop
+            # (not the full image) for extreme-aspect inputs.
+            in_ratio = w / h
+            if in_ratio < 3 / 4:
+                cw, ch = w, int(round(w / (3 / 4)))
+            elif in_ratio > 4 / 3:
+                cw, ch = int(round(h * (4 / 3))), h
+            else:
+                cw, ch = w, h
+            x0, y0 = (w - cw) // 2, (h - ch) // 2
+            im = im.crop((x0, y0, x0 + cw, y0 + ch))
         im = im.resize((size, size), Image.BICUBIC)
         arr = np.asarray(im, np.float32) / 255.0
     if rng.rand() < 0.5:
@@ -72,8 +84,10 @@ class AugmentedFileListSource(FileListSource):
 
     def __init__(self, root, flist, image_size=224, num_workers=8, seed=0,
                  backend: str = "auto"):
-        super().__init__(root, flist, image_size, num_workers,
-                         backend="pil" if backend == "pil" else backend)
+        if backend not in ("auto", "pil", "native"):
+            raise ValueError(f"unknown backend {backend!r} "
+                             "(expected auto|pil|native)")
+        super().__init__(root, flist, image_size, num_workers, backend=backend)
         self._rng = np.random.RandomState(seed)
         self._lock = __import__("threading").Lock()
 

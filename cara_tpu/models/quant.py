@@ -27,10 +27,14 @@ def quantize_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
     Symmetric per-output-channel: ``w ~= q * scale``.
     """
-    scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
-    scale = jnp.maximum(scale, jnp.asarray(1e-12, w.dtype))
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    return {"q": q, "scale": scale}
+    # Quantize in float32 regardless of input dtype: doing the
+    # scale/divide/round in bf16 (8-bit mantissa) perturbs codes and
+    # breaks the |w - q*scale| <= scale/2 guarantee.
+    w32 = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(w.dtype)}
 
 
 def dequantize_kernel(k: Dict[str, jnp.ndarray]) -> jnp.ndarray:

@@ -33,7 +33,45 @@ def enable_compilation_cache(path: Optional[str] = None) -> str:
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # The remote compile service hides compile latency from the local
-    # timer — persist everything unconditionally.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # timer, so the default min-compile-time threshold rejects every
+    # entry.  Zero the thresholds ONLY when that backend is in play
+    # (detected via its env markers) — on normal backends JAX's own
+    # heuristics are correct and keep trivial executables out.
+    if _remote_compile_backend():
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    prune_cache(path)
     return path
+
+
+def _remote_compile_backend() -> bool:
+    return (os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+            or "axon" in os.environ.get("JAX_PLATFORMS", ""))
+
+
+def prune_cache(path: str, max_bytes: int = 4 << 30) -> None:
+    """Bound the cache directory: evict oldest-mtime entries past the cap
+    (default 4 GiB).  Best-effort — errors are ignored."""
+    try:
+        entries = []
+        total = 0
+        for name in os.listdir(path):
+            p = os.path.join(path, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            entries.append((st.st_mtime, st.st_size, p))
+            total += st.st_size
+        if total <= max_bytes:
+            return
+        for _, size, p in sorted(entries):
+            try:
+                os.remove(p)
+            except OSError:
+                continue
+            total -= size
+            if total <= max_bytes:
+                return
+    except OSError:
+        pass

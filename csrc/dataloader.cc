@@ -272,13 +272,14 @@ struct SplitMix64 {
 
 // torchvision RandomResizedCrop.get_params semantics: 10 attempts at
 // scale U(0.08, 1.0) of the area and log-uniform aspect in [3/4, 4/3];
-// fall back to the full image (matching the PIL path in data/fgvc.py).
+// after 10 failed attempts, torchvision's ratio-clamped CENTER-crop
+// fallback (matching the PIL path in data/fgvc.py).
 // A final draw decides the horizontal flip (applied after the resize).
 void sample_rrc(SplitMix64* rng, int w, int h, int* x0, int* y0, int* cw,
                 int* ch, bool* flip) {
-  *x0 = 0; *y0 = 0; *cw = w; *ch = h;
   double area = double(w) * h;
   const double log_lo = std::log(3.0 / 4.0), log_hi = std::log(4.0 / 3.0);
+  bool found = false;
   for (int i = 0; i < 10; ++i) {
     double target = (0.08 + rng->next_double() * (1.0 - 0.08)) * area;
     double ar = std::exp(log_lo + rng->next_double() * (log_hi - log_lo));
@@ -289,8 +290,24 @@ void sample_rrc(SplitMix64* rng, int w, int h, int* x0, int* y0, int* cw,
       *y0 = int(rng->next_double() * (h - th + 1));
       *cw = tw;
       *ch = th;
+      found = true;
       break;
     }
+  }
+  if (!found) {
+    double in_ratio = double(w) / double(h);
+    if (in_ratio < 3.0 / 4.0) {
+      *cw = w;
+      *ch = int(lround(w / (3.0 / 4.0)));
+    } else if (in_ratio > 4.0 / 3.0) {
+      *ch = h;
+      *cw = int(lround(h * (4.0 / 3.0)));
+    } else {
+      *cw = w;
+      *ch = h;
+    }
+    *x0 = (w - *cw) / 2;
+    *y0 = (h - *ch) / 2;
   }
   *flip = rng->next_double() < 0.5;
 }

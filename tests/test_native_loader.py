@@ -96,7 +96,6 @@ def _splitmix64(seed):
 def _expected_rrc(seed, w, h):
     """Replicates csrc sample_rrc: the exact crop rect + flip for a seed."""
     nd = _splitmix64(seed)
-    x0, y0, cw, ch = 0, 0, w, h
     area = float(w * h)
     for _ in range(10):
         target = (0.08 + nd() * 0.92) * area
@@ -108,6 +107,16 @@ def _expected_rrc(seed, w, h):
             y0 = int(nd() * (h - th + 1))
             cw, ch = tw, th
             break
+    else:
+        # torchvision ratio-clamped center-crop fallback
+        in_ratio = w / h
+        if in_ratio < 3 / 4:
+            cw, ch = w, int(round(w / (3 / 4)))
+        elif in_ratio > 4 / 3:
+            cw, ch = int(round(h * (4 / 3))), h
+        else:
+            cw, ch = w, h
+        x0, y0 = (w - cw) // 2, (h - ch) // 2
     flip = nd() < 0.5
     return x0, y0, cw, ch, flip
 
