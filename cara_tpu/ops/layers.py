@@ -13,8 +13,11 @@ import jax.numpy as jnp
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6):
-    """LayerNorm over the last axis (timm ViT uses eps=1e-6)."""
-    x32 = x.astype(jnp.float32)
+    """LayerNorm over the last axis (timm ViT uses eps=1e-6).
+
+    Statistics in fp32 for bf16 inputs; f64 inputs stay f64 (the torch
+    gradient-parity tests run the whole forward in double precision)."""
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
@@ -61,7 +64,9 @@ def mha(
     """
     b, h, n, d = q.shape
     attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+    attn = jax.nn.softmax(
+        attn.astype(jnp.promote_types(q.dtype, jnp.float32)), axis=-1
+    ).astype(q.dtype)
     attn = dropout(attn, attn_drop_rate, rng)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     return out.transpose(0, 2, 1, 3).reshape(b, n, h * d)

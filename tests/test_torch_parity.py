@@ -20,16 +20,43 @@ from cara_tpu.models import cara as cara_lib
 from cara_tpu.models import vit as vit_lib
 
 
+def to_torch_tree(tree, requires_grad=False):
+    """numpy/JAX pytree (nested dicts) -> torch float64 tensor tree."""
+    import torch as th
+
+    if isinstance(tree, dict):
+        return {k: to_torch_tree(v, requires_grad) for k, v in tree.items()}
+    t = th.tensor(np.asarray(tree), dtype=th.float64)
+    if requires_grad:
+        t.requires_grad_(True)
+    return t
+
+
 def torch_reference_forward(params, cara, x_np, cfg, cara_cfg):
     """Reference-math forward in torch (fp64 for a tight golden value)."""
     import torch as th
 
+    logits = torch_reference_logits(
+        to_torch_tree(params), to_torch_tree(cara),
+        th.tensor(x_np, dtype=th.float64), cfg, cara_cfg)
+    return logits.detach().numpy()
+
+
+def torch_reference_logits(tparams, tcara, x, cfg, cara_cfg):
+    """Differentiable torch-f64 reference forward over torch tensor trees.
+
+    Same math as ``src/cara/cara.py`` eval mode; used both for the forward
+    golden test (below) and the gradient / training-dynamics parity tests
+    (``tests/test_torch_grad_parity.py``)."""
+    import torch as th
+
+    params, cara = tparams, tcara
+
     def t(a):
-        return th.tensor(np.asarray(a), dtype=th.float64)
+        return a
 
     e, h, d, mr = cfg.embed_dim, cfg.num_heads, cfg.head_dim, cfg.mlp_ratio
     s = cara_cfg.scale
-    x = th.tensor(x_np, dtype=th.float64)
     b = x.shape[0]
     p, g = cfg.patch_size, cfg.grid_size
 
@@ -91,7 +118,7 @@ def torch_reference_forward(params, cara, x_np, cfg, cara_cfg):
         feat = th.tanh(feat @ t(params["pre_logits"]["kernel"])
                        + t(params["pre_logits"]["bias"]))
     return (feat @ t(params["head"]["kernel"])
-            + t(params["head"]["bias"])).numpy()
+            + t(params["head"]["bias"]))
 
 
 def test_forward_matches_torch_reference_math():
