@@ -45,34 +45,49 @@ def _check_np(np_):
             f" — same (B, NP, 3E) interface, key-axis-tiled online softmax.")
 
 
+def _mask_bias(n_real, np_, bb):
+    """(bb, NP, NP) bool key-validity mask, built ONCE per program and
+    reused by every head's ``where(valid, s, NEG_INF)`` — the round-1 code
+    re-made the iota + compare per head.  Kept full-shape with the score
+    tile as the select operand: both a (1, 1, NP) additive-bias broadcast
+    and a scalar-operand ``where`` crash Mosaic on v5e ("limits[i] <=
+    dim(i)" in array.h — reproduced via the standalone-kernel recipe)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (bb, np_, np_), dimension=2)
+    return col < n_real
+
+
 def _attn_heads(qkv, scale, n_real, heads, dh, out_dtype):
     """Per-head softmax attention on a resident (bb, NP, 3E) tile; returns
     the (bb, NP, E) attention output (shared by the plain and proj-fused
-    forward kernels)."""
+    forward kernels).
+
+    VPU-lean formulation (round-3 forward push): the softmax scale rides on
+    q (a (NP, Dh) multiply instead of (NP, NP)), the key mask is a
+    broadcast-added bias row, and normalization is DEFERRED past the p@v
+    GEMM — ``o = (exp(s-m) @ v) * 1/l`` touches (NP, Dh) elements instead
+    of dividing the full (NP, NP) probability tile.  fp32 normalization
+    after the fp32 GEMM accumulator is also numerically tighter than the
+    old normalize-then-cast-to-bf16 ordering."""
     e = heads * dh
     np_ = qkv.shape[1]
-    col = None
-    if n_real < np_:
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (qkv.shape[0], np_, np_), dimension=2)
+    valid = _mask_bias(n_real, np_, qkv.shape[0]) if n_real < np_ else None
     outs = []
     for h in range(heads):
-        q = qkv[:, :, h * dh:(h + 1) * dh]
+        q = qkv[:, :, h * dh:(h + 1) * dh] * scale
         k = qkv[:, :, e + h * dh:e + (h + 1) * dh]
         v = qkv[:, :, 2 * e + h * dh:2 * e + (h + 1) * dh]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        if col is not None:
-            s = jnp.where(col < n_real, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / l).astype(qkv.dtype)
-        o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        outs.append(o.astype(out_dtype))
+        if valid is not None:
+            s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        ex = jnp.exp(s - m)
+        l = jnp.sum(ex, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            ex.astype(qkv.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append((o * (1.0 / l)).astype(out_dtype))
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -110,24 +125,25 @@ def attn_bwd_tile(qkv, do_full, scale, n_real, heads, dh, dqkv_ref):
     """
     e = heads * dh
     np_ = qkv.shape[1]
-    col = None
-    if n_real < np_:
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (qkv.shape[0], np_, np_), dimension=2)
+    valid = _mask_bias(n_real, np_, qkv.shape[0]) if n_real < np_ else None
     for h in range(heads):
-        q = qkv[:, :, h * dh:(h + 1) * dh]
+        # scale folded into q (qs): s = qs@k^T, and dk = ds^T@qs directly
+        # (the chain rule's dk = ds^T@q*scale) — (NP, Dh) multiplies
+        # instead of two (NP, NP) passes; divides by l become one cheap
+        # (NP, 1) reciprocal + broadcast multiplies.
+        qs = qkv[:, :, h * dh:(h + 1) * dh] * scale
         k = qkv[:, :, e + h * dh:e + (h + 1) * dh]
         v = qkv[:, :, 2 * e + h * dh:2 * e + (h + 1) * dh]
         do = do_full[:, :, h * dh:(h + 1) * dh]
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        if col is not None:
-            s = jnp.where(col < n_real, s, NEG_INF)
+            qs, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        if valid is not None:
+            s = jnp.where(valid, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         ex = jnp.exp(s - m)
-        l = jnp.sum(ex, axis=-1, keepdims=True)
-        p = ex / l
+        inv_l = 1.0 / jnp.sum(ex, axis=-1, keepdims=True)
+        p = ex * inv_l
         pb = p.astype(qkv.dtype)
         dv = jax.lax.dot_general(
             pb, do, (((1,), (1,)), ((0,), (0,))),
@@ -141,8 +157,8 @@ def attn_bwd_tile(qkv, do_full, scale, n_real, heads, dh, dqkv_ref):
             ds, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(
-            ds, q, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            ds, qs, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         dqkv_ref[:, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, e + h * dh:e + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, 2 * e + h * dh:2 * e + (h + 1) * dh] = \
