@@ -134,7 +134,9 @@ def _dp_gate(rng, rate, b, dtype):
         return jnp.ones((b, 1, 1), dtype)
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, (b, 1, 1)).astype(dtype)
-    return mask / jnp.asarray(keep, dtype)
+    # stop_gradient enforces at the boundary what the megakernel VJPs
+    # assume: the gate is a constant (they return a zero dpm cotangent).
+    return jax.lax.stop_gradient(mask / jnp.asarray(keep, dtype))
 
 
 def _trunc_normal(rng, shape, std, dtype):
@@ -261,6 +263,18 @@ def patch_embed(params: Params, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     return x @ params["embed"]["kernel"] + params["embed"]["bias"]
 
 
+def _tp_slice_qkv_cols(v1: jax.Array, h: int, d: int, hl: int,
+                       idx: jax.Array) -> jax.Array:
+    """Head-slice the (r, 3E) qkv delta factor for TP shard ``idx``: the
+    column layout is (3, H, Dh)-flattened; the local slice keeps heads
+    [idx*hl, (idx+1)*hl) of each of q/k/v — matching the per-shard weight
+    layout produced by ``parallel.mesh.tp_permute_qkv``."""
+    r = v1.shape[0]
+    v4 = v1.reshape(r, 3, h, d)
+    loc = jax.lax.dynamic_slice_in_dim(v4, idx * hl, hl, axis=2)
+    return loc.reshape(r, 3 * hl * d)
+
+
 def _block(
     x: jax.Array,
     bp: Dict[str, jax.Array],
@@ -274,6 +288,7 @@ def _block(
     cara_cfg: Optional[CaraConfig],
     attn_impl: str,
     dense_impl: str = "xla",
+    tp_axis: Optional[str] = None,
 ) -> jax.Array:
     """One transformer block with optional CaRA deltas (reference hot loop,
     SURVEY.md section 3.3).
@@ -282,9 +297,29 @@ def _block(
     reference semantics, ``cara.py:35`` — under data-parallel shard_map it
     must be shard-invariant); ``skey`` drives per-sample randomness
     (drop-path, activation/attention dropout — per-shard under shard_map).
+
+    ``tp_axis``: fused tensor parallelism.  The caller (``train.steps``
+    under ``shard_map``) hands this block PER-SHARD weight slices —
+    head-sharded qkv (permuted layout, ``tp_permute_qkv``) / proj rows /
+    fc1 columns / fc2 rows — and the block runs the UNCHANGED megakernels
+    on them via the identity ``psum_i(x/tp + dpm*y_i) = x + dpm*psum(y_i)``
+    (LayerNorm is scale-invariant, so LN(x/tp) == LN(x) up to an
+    eps-in-variance drift of ~eps*tp^2).  Replicated additive terms (proj /
+    fc2 biases, CP bias1/bias3) ride at 1/tp per shard so the psum restores
+    them exactly once.  This supersedes the round-2 "no-residual kernel
+    variant" sketch (docs/NEXT_ROUND.md) with zero kernel changes.
     """
     e, h, d = cfg.embed_dim, cfg.num_heads, cfg.head_dim
     mr = cfg.mlp_ratio
+    tp = 1
+    if tp_axis is not None:
+        tp = (3 * e) // bp["qkv"]["kernel"].shape[-1]
+    if tp > 1:
+        h_loc = h // tp
+        e_loc = e // tp
+        hid_loc = (mr * e) // tp
+        tp_idx = jax.lax.axis_index(tp_axis)
+        inv_tp = 1.0 / tp
     if key is not None:
         k_wd_qkv, k_wd_proj, k_wd_up, k_wd_down = jax.random.split(key, 4)
         (k_dp1, k_dp2, k_attn, k_do1, k_do2, k_do3) = jax.random.split(
@@ -330,7 +365,7 @@ def _block(
     proj = None  # set directly by the attention megakernel / attnproj fusion
     attn_mega = False
     if ((fused_dense or fused_plain) and fused_attn
-            and _attn_mega_on(use_elem, key is not None)
+            and (_attn_mega_on(use_elem, key is not None) or tp > 1)
             and cfg.dropout_rate == 0.0):
         from cara_tpu.ops.pallas.cp_attn_block import (
             cp_attn_block, cp_attn_block_wd)
@@ -339,6 +374,12 @@ def _block(
 
         npad = -(-n // 128) * 128
         attn_mega = npad <= MAX_NP_FULL_SCORES
+    if tp > 1 and not attn_mega:
+        raise ValueError(
+            "fused tensor parallelism requires the megakernel path "
+            "(fused attn+dense impls, zero activation dropout, padded "
+            "sequence <= 512); _resolve_impls should have fallen back to "
+            "XLA TP for this configuration")
     if attn_mega:
         # Whole attention half-block in ONE kernel (cara.py:25-58 + the
         # Block residual): LN1, the qkv GEMM + CP delta, per-head
@@ -347,52 +388,71 @@ def _block(
         x_p = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0))) \
             if npad != n else x
         dpm = _dp_gate(k_dp1, dpr, b, x.dtype)
+        hh = h
+        wq, bq = bp["qkv"]["kernel"], bp["qkv"]["bias"]
+        wp, bpj = bp["proj"]["kernel"], bp["proj"]["bias"]
+        if tp > 1:
+            # Per-shard head slice: x/tp rides the in-kernel residual so
+            # the caller's psum over tp_axis reassembles x + dpm*sum(y_i);
+            # the replicated proj bias (and CP bias1 below) ride at 1/tp.
+            hh = h_loc
+            x_p = x_p * inv_tp
+            bpj = bpj * inv_tp
+        e3l = wq.shape[-1]
         if not use_cara:
             z1 = jnp.zeros((e, 1), x.dtype)
+            zp = jnp.zeros((wp.shape[0], 1), x.dtype)  # (E/tp, 1) under TP
             x = cp_attn_block(
-                x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
-                z1, jnp.zeros((1, 3 * e), x.dtype),
-                bp["proj"]["kernel"], bp["proj"]["bias"],
-                z1, jnp.zeros((1, e), x.dtype), jnp.zeros((e,), x.dtype),
+                x_p, wq, bq,
+                z1, jnp.zeros((1, e3l), x.dtype),
+                wp, bpj,
+                zp, jnp.zeros((1, e), x.dtype), jnp.zeros((e,), x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
-                h, d ** -0.5, n, 0.0, _attn_bb(npad, e), None,
-                cfg.layernorm_eps)[:, :n, :]
-        elif use_elem:
-            u1, v1 = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg)
-            u2, v2 = cara_lib.rows_out_uv(
-                p1[0:1], cara_params["P2"], cara_params["P3"],
-                cara_params["R2"])
-            x = cp_attn_block_wd(
-                x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
-                u1.astype(x.dtype), v1.astype(x.dtype),
-                bp["proj"]["kernel"], bp["proj"]["bias"],
-                u2.astype(x.dtype), v2.astype(x.dtype),
-                cara_params["bias1"].astype(x.dtype),
-                bp["ln1_scale"], bp["ln1_bias"], dpm,
-                _wd_seed(k_wd_qkv), _wd_seed(k_wd_proj),
-                h, d ** -0.5, n, s, cara_cfg.weight_dropout,
-                _attn_bb(npad, e), None,
+                hh, d ** -0.5, n, 0.0, _attn_bb(npad, e), None,
                 cfg.layernorm_eps)[:, :n, :]
         else:
-            comp_q = cp_ops.weight_dropout_mask(
-                k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout,
-                x.dtype)
-            comp_p = cp_ops.weight_dropout_mask(
-                k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
-                x.dtype)
+            if use_elem:
+                comp_q = comp_p = None
+            else:
+                comp_q = cp_ops.weight_dropout_mask(
+                    k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout,
+                    x.dtype)
+                comp_p = cp_ops.weight_dropout_mask(
+                    k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
+                    x.dtype)
             u1, v1 = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg, comp_q)
             u2, v2 = cara_lib.rows_out_uv(
                 p1[0:1], cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp_p)
-            x = cp_attn_block(
-                x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
-                u1.astype(x.dtype), v1.astype(x.dtype),
-                bp["proj"]["kernel"], bp["proj"]["bias"],
-                u2.astype(x.dtype), v2.astype(x.dtype),
-                cara_params["bias1"].astype(x.dtype),
-                bp["ln1_scale"], bp["ln1_bias"], dpm,
-                h, d ** -0.5, n, s, _attn_bb(npad, e), None,
-                cfg.layernorm_eps)[:, :n, :]
+            cb2 = cara_params["bias1"]
+            if tp > 1:
+                v1 = _tp_slice_qkv_cols(v1, h, d, h_loc, tp_idx)
+                u2 = jax.lax.dynamic_slice_in_dim(
+                    u2, tp_idx * e_loc, e_loc, axis=0)
+                cb2 = cb2 * inv_tp
+            args = (x_p, wq, bq,
+                    u1.astype(x.dtype), v1.astype(x.dtype),
+                    wp, bpj,
+                    u2.astype(x.dtype), v2.astype(x.dtype),
+                    cb2.astype(x.dtype),
+                    bp["ln1_scale"], bp["ln1_bias"], dpm)
+            if use_elem:
+                # Per-shard seed offset: the hash-mask coordinates are
+                # local under TP, so distinct seeds keep the shard masks
+                # decorrelated (same Bernoulli regularizer, different
+                # realization than a single-device run).
+                off = tp_idx if tp > 1 else 0
+                x = cp_attn_block_wd(
+                    *args, _wd_seed(k_wd_qkv) + off, _wd_seed(k_wd_proj) + off,
+                    hh, d ** -0.5, n, s, cara_cfg.weight_dropout,
+                    _attn_bb(npad, e), None,
+                    cfg.layernorm_eps)[:, :n, :]
+            else:
+                x = cp_attn_block(
+                    *args, hh, d ** -0.5, n, s, _attn_bb(npad, e), None,
+                    cfg.layernorm_eps)[:, :n, :]
+        if tp > 1:
+            x = jax.lax.psum(x, tp_axis)
     elif fused_attn:
         # Layout-native path: pad the token axis once, keep the qkv GEMM
         # output layout all the way through the Pallas kernel (no 5-D
@@ -537,22 +597,27 @@ def _block(
     # --- MLP ---------------------------------------------------------------
     if use_cara:
         p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
-    if fused_plain and _MLP_MEGA and cfg.dropout_rate == 0.0:
+    if fused_plain and (_MLP_MEGA or tp > 1) and cfg.dropout_rate == 0.0:
         from cara_tpu.ops.pallas.cp_mlp import cp_mlp_block
 
         dpm = _dp_gate(k_dp2, dpr, b, x.dtype)
-        hid = mr * e
+        hid = bp["fc1"]["kernel"].shape[-1]  # hid/tp under TP
+        x_in, b2 = x, bp["fc2"]["bias"]
+        if tp > 1:
+            x_in, b2 = x * inv_tp, b2 * inv_tp
         x = cp_mlp_block(
-            x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
+            x_in, bp["fc1"]["kernel"], bp["fc1"]["bias"],
             jnp.zeros((e, 1), x.dtype), jnp.zeros((1, hid), x.dtype),
             jnp.zeros((hid,), x.dtype),
-            bp["fc2"]["kernel"], bp["fc2"]["bias"],
+            bp["fc2"]["kernel"], b2,
             jnp.zeros((hid, 1), x.dtype), jnp.zeros((1, e), x.dtype),
             jnp.zeros((e,), x.dtype),
             bp["ln2_scale"], bp["ln2_bias"], dpm, 0.0,
             _mlp_bm(False), None, cfg.activation, cfg.layernorm_eps)
+        if tp > 1:
+            x = jax.lax.psum(x, tp_axis)
         return x
-    if fused_dense and _MLP_MEGA and cfg.dropout_rate == 0.0:
+    if fused_dense and (_MLP_MEGA or tp > 1) and cfg.dropout_rate == 0.0:
         # Block megakernel: both MLP GEMMs + deltas + LN2 + GELU in ONE
         # pallas_call (cara.py:72-93 in one pass).  Inter-GEMM activation
         # dropout can't ride inside it — gated on dropout_rate == 0 (the
@@ -561,44 +626,49 @@ def _block(
 
         dpm = _dp_gate(k_dp2, dpr, b, x.dtype)
         if use_elem:
-            u1, v1 = cara_lib.rows_out_uv(
-                p1_up, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"])
-            u2, v2 = cara_lib.rows_in_uv(
-                p1_down, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"])
-            x = cp_mlp_block_wd(
-                x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
-                u1.astype(x.dtype), v1.astype(x.dtype),
-                cara_params["bias2"].astype(x.dtype),
-                bp["fc2"]["kernel"], bp["fc2"]["bias"],
-                u2.astype(x.dtype), v2.astype(x.dtype),
-                cara_params["bias3"].astype(x.dtype),
-                bp["ln2_scale"], bp["ln2_bias"], dpm,
-                _wd_seed(k_wd_up), _wd_seed(k_wd_down),
-                s, cara_cfg.weight_dropout, _mlp_bm(True), None, cfg.activation,
-                cfg.layernorm_eps)
+            comp_up = comp_down = None
         else:
             comp_up = cp_ops.weight_dropout_mask(
                 k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
             comp_down = cp_ops.weight_dropout_mask(
                 k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout,
                 x.dtype)
-            u1, v1 = cara_lib.rows_out_uv(
-                p1_up, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp_up)
-            u2, v2 = cara_lib.rows_in_uv(
-                p1_down, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp_down)
+        u1, v1 = cara_lib.rows_out_uv(
+            p1_up, cara_params["P2"], cara_params["P3"],
+            cara_params["R2"], comp_up)
+        u2, v2 = cara_lib.rows_in_uv(
+            p1_down, cara_params["P2"], cara_params["P3"],
+            cara_params["R2"], comp_down)
+        cb1, cb2 = cara_params["bias2"], cara_params["bias3"]
+        x_in, b2 = x, bp["fc2"]["bias"]
+        if tp > 1:
+            # Hidden-axis shard: v1 columns / cb1 (bias2) / u2 rows local;
+            # x/tp rides the in-kernel residual, replicated fc2 bias and
+            # CP bias3 at 1/tp (psum below restores each exactly once).
+            hid0 = tp_idx * hid_loc
+            v1 = jax.lax.dynamic_slice_in_dim(v1, hid0, hid_loc, axis=1)
+            cb1 = jax.lax.dynamic_slice_in_dim(cb1, hid0, hid_loc, axis=0)
+            u2 = jax.lax.dynamic_slice_in_dim(u2, hid0, hid_loc, axis=0)
+            x_in = x * inv_tp
+            b2 = b2 * inv_tp
+            cb2 = cb2 * inv_tp
+        args = (x_in, bp["fc1"]["kernel"], bp["fc1"]["bias"],
+                u1.astype(x.dtype), v1.astype(x.dtype), cb1.astype(x.dtype),
+                bp["fc2"]["kernel"], b2,
+                u2.astype(x.dtype), v2.astype(x.dtype), cb2.astype(x.dtype),
+                bp["ln2_scale"], bp["ln2_bias"], dpm)
+        if use_elem:
+            off = tp_idx if tp > 1 else 0
+            x = cp_mlp_block_wd(
+                *args, _wd_seed(k_wd_up) + off, _wd_seed(k_wd_down) + off,
+                s, cara_cfg.weight_dropout, _mlp_bm(True), None,
+                cfg.activation, cfg.layernorm_eps)
+        else:
             x = cp_mlp_block(
-                x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
-                u1.astype(x.dtype), v1.astype(x.dtype),
-                cara_params["bias2"].astype(x.dtype),
-                bp["fc2"]["kernel"], bp["fc2"]["bias"],
-                u2.astype(x.dtype), v2.astype(x.dtype),
-                cara_params["bias3"].astype(x.dtype),
-                bp["ln2_scale"], bp["ln2_bias"], dpm, s,
-                _mlp_bm(False), None, cfg.activation, cfg.layernorm_eps)
+                *args, s, _mlp_bm(False), None, cfg.activation,
+                cfg.layernorm_eps)
+        if tp > 1:
+            x = jax.lax.psum(x, tp_axis)
         return x  # residual + drop-path fused in-kernel
     if fused_dense:
         # LN2 prologue + GELU epilogue fused into the fc1 kernel — neither
@@ -726,6 +796,7 @@ def vit_forward(
     remat=False,
     attn_impl: str = "auto",
     dense_impl: str = "auto",
+    tp_axis: Optional[str] = None,
 ) -> jax.Array:
     """Full forward: images (B, H, W, C) NHWC -> logits (B, num_classes).
 
@@ -804,7 +875,7 @@ def vit_forward(
             key = skey = None
         out = _block(
             carry, bp, f1, p1, dpr_l, key, skey, cfg, cara_params, cara_cfg,
-            attn_impl, dense_impl
+            attn_impl, dense_impl, tp_axis
         )
         return out, None
 
@@ -821,10 +892,16 @@ def vit_forward(
         xs = xs + (keys, skeys)
     tokens, _ = jax.lax.scan(body, tokens, xs)
 
-    tokens = layer_norm(
-        tokens, params["norm"]["scale"], params["norm"]["bias"], cfg.layernorm_eps
-    )
-    feat = tokens[:, 0] if cfg.use_cls_token else jnp.mean(tokens, axis=1)
+    if cfg.use_cls_token:
+        # LayerNorm is per-token: LN(tokens)[:, 0] == LN(tokens[:, 0]).
+        # Slicing first runs the final LN on (B, E) instead of (B, N, E) —
+        # only the cls row feeds the head.
+        feat = layer_norm(tokens[:, 0], params["norm"]["scale"],
+                          params["norm"]["bias"], cfg.layernorm_eps)
+    else:
+        tokens = layer_norm(tokens, params["norm"]["scale"],
+                            params["norm"]["bias"], cfg.layernorm_eps)
+        feat = jnp.mean(tokens, axis=1)
     if cfg.repr_size is not None:
         pl_ = params["pre_logits"]
         feat = jnp.tanh(feat @ pl_["kernel"] + pl_["bias"])

@@ -133,9 +133,9 @@ def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
             + bq_ref[...].astype(jnp.float32)
             + s * jax.lax.dot(z1c, v1_ref[...],
                               preferred_element_type=jnp.float32))
-    qkv = qkv2.astype(xa.dtype).reshape(bb, np_, 3 * e)
+    qkv = qkv2.astype(xa.dtype).reshape(bb, np_, -1)
     o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
-    o2 = o.reshape(m, e)
+    o2 = o.reshape(m, heads * dh)
 
     # Projection-site backward.
     do, gv2c = _site_bwd_dx2(g2, wp_ref, u2_ref, v2_ref, s)
@@ -147,9 +147,9 @@ def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
     dsp_ref[...] += jnp.sum(g2.astype(jnp.float32), axis=0, keepdims=True)
 
     # Attention backward into the dqkv VMEM scratch.
-    attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, e), sm_scale,
+    attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, -1), sm_scale,
                    n_real, heads, dh, dqkv_ref)
-    dqkv = dqkv_ref[...].reshape(m, 3 * e)
+    dqkv = dqkv_ref[...].reshape(m, 3 * heads * dh)
 
     # QKV-site backward + fused LayerNorm input-backward + residual g.
     dxa, gv1c = _site_bwd_dx2(dqkv, wq_ref, u1_ref, v1_ref, s)
@@ -206,7 +206,13 @@ def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
             sm_scale, n_real, s, block_b, interpret, ln_eps):
     bsz, np_, e = x.shape
     _check_np(np_)
-    dh = e // heads
+    # Attention geometry derives from the qkv WEIGHT width, not from the
+    # residual width: under head-sharded tensor parallelism ``wq`` is the
+    # local (E, 3*E/tp) slice and ``heads`` the local head count, while the
+    # residual/out stay full-width E.
+    e3l = wq.shape[1]
+    eol = wp.shape[0]          # attention-output width (E/tp under TP)
+    dh = (e3l // 3) // heads
     bb = _block_b(bsz, block_b)
     u1p, v1p = _pad_rank(u1, v1)
     u2p, v2p = _pad_rank(u2, v2)
@@ -220,9 +226,9 @@ def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
         grid=(bsz // bb,),
         in_specs=[
             _tile(bb, np_, e),
-            _const((e, 3 * e)), _const((1, 3 * e)), _const((e, rp1)),
-            _const((rp1, 3 * e)),
-            _const((e, e)), _const((1, e)), _const((e, rp2)),
+            _const((e, e3l)), _const((1, e3l)), _const((e, rp1)),
+            _const((rp1, e3l)),
+            _const((eol, e)), _const((1, e)), _const((eol, rp2)),
             _const((rp2, e)), _const((1, e)),
             _const((1, e)), _const((1, e)),
             pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
@@ -249,7 +255,9 @@ def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
                  res, g):
     x, wq, bq, u1, v1, wp, u2, v2, ls, lb, dpm2, dpm = res
     bsz, np_, e = x.shape
-    dh = e // heads
+    e3l = wq.shape[1]
+    eol = wp.shape[0]
+    dh = (e3l // 3) // heads
     bb = _block_b(bsz, block_b)
     r1, r2 = u1.shape[1], u2.shape[1]
     u1p, v1p = _pad_rank(u1, v1)
@@ -263,29 +271,29 @@ def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
         grid=(nm,),
         in_specs=[
             _tile(bb, np_, e), _tile(bb, np_, e),
-            _const((e, 3 * e)), _const((1, 3 * e)), _const((e, rp1)),
-            _const((rp1, 3 * e)),
-            _const((e, e)), _const((e, rp2)), _const((rp2, e)),
+            _const((e, e3l)), _const((1, e3l)), _const((e, rp1)),
+            _const((rp1, e3l)),
+            _const((eol, e)), _const((eol, rp2)), _const((rp2, e)),
             _const((1, e)), _const((1, e)),
             pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             _tile(bb, np_, e),
-            _const((e, rp1)), _const((rp1, 3 * e)),
-            _const((e, rp2)), _const((rp2, e)),
-            _const((1, 3 * e)), _const((1, e)),
+            _const((e, rp1)), _const((rp1, e3l)),
+            _const((eol, rp2)), _const((rp2, e)),
+            _const((1, e3l)), _const((1, e)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, np_, e), g.dtype),
             jax.ShapeDtypeStruct((e, rp1), jnp.float32),
-            jax.ShapeDtypeStruct((rp1, 3 * e), jnp.float32),
-            jax.ShapeDtypeStruct((e, rp2), jnp.float32),
+            jax.ShapeDtypeStruct((rp1, e3l), jnp.float32),
+            jax.ShapeDtypeStruct((eol, rp2), jnp.float32),
             jax.ShapeDtypeStruct((rp2, e), jnp.float32),
-            jax.ShapeDtypeStruct((1, 3 * e), jnp.float32),
+            jax.ShapeDtypeStruct((1, e3l), jnp.float32),
             jax.ShapeDtypeStruct((1, e), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((bb, np_, 3 * e), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((bb, np_, e3l), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 * 2 ** 20),
@@ -338,9 +346,9 @@ def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
     xa = _ln_rows(x2, ls_ref[...], lb_ref[...], ln_eps)
     qkv2 = (jax.lax.dot(xa, wqp_ref[...], preferred_element_type=jnp.float32)
             + bq_ref[...].astype(jnp.float32)).astype(xa.dtype)
-    qkv = qkv2.reshape(bb, np_, 3 * e)
+    qkv = qkv2.reshape(bb, np_, -1)
     o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
-    o2 = o.reshape(m, e)
+    o2 = o.reshape(m, heads * dh)
 
     do = jax.lax.dot_general(g2, wpp_ref[...], dn,
                              preferred_element_type=jnp.float32)
@@ -348,9 +356,9 @@ def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
                                         preferred_element_type=jnp.float32)
     dsp_ref[...] += jnp.sum(g2.astype(jnp.float32), axis=0, keepdims=True)
 
-    attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, e), sm_scale,
+    attn_bwd_tile(qkv, do.astype(qkv.dtype).reshape(bb, np_, -1), sm_scale,
                    n_real, heads, dh, dqkv_ref)
-    dqkv = dqkv_ref[...].reshape(m, 3 * e)
+    dqkv = dqkv_ref[...].reshape(m, 3 * heads * dh)
 
     dxa = jax.lax.dot_general(dqkv, wqp_ref[...], dn,
                               preferred_element_type=jnp.float32)
@@ -391,12 +399,14 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, seed1,
                interpret, ln_eps):
     bsz, np_, e = x.shape
     _check_np(np_)
-    dh = e // heads
+    e3l = wq.shape[1]          # 3*E/tp under head-sharded TP
+    eol = wp.shape[0]          # E/tp under TP
+    dh = (e3l // 3) // heads
     bb = _block_b(bsz, block_b)
     wqp = _build_wd_weight(wq, u1, v1, seed1, s, drop_rate, interpret)
     wpp = _build_wd_weight(wp, u2, v2, seed2, s, drop_rate, interpret)
-    u0ap, v0ap = _pad_rank(*_zero_uv(e, 3 * e, x.dtype))
-    u0bp, v0bp = _pad_rank(*_zero_uv(e, e, x.dtype))
+    u0ap, v0ap = _pad_rank(*_zero_uv(e, e3l, x.dtype))
+    u0bp, v0bp = _pad_rank(*_zero_uv(eol, e, x.dtype))
     dpm2 = jnp.broadcast_to(dpm.reshape(bsz, 1, 1), (bsz, np_, 1)
                             ).reshape(bsz * np_, 1).astype(x.dtype)
     out = pl.pallas_call(
@@ -406,10 +416,10 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, seed1,
         grid=(bsz // bb,),
         in_specs=[
             _tile(bb, np_, e),
-            _const((e, 3 * e)), _const((1, 3 * e)),
-            _const((e, u0ap.shape[1])), _const((u0ap.shape[1], 3 * e)),
-            _const((e, e)), _const((1, e)),
-            _const((e, u0bp.shape[1])), _const((u0bp.shape[1], e)),
+            _const((e, e3l)), _const((1, e3l)),
+            _const((e, u0ap.shape[1])), _const((u0ap.shape[1], e3l)),
+            _const((eol, e)), _const((1, e)),
+            _const((eol, u0bp.shape[1])), _const((u0bp.shape[1], e)),
             _const((1, e)),
             _const((1, e)), _const((1, e)),
             pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
@@ -441,7 +451,9 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
     (x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, dpm2, dpm, seed1,
      seed2) = res
     bsz, np_, e = x.shape
-    dh = e // heads
+    e3l = wqp.shape[1]
+    eol = wpp.shape[0]
+    dh = (e3l // 3) // heads
     bb = _block_b(bsz, block_b)
     r1, r2 = u1.shape[1], u2.shape[1]
     u1p, v1p = _pad_rank(u1, v1)
@@ -453,14 +465,14 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
         functools.partial(
             _attn_block_bwd_wd_kernel, heads=heads, dh=dh,
             sm_scale=sm_scale, n_real=n_real, s=s, drop_rate=drop_rate,
-            ln_eps=ln_eps, nm=nm, chunk1=_fit_block(3 * e, 512),
+            ln_eps=ln_eps, nm=nm, chunk1=_fit_block(e3l, 512),
             chunk2=_fit_block(e, 512)),
         grid=(nm,),
         in_specs=[
             _tile(bb, np_, e), _tile(bb, np_, e),
-            _const((e, 3 * e)), _const((1, 3 * e)), _const((e, e)),
-            _const((e, rp1)), _const((rp1, 3 * e)),
-            _const((e, rp2)), _const((rp2, e)),
+            _const((e, e3l)), _const((1, e3l)), _const((eol, e)),
+            _const((e, rp1)), _const((rp1, e3l)),
+            _const((eol, rp2)), _const((rp2, e)),
             _const((1, e)), _const((1, e)),
             pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -468,23 +480,23 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
         ],
         out_specs=(
             _tile(bb, np_, e),
-            _const((e, rp1)), _const((rp1, 3 * e)),
-            _const((e, rp2)), _const((rp2, e)),
-            _const((1, 3 * e)), _const((1, e)),
+            _const((e, rp1)), _const((rp1, e3l)),
+            _const((eol, rp2)), _const((rp2, e)),
+            _const((1, e3l)), _const((1, e)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, np_, e), g.dtype),
             jax.ShapeDtypeStruct((e, rp1), jnp.float32),
-            jax.ShapeDtypeStruct((rp1, 3 * e), jnp.float32),
-            jax.ShapeDtypeStruct((e, rp2), jnp.float32),
+            jax.ShapeDtypeStruct((rp1, e3l), jnp.float32),
+            jax.ShapeDtypeStruct((eol, rp2), jnp.float32),
             jax.ShapeDtypeStruct((rp2, e), jnp.float32),
-            jax.ShapeDtypeStruct((1, 3 * e), jnp.float32),
+            jax.ShapeDtypeStruct((1, e3l), jnp.float32),
             jax.ShapeDtypeStruct((1, e), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bb, np_, 3 * e), x.dtype),
-            pltpu.VMEM((e, 3 * e), jnp.float32),
-            pltpu.VMEM((e, e), jnp.float32),
+            pltpu.VMEM((bb, np_, e3l), x.dtype),
+            pltpu.VMEM((e, e3l), jnp.float32),
+            pltpu.VMEM((eol, e), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -74,6 +74,33 @@ def vit_param_specs(params: Dict[str, Any], tensor_parallel: bool) -> Dict[str, 
     return specs
 
 
+def tp_permute_qkv(frozen: Dict[str, Any], cfg, tp: int) -> Dict[str, Any]:
+    """Reorder the fused qkv kernel/bias for head-sharded tensor parallelism.
+
+    The stacked qkv kernel's output axis is flattened ``(3, H, Dh)``; a
+    contiguous 1/tp chunk of that axis mixes q/k/v segments.  This permutes
+    it to ``(tp, 3, H/tp, Dh)`` so that sharding the last axis over the
+    ``model`` axis hands each shard a well-formed ``(3, H_local, Dh)``
+    fused-qkv layout — the layout ``cara.qkv_uv``'s head-sliced ``v1``
+    (``models.vit._tp_slice_qkv_cols``) and the attention megakernel expect.
+    proj/fc1/fc2 shard contiguously and need no permutation.
+    """
+    h, d = cfg.num_heads, cfg.head_dim
+    if h % tp:
+        raise ValueError(f"num_heads {h} not divisible by tp={tp}")
+    hl = h // tp
+    qkv = frozen["blocks"]["qkv"]
+    k, b = qkv["kernel"], qkv["bias"]
+    L, e, e3 = k.shape
+    k = k.reshape(L, e, 3, tp, hl, d).transpose(0, 1, 3, 2, 4, 5)
+    b = b.reshape(L, 3, tp, hl, d).transpose(0, 2, 1, 3, 4)
+    out = dict(frozen)
+    out["blocks"] = dict(frozen["blocks"])
+    out["blocks"]["qkv"] = {"kernel": k.reshape(L, e, e3),
+                            "bias": b.reshape(L, e3)}
+    return out
+
+
 def shardings_for(mesh: Mesh, spec_tree):
     """PartitionSpec pytree -> NamedSharding pytree."""
     return jax.tree_util.tree_map(

@@ -117,7 +117,8 @@ def fit(
         donate_argnums=(0,))
     eval_step = eval_step or jax.jit(
         steps_lib.make_eval_step(cfg, cara_cfg, compute_dtype=compute_dtype,
-                                 mesh=mesh))
+                                 mesh=mesh, attn_impl=attn_impl,
+                                 dense_impl=dense_impl))
 
     put = (lambda b: mesh_lib.put_batch(mesh, b)) if mesh is not None else (
         lambda b: b)
@@ -128,6 +129,15 @@ def fit(
     # checkpoint artifacts.
     frozen_compute = (steps_lib.cast_floating(frozen, compute_dtype)
                       if compute_dtype is not None else frozen)
+    # Fused tensor parallelism: the COMPUTE copy of the backbone gets the
+    # head-sharded layout + TP shardings (prepare_tp_frozen); ``frozen``
+    # stays in the canonical layout for checkpoint/merge artifacts.
+    _, _, _, _tp_fused = steps_lib._resolve_impls(
+        attn_impl, dense_impl, cara_cfg, mesh,
+        has_cara=cara_cfg is not None, cfg=cfg)
+    if _tp_fused:
+        frozen_compute = steps_lib.prepare_tp_frozen(
+            frozen_compute, cfg, mesh)
 
     best_acc = 0.0
     last_metrics: Dict[str, Any] = {}

@@ -96,7 +96,7 @@ def cast_floating(tree, dtype):
 
 
 def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
-                   has_cara: bool = True):
+                   has_cara: bool = True, cfg: Optional[ViTConfig] = None):
     """Resolve auto impls and decide the multi-device strategy.
 
     Pallas kernels are opaque custom calls to GSPMD: with a sharded batch
@@ -104,8 +104,23 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
     device (measured: 10 all-gathers in the compiled HLO of one fused
     forward on an 8-device data mesh).  So on a >1-device data mesh the
     fused path runs under ``shard_map`` (per-shard kernels + explicit
-    pmean/psum); tensor parallelism needs GSPMD to split the weight GEMMs,
-    which only the XLA path supports — a model axis forces xla impls.
+    pmean/psum).
+
+    Tensor parallelism (model axis > 1) has two modes (round-3 closes the
+    round-2 "TP runs unfused" gap):
+
+    * **fused TP** (default when eligible): the megakernels run on
+      head-/hidden-sharded weight slices under ``shard_map``
+      (``models.vit._block`` ``tp_axis`` docs for the math).  The caller
+      must pass the frozen tree through :func:`prepare_tp_frozen` (fused-qkv
+      layout permutation + TP shardings).  Eligibility: both impls resolve
+      fused, megakernel geometry (NP <= 512 after padding, zero activation
+      dropout), and head/hidden counts divisible by the model-axis size.
+    * **XLA TP fallback** otherwise: GSPMD splits the weight GEMMs from
+      the ``vit_param_specs`` annotations (correct for every path incl.
+      materialized deltas).
+
+    Returns (attn_impl, dense_impl, use_shard_map, tp_fused).
     """
     from cara_tpu.models.vit import resolve_dense_impl
     from cara_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -115,13 +130,41 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
     if dense_impl == "auto":
         dense_impl = resolve_dense_impl(has_cara, cara_cfg)
     tp = mesh is not None and mesh.shape[MODEL_AXIS] > 1
+    tp_fused = False
     if tp:
-        attn_impl = "xla"
-        dense_impl = "xla"
-    use_shard_map = (
+        tpn = mesh.shape[MODEL_AXIS]
+        geom_ok = (
+            cfg is not None
+            and cfg.dropout_rate == 0.0 and cfg.attn_dropout_rate == 0.0
+            and -(-cfg.seq_len // 128) * 128 <= 512
+            and cfg.num_heads % tpn == 0 and cfg.hidden_dim % tpn == 0)
+        if attn_impl == "fused" and dense_impl == "fused" and geom_ok:
+            tp_fused = True
+        else:
+            attn_impl = "xla"
+            dense_impl = "xla"
+    use_shard_map = tp_fused or (
         mesh is not None and not tp and mesh.shape[DATA_AXIS] > 1
         and (attn_impl != "xla" or dense_impl == "fused"))
-    return attn_impl, dense_impl, use_shard_map
+    return attn_impl, dense_impl, use_shard_map, tp_fused
+
+
+def prepare_tp_frozen(frozen: Params, cfg: ViTConfig, mesh):
+    """Frozen backbone -> fused-TP form: fused-qkv layout permuted for head
+    sharding (``mesh.tp_permute_qkv``) and every leaf device_put with its
+    Megatron-style ``vit_param_specs`` sharding.  REQUIRED before calling a
+    fused-TP train/eval step — the shard_map would otherwise hand the
+    kernels mis-laid-out qkv column chunks."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cara_tpu.parallel import mesh as mesh_lib
+
+    frozen = mesh_lib.tp_permute_qkv(frozen, cfg,
+                                     mesh.shape[mesh_lib.MODEL_AXIS])
+    specs = mesh_lib.vit_param_specs(frozen, tensor_parallel=True)
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+        frozen, specs, is_leaf=lambda x: isinstance(x, P))
 
 
 def make_train_step(
@@ -156,10 +199,13 @@ def make_train_step(
     = one mask, reference semantics); per-sample randomness differs per
     microbatch.
     """
-    attn_impl, dense_impl, use_shard_map = _resolve_impls(
-        attn_impl, dense_impl, cara_cfg, mesh)
+    attn_impl, dense_impl, use_shard_map, tp_fused = _resolve_impls(
+        attn_impl, dense_impl, cara_cfg, mesh, cfg=cfg)
     if remat == "auto":
         remat = dense_impl != "fused"
+    tp_axis = None
+    if tp_fused:
+        from cara_tpu.parallel.mesh import MODEL_AXIS as tp_axis  # noqa: F811
 
     def compute(trainable, frozen, batch, wd_rng, sample_rng):
         """(loss, acc, grads) for one (possibly per-shard) batch."""
@@ -174,6 +220,7 @@ def make_train_step(
                 p, x, cfg, cara_params=cara, cara_cfg=cara_cfg,
                 train=True, rng=wd_rng, sample_rng=srng, remat=remat,
                 attn_impl=attn_impl, dense_impl=dense_impl,
+                tp_axis=tp_axis,
             ).astype(jnp.float32)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, mb["label"]).mean()
@@ -217,25 +264,42 @@ def make_train_step(
     if use_shard_map:
         from jax.sharding import PartitionSpec as P
 
-        from cara_tpu.parallel.mesh import DATA_AXIS
+        from cara_tpu.parallel import mesh as mesh_lib
+        from cara_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        tpn = mesh.shape[MODEL_AXIS]
 
         def sharded_compute(trainable, frozen, batch, rng):
             # Weight-dropout masks stay shard-invariant (shared across the
             # global batch, cara.py:35); per-sample randomness decorrelates
-            # across shards via the axis index.
+            # across shards via the axis index.  Model-axis shards share
+            # the sample rng (the drop-path gate must agree across the
+            # weight shards whose partial outputs get psum'd).
             srng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-            out = compute(trainable, frozen, batch, rng, srng)
-            return jax.lax.pmean(out, DATA_AXIS)
+            loss, acc, grads = compute(trainable, frozen, batch, rng, srng)
+            if tp_fused:
+                # Trainable grads from sliced-factor use sum correctly over
+                # the model axis; the head (computed identically on every
+                # model shard) would be counted tpn times — rescale.
+                grads = jax.lax.psum(grads, MODEL_AXIS)
+                grads = dict(grads)
+                grads["head"] = jax.tree_util.tree_map(
+                    lambda a: a / tpn, grads["head"])
+            return jax.lax.pmean((loss, acc, grads), DATA_AXIS)
 
-        sharded_compute = jax.shard_map(
-            sharded_compute, mesh=mesh,
-            in_specs=(P(), P(), P(DATA_AXIS), P()),
-            out_specs=P(), check_vma=False)
+        def run_sharded(trainable, frozen, batch, rng):
+            frozen_specs = (mesh_lib.vit_param_specs(frozen, True)
+                            if tp_fused else P())
+            fn = jax.shard_map(
+                sharded_compute, mesh=mesh,
+                in_specs=(P(), frozen_specs, P(DATA_AXIS), P()),
+                out_specs=P(), check_vma=False)
+            return fn(trainable, frozen, batch, rng)
 
     def train_step(state: TrainState, frozen: Params, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         if use_shard_map:
-            loss, acc, grads = sharded_compute(
+            loss, acc, grads = run_sharded(
                 state.trainable, frozen, batch, step_rng)
         else:
             loss, acc, grads = compute(
@@ -263,9 +327,12 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
     ``_resolve_impls``) and the (correct, total) sums are psum'd.
     """
     auto_dense = dense_impl == "auto"
-    attn_impl, dense_impl, use_shard_map = _resolve_impls(
+    attn_impl, dense_impl, use_shard_map, tp_fused = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh,
-        has_cara=cara_cfg is not None)
+        has_cara=cara_cfg is not None, cfg=cfg)
+    tp_axis = None
+    if tp_fused:
+        from cara_tpu.parallel.mesh import MODEL_AXIS as tp_axis  # noqa: F811
 
     def eval_step(params: Params, cara_params, batch):
         p, cara = params, cara_params
@@ -276,7 +343,9 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
         from cara_tpu.models.vit import resolve_dense_impl
 
         di = dense_impl
-        if auto_dense and cara is None:
+        if auto_dense and cara is None and not tp_fused:
+            # (under fused TP the megakernels must stay engaged — the
+            # adapter-less fused_plain path handles cara=None)
             di = resolve_dense_impl(False, None)
         x = prep_images(batch["image"], compute_dtype)
         if compute_dtype is not None:
@@ -286,7 +355,7 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
         logits = vit_forward(
             p, x, cfg, cara_params=cara,
             cara_cfg=cara_cfg if cara is not None else None, train=False,
-            attn_impl=attn_impl, dense_impl=di)
+            attn_impl=attn_impl, dense_impl=di, tp_axis=tp_axis)
         pred = jnp.argmax(logits, axis=-1)
         valid = batch.get("valid")
         if valid is None:
@@ -299,12 +368,22 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
 
     from jax.sharding import PartitionSpec as P
 
+    from cara_tpu.parallel import mesh as mesh_lib
     from cara_tpu.parallel.mesh import DATA_AXIS
 
     def sharded_eval(params, cara_params, batch):
+        # correct/total agree across model shards (logits are reassembled
+        # per layer by the in-forward psum) — reduce over data only.
         c, t = eval_step(params, cara_params, batch)
         return jax.lax.psum((c, t), DATA_AXIS)
 
-    return jax.shard_map(
-        sharded_eval, mesh=mesh, in_specs=(P(), P(), P(DATA_AXIS)),
-        out_specs=P(), check_vma=False)
+    def run(params, cara_params, batch):
+        param_specs = (mesh_lib.vit_param_specs(params, True)
+                       if tp_fused else P())
+        fn = jax.shard_map(
+            sharded_eval, mesh=mesh,
+            in_specs=(param_specs, P(), P(DATA_AXIS)),
+            out_specs=P(), check_vma=False)
+        return fn(params, cara_params, batch)
+
+    return run
