@@ -1,13 +1,16 @@
-"""Worker process for the 2-process jax.distributed CPU smoke test.
+"""Worker process for the N-process jax.distributed CPU smoke tests.
 
 Invoked by ``tests/test_multihost.py`` with CARA_DIST_* env vars set; runs
 the ``--distributed`` initialization path (``cli/common.py:setup_runtime``),
-one DP-sharded train step on an 8-device global mesh (4 local CPU devices
+one DP-sharded train step on an 8-device global mesh (8/N local CPU devices
 per process), and dumps the updated trainable params for cross-process and
-vs-single-process comparison.
+vs-single-process comparison.  N comes from ``CARA_DIST_NPROCS`` (2 and 4
+are exercised — pcount > 2 covers the general process-chunked loader math,
+``data/vtab.py``).
 """
 
 import argparse
+import os
 import sys
 
 
@@ -24,7 +27,8 @@ def main():
                             compilation_cache=None)
     common.setup_runtime(ns)  # the --distributed flag path
 
-    assert jax.process_count() == 2, jax.process_count()
+    nprocs = int(os.environ["CARA_DIST_NPROCS"])
+    assert jax.process_count() == nprocs, jax.process_count()
     assert len(jax.devices()) == 8, len(jax.devices())
 
     import numpy as np
@@ -43,7 +47,7 @@ def main():
     src = synthetic_source(32, 10, model.cfg.image_size, seed=3)
     loader = BatchLoader(src, 8, train=True, seed=7)
     batch = mesh_lib.put_batch(mesh, next(iter(loader)))
-    # Each host contributed only its 4-row chunk.
+    # Each host contributed only its 8/nprocs-row chunk.
     assert batch["image"].shape[0] == 8
 
     tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=4)
@@ -72,6 +76,23 @@ def main():
     _, m2 = fused_step(state2, frozen2, batch, jax.random.key(0))
     loss_fused = float(m2["loss"])
     assert np.isfinite(loss_fused), loss_fused
+
+    # Third leg: grad-accum microbatching COMPOSED with cross-process
+    # shard_map DP (VERDICT round-2 next #8) — 16 global rows over 8
+    # devices = 2 rows/shard, split into 2 scanned microbatches.
+    loader16 = BatchLoader(src, 16, train=True, seed=7)
+    batch16 = mesh_lib.put_batch(mesh, next(iter(loader16)))
+    frozen3, state3 = steps_lib.init_train_state(
+        tx, model.params, model.cara_params)
+    frozen3 = mesh_lib.put_replicated(mesh, frozen3)
+    state3 = mesh_lib.put_replicated(mesh, state3)
+    ga_step = jax.jit(steps_lib.make_train_step(
+        model.cfg, model.cara_cfg, tx, compute_dtype=jnp.float32,
+        attn_impl="fused", dense_impl="fused", mesh=mesh, grad_accum=2),
+        donate_argnums=(0,))
+    _, m3 = ga_step(state3, frozen3, batch16, jax.random.key(0))
+    loss_ga = float(m3["loss"])
+    assert np.isfinite(loss_ga), loss_ga
 
     flat = {}
     for k, v in jax.tree_util.tree_leaves_with_path(state.trainable):

@@ -33,22 +33,24 @@ def _free_port():
     return port
 
 
-@pytest.mark.skipif(os.environ.get("CARA_SKIP_MULTIHOST") == "1",
-                    reason="multi-process smoke disabled")
-def test_two_process_distributed_train_step(tmp_path):
+def _run_procs(tmp_path, nprocs: int):
+    """Spawn ``nprocs`` jax.distributed workers over an 8-device global
+    mesh (8/nprocs virtual CPU devices each); returns the per-process npz
+    dumps after asserting every worker exited cleanly."""
     port = _free_port()
     procs = []
     outs = []
-    for pid in range(2):
+    for pid in range(nprocs):
         out = str(tmp_path / f"proc{pid}.npz")
         outs.append(out)
         env = {
             **os.environ,
             "PYTHONPATH": REPO,          # drop any sitecustomize TPU pin
             "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "XLA_FLAGS": (
+                f"--xla_force_host_platform_device_count={8 // nprocs}"),
             "CARA_DIST_COORDINATOR": f"127.0.0.1:{port}",
-            "CARA_DIST_NPROCS": "2",
+            "CARA_DIST_NPROCS": str(nprocs),
             "CARA_DIST_PROCID": str(pid),
         }
         procs.append(subprocess.Popen(
@@ -70,12 +72,28 @@ def test_two_process_distributed_train_step(tmp_path):
         assert p.returncode == 0, f"proc{pid} failed:\n{log}"
         assert f"pid={pid}" in log and "ok" in log
 
-    z0 = np.load(outs[0])
-    z1 = np.load(outs[1])
-    assert set(z0.files) == set(z1.files)
-    # One consistent replicated update on both hosts.
-    for k in z0.files:
-        np.testing.assert_array_equal(z0[k], z1[k], err_msg=k)
+    zs = [np.load(o) for o in outs]
+    for z in zs[1:]:
+        assert set(zs[0].files) == set(z.files)
+        # One consistent replicated update on every host.
+        for k in zs[0].files:
+            np.testing.assert_array_equal(zs[0][k], z[k], err_msg=k)
+    return zs
+
+
+@pytest.mark.skipif(os.environ.get("CARA_SKIP_MULTIHOST") == "1",
+                    reason="multi-process smoke disabled")
+def test_four_process_distributed_train_step(tmp_path):
+    """4 processes x 2 devices: the general (pcount > 2) process-chunked
+    loader math plus the grad-accum + shard_map composition (the worker's
+    third leg)."""
+    _run_procs(tmp_path, 4)
+
+
+@pytest.mark.skipif(os.environ.get("CARA_SKIP_MULTIHOST") == "1",
+                    reason="multi-process smoke disabled")
+def test_two_process_distributed_train_step(tmp_path):
+    z0 = _run_procs(tmp_path, 2)[0]
 
     # Cross-host DP == single-process DP on the same global batch.
     import jax
