@@ -26,14 +26,18 @@ from cara_tpu.utils.logging import MetricLogger
 def parse_args(argv=None):
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    p.add_argument("--dim", default=32, type=int, help="CP rank")
-    p.add_argument("--scale", default=1.0, type=float, help="Delta scale s")
-    p.add_argument("--init-mean", default=1.0, type=float)
-    p.add_argument("--init-std", default=0.0, type=float)
+    # None = take the per-task default from data.fgvc_config (explicit
+    # flags always win, mirroring the VTAB CLI's config-dict precedence).
+    p.add_argument("--dim", default=None, type=int, help="CP rank")
+    p.add_argument("--scale", default=None, type=float, help="Delta scale s")
+    p.add_argument("--init-mean", default=None, type=float)
+    p.add_argument("--init-std", default=None, type=float)
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--evaluate", default=None, type=str)
     common.add_common_args(p)
-    p.set_defaults(dataset="cub2011", data_root="./data/fgvc", epochs=100)
+    # lr=None -> per-task default from data.fgvc_config.
+    p.set_defaults(dataset="cub2011", data_root="./data/fgvc", epochs=100,
+                   lr=None)
     # Replace the VTAB dataset choices with the FGVC registry.
     for a in p._actions:
         if a.dest == "dataset":
@@ -44,14 +48,30 @@ def parse_args(argv=None):
 def main(argv=None) -> float:
     args = parse_args(argv)
     common.setup_runtime(args)
+    from cara_tpu.data.fgvc_config import get_fgvc_hparams
+
+    hp = get_fgvc_hparams(args.dataset)
+    if args.dim is None:
+        args.dim = hp.dim
+    if args.scale is None:
+        args.scale = hp.scale
+    if args.init_mean is None:
+        args.init_mean = hp.init_mean
+    if args.init_std is None:
+        args.init_std = hp.init_std
+    if args.seed is None:
+        args.seed = hp.seed
+    if args.lr is None:
+        args.lr = hp.lr
     print(args)
-    seed = args.seed if args.seed is not None else 42
+    seed = args.seed
     num_classes = fgvc_lib.get_classes_num(args.dataset)
 
     model = api.build_model(
         args.model, rank=args.dim, scale=args.scale, l_mu=args.init_mean,
         l_std=args.init_std, num_classes=num_classes, seed=seed,
-        backbone_path=args.backbone, delta_impl=args.delta_impl)
+        backbone_path=args.backbone, delta_impl=args.delta_impl,
+        weight_dropout=hp.weight_dropout)
     train_loader, eval_loader = fgvc_lib.get_data(
         args.dataset, root=args.data_root, batch_size=args.batch_size,
         eval_batch_size=args.eval_batch_size,
