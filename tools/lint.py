@@ -11,6 +11,13 @@ load-bearing subset natively on ``ast``:
   F541  f-string without placeholders     E722  bare ``except:``
   C901  duplicate dict key                B006  mutable default argument
   A001  call-arity/kwarg mismatch for functions defined in-repo
+  T001  inconsistent tuple-return arities within one function
+  T002  ``-> None`` annotation but the function returns a value
+  T003  tuple-unpacking arity != the callee's known tuple-return arity
+
+The T-series is the minimal stand-in for the reference's mypy gate
+(annotation/return-shape consistency — the class of bug a return-signature
+change like ``_resolve_impls`` growing a 4th element would introduce).
 
 ``# noqa`` (with or without codes) suppresses findings on that line.
 Exit status 1 if any finding; used by ``make lint`` and CI.
@@ -437,6 +444,18 @@ def simple_checks(path: str, tree: ast.Module) -> List[Finding]:
 # --------------------------------------------------------------------------
 
 
+def _walk_own(func_node):
+    """Walk a function's OWN statements, not those of nested defs/lambdas."""
+    stack = list(func_node.body)
+    while stack:
+        node = stack.pop()
+        yield node
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.Lambda)):
+            continue
+        stack.extend(ast.iter_child_nodes(node))
+
+
 class FuncSig:
     def __init__(self, node):
         a = node.args
@@ -450,6 +469,32 @@ class FuncSig:
         self.kwarg = a.kwarg is not None
         self.is_method = False
         self.decorated = bool(node.decorator_list)
+        # Return-shape facts for the T-series (mypy-stand-in) checks.
+        self.is_gen = False
+        self.has_bare_return = False
+        self.has_value_return = False
+        lens = set()
+        for sub in _walk_own(node):
+            if isinstance(sub, (ast.Yield, ast.YieldFrom)):
+                self.is_gen = True
+            elif isinstance(sub, ast.Return):
+                v = sub.value
+                if v is None or (isinstance(v, ast.Constant)
+                                 and v.value is None):
+                    self.has_bare_return = True
+                else:
+                    self.has_value_return = True
+                    lens.add(len(v.elts) if isinstance(v, ast.Tuple) else -1)
+        self.ret_lens = lens
+        ann = node.returns
+        self.ann_none = isinstance(ann, ast.Constant) and ann.value is None
+
+    def known_tuple_len(self):
+        """Tuple arity if EVERY return is a same-length tuple literal."""
+        if (self.decorated or self.is_gen or self.has_bare_return
+                or len(self.ret_lens) != 1 or -1 in self.ret_lens):
+            return None
+        return next(iter(self.ret_lens))
 
     def check_call(self, call: ast.Call) -> Optional[str]:
         if self.decorated:
@@ -527,6 +572,45 @@ def check_calls(path: str, tree: ast.Module,
                 msg = sig.check_call(node)
                 if msg:
                     out.append(Finding(path, node.lineno, "A001", msg))
+        # T003: tuple-unpacking arity vs the callee's known return arity
+        # (`a, b = f(...)` where every return in f is a 3-tuple literal).
+        # The annotation/return half of the reference's mypy gate
+        # (pyproject.toml:60-76) that call-arity A001 didn't cover.
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], (ast.Tuple, ast.List))
+                and isinstance(node.value, ast.Call)
+                and isinstance(node.value.func, ast.Name)):
+            elts = node.targets[0].elts
+            if any(isinstance(t, ast.Starred) for t in elts):
+                continue
+            sig = sigs.get(node.value.func.id)
+            want = sig.known_tuple_len() if sig is not None else None
+            if want is not None and want != len(elts):
+                out.append(Finding(
+                    path, node.lineno, "T003",
+                    f"unpacking {len(elts)} values from {sig.name}() "
+                    f"which returns {want}-tuples"))
+    return out
+
+
+def signature_checks(path: str, tree: ast.Module) -> List[Finding]:
+    """T001/T002: per-function return-shape consistency (mypy stand-in)."""
+    out = []
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        sig = FuncSig(node)
+        tuple_lens = {n for n in sig.ret_lens if n >= 0}
+        if len(tuple_lens) > 1 and -1 not in sig.ret_lens:
+            out.append(Finding(
+                path, node.lineno, "T001",
+                f"{node.name}() returns tuple literals of different "
+                f"arities {sorted(tuple_lens)}"))
+        if sig.ann_none and sig.has_value_return and not sig.is_gen:
+            out.append(Finding(
+                path, node.lineno, "T002",
+                f"{node.name}() is annotated '-> None' but returns a "
+                f"value"))
     return out
 
 
@@ -582,6 +666,7 @@ def lint_paths(paths) -> List[Finding]:
         checker._finish_module()
         per_file.extend(checker.findings)
         per_file.extend(simple_checks(path, tree))
+        per_file.extend(signature_checks(path, tree))
         if not path.endswith("tools/lint.py"):
             per_file.extend(check_calls(path, tree, sigs))
 
