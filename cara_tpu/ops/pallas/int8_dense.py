@@ -40,10 +40,19 @@ def _int8_dense_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, nk):
         o_ref[...] = y.astype(o_ref.dtype)
 
 
-def int8_dense(x, wq, scale, b, bm: int = 256, bn: int = 1536,
-               bk: int = 768, interpret: Optional[bool] = None):
+def int8_dense(x, wq, scale, b, bm: Optional[int] = None,
+               bn: Optional[int] = None, bk: Optional[int] = None,
+               interpret: Optional[bool] = None):
     """``(x @ wq) * scale + b``; x (..., K) float, wq (K, N) int8,
-    scale (1, N) or (N,), b (N,)."""
+    scale (1, N) or (N,), b (N,).
+
+    Block sizes default from ``CARA_INT8_BM/BN/BK`` (tuning knobs for the
+    serving sweep) falling back to 256/1536/768."""
+    import os
+
+    bm = bm or int(os.environ.get("CARA_INT8_BM", "256"))
+    bn = bn or int(os.environ.get("CARA_INT8_BN", "1536"))
+    bk = bk or int(os.environ.get("CARA_INT8_BK", "768"))
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = wq.shape[1]

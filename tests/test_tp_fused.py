@@ -117,6 +117,20 @@ def test_tp_fused_eval_matches(setup):
     assert float(t0) == float(t1) == 16.0
     np.testing.assert_allclose(float(c0), float(c1), atol=1e-6)
 
+    # tp=4 leg on a (2, 4) mesh (heads 4 -> 1 per shard, hid 256 -> 64).
+    mesh4 = mesh_lib.make_mesh((2, 4))
+    p4 = dict(steps_lib.prepare_tp_frozen(
+        {k: v for k, v in params.items() if k != "head"}, cfg, mesh4))
+    p4["head"] = mesh_lib.put_replicated(mesh4, params["head"])
+    sharded4 = steps_lib.make_eval_step(cfg, cc, mesh=mesh4,
+                                        attn_impl="fused",
+                                        dense_impl="fused")
+    c4, t4 = jax.jit(sharded4)(
+        p4, mesh_lib.put_replicated(mesh4, cara),
+        mesh_lib.put_batch(mesh4, batch))
+    assert float(t4) == 16.0
+    np.testing.assert_allclose(float(c0), float(c4), atol=1e-6)
+
 
 def test_tp_fused_element_wd_smoke(setup):
     """Element-wise weight dropout under fused TP: per-shard hash masks are
