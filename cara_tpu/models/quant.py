@@ -1,11 +1,19 @@
 """Weight-only int8 quantization for serving.
 
-Small-batch serving is weight-bound: a batch-1 merged ViT-B forward reads
-~172 MB of bf16 weights for ~0.2 MB of activations.  Storing the stacked
-transformer-block kernels (the ~85M-param bulk) as per-output-channel
-symmetric int8 halves that stream; the dequant multiply rides inside the
-per-layer GEMM (``models.vit.matk``), so the bf16 weights are never
-materialized in HBM.
+Measured scope (benchmarks/RESULTS.md round 3): ViT serving is NOT
+weight-bound even at batch 1 — each image carries 197 tokens, so the
+per-layer GEMMs run at arithmetic intensity ~197, far above the MXU
+byte/FLOP breakeven, and the weight stream is only ~25-30% of the bs1
+latency.  Halving it therefore bounds the int8 win at ~13%; measured, the
+XLA path realizes a ~7-8% win at bs4-16 and loses at bs1 (convert
+overhead at matvec-ish shapes), which is why int8 stays OPT-IN.  (The
+"weight-bound small-batch" framing applies to M=1 decode workloads like
+LLMs, not to 197-token ViT images.)
+
+Storing the stacked transformer-block kernels (the ~85M-param bulk) as
+per-output-channel symmetric int8 halves that stream; the dequant
+multiply rides inside the per-layer GEMM (``models.vit.matk``), so the
+bf16 weights are never materialized in HBM.
 
 Quality: per-channel symmetric weight-only int8 on ViT classifiers is a
 well-characterized <=0.5 top-1 technique; here the scales are exact
