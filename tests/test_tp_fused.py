@@ -132,6 +132,32 @@ def test_tp_fused_eval_matches(setup):
     np.testing.assert_allclose(float(c0), float(c4), atol=1e-6)
 
 
+def test_tp_fused_grad_accum_matches(setup):
+    """grad_accum=2 microbatching composes with fused TP: equal to the
+    single-pass TP step (weight dropout off, drop-path 0 -> exact)."""
+    cfg, cc, params, cara = setup
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=10)
+    frozen, state = steps_lib.init_train_state(tx, params, cara)
+    mesh = mesh_lib.make_mesh((4, 2))
+    fr_tp = steps_lib.prepare_tp_frozen(frozen, cfg, mesh)
+    st = mesh_lib.put_replicated(mesh, state)
+    sb = mesh_lib.put_batch(mesh, _batch(jax.random.key(5), 16, cfg, 4))
+    rng = jax.random.key(7)
+    full = steps_lib.make_train_step(
+        cfg, cc, tx, attn_impl="fused", dense_impl="fused", mesh=mesh)
+    ga = steps_lib.make_train_step(
+        cfg, cc, tx, attn_impl="fused", dense_impl="fused", mesh=mesh,
+        grad_accum=2)
+    s1, m1 = jax.jit(full)(st, fr_tp, sb, rng)
+    s2, m2 = jax.jit(ga)(st, fr_tp, sb, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    for name in ("A1", "P2", "R1", "bias1"):
+        np.testing.assert_allclose(
+            np.asarray(s1.trainable["cara"][name]),
+            np.asarray(s2.trainable["cara"][name]), atol=2e-6, err_msg=name)
+
+
 def test_tp_fused_element_wd_smoke(setup):
     """Element-wise weight dropout under fused TP: per-shard hash masks are
     a different realization than single-device (local coordinates +
