@@ -148,3 +148,12 @@ def test_predict_cli(tmp_path):
                  "--batch-size", "2", "--top", "2"])
     assert len(results) == 3
     assert all(len(r["classes"]) == 2 for r in results)
+
+
+def test_vit_cp_fused_tp_mesh(tmp_path):
+    """--mesh 4,2 with fused impls drives the fused-TP path through the
+    full CLI/loop wiring (prepare_tp_frozen inside loop.fit)."""
+    acc = cli.main(_common(tmp_path, [
+        "--dim", "4", "--epochs", "1", "--mesh", "4,2",
+        "--attn-impl", "fused", "--dense-impl", "fused"]))
+    assert 0.0 <= acc <= 1.0
