@@ -31,6 +31,15 @@ def main():
     assert jax.process_count() == nprocs, jax.process_count()
     assert len(jax.devices()) == 8, len(jax.devices())
 
+    # Establish the Gloo full-mesh NOW, while every process sits at the
+    # same point: its context init has a hard 30 s key-exchange deadline,
+    # and at pcount > 2 the per-process compile-time skew of the real
+    # train step can exceed it if the first collective is also the first
+    # Gloo handshake (observed flaky DEADLINE_EXCEEDED at 4 processes).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("cara_multihost_smoke_start")
+
     import numpy as np
     import jax.numpy as jnp
 
@@ -55,15 +64,13 @@ def main():
         tx, model.params, model.cara_params)
     frozen = mesh_lib.put_replicated(mesh, frozen)
     state = mesh_lib.put_replicated(mesh, state)
+    key = jax.random.key(0)
     step = jax.jit(steps_lib.make_train_step(
         model.cfg, model.cara_cfg, tx, compute_dtype=jnp.float32),
         donate_argnums=(0,))
-    state, metrics = step(state, frozen, batch, jax.random.key(0))
-    loss = float(metrics["loss"])  # replicated scalar: fetch syncs
-    assert np.isfinite(loss), loss
 
     # Second leg: the FUSED Pallas path routed through shard_map across the
-    # two processes (interpret-mode kernels on CPU) — the multi-host
+    # processes (interpret-mode kernels on CPU) — the multi-host
     # equivalent of the single-process shard_map DP test.
     frozen2, state2 = steps_lib.init_train_state(
         tx, model.params, model.cara_params)
@@ -73,9 +80,6 @@ def main():
         model.cfg, model.cara_cfg, tx, compute_dtype=jnp.float32,
         attn_impl="fused", dense_impl="fused", mesh=mesh),
         donate_argnums=(0,))
-    _, m2 = fused_step(state2, frozen2, batch, jax.random.key(0))
-    loss_fused = float(m2["loss"])
-    assert np.isfinite(loss_fused), loss_fused
 
     # Third leg: grad-accum microbatching COMPOSED with cross-process
     # shard_map DP (VERDICT round-2 next #8) — 16 global rows over 8
@@ -90,7 +94,24 @@ def main():
         model.cfg, model.cara_cfg, tx, compute_dtype=jnp.float32,
         attn_impl="fused", dense_impl="fused", mesh=mesh, grad_accum=2),
         donate_argnums=(0,))
-    _, m3 = ga_step(state3, frozen3, batch16, jax.random.key(0))
+
+    # AOT-compile every leg FIRST, then barrier, then execute: each new
+    # executable's Gloo communicator has a 30 s key-exchange deadline at
+    # its first run, and per-process COMPILE skew (the slow part) exceeds
+    # it at pcount > 2.  Compiling everything up front and re-syncing
+    # bounds the skew at execution time to milliseconds.
+    step_c = step.lower(state, frozen, batch, key).compile()
+    fused_c = fused_step.lower(state2, frozen2, batch, key).compile()
+    ga_c = ga_step.lower(state3, frozen3, batch16, key).compile()
+    multihost_utils.sync_global_devices("cara_multihost_compiled")
+
+    state, metrics = step_c(state, frozen, batch, key)
+    loss = float(metrics["loss"])  # replicated scalar: fetch syncs
+    assert np.isfinite(loss), loss
+    _, m2 = fused_c(state2, frozen2, batch, key)
+    loss_fused = float(m2["loss"])
+    assert np.isfinite(loss_fused), loss_fused
+    _, m3 = ga_c(state3, frozen3, batch16, key)
     loss_ga = float(m3["loss"])
     assert np.isfinite(loss_ga), loss_ga
 
