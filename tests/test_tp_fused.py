@@ -132,6 +132,37 @@ def test_tp_fused_eval_matches(setup):
     np.testing.assert_allclose(float(c0), float(c4), atol=1e-6)
 
 
+def test_tp_fused_eval_order5(setup):
+    """CP order 5 (dim_experiment ablation) under fused TP: the head-slice
+    of the collapsed v factor has the same (3, H, Dh) column layout for
+    every supported order."""
+    cfg, _, params, _ = setup
+    cc = CaraConfig(rank=3, scale=1.5, l_mu=1.0, l_std=0.0,
+                    weight_dropout=0.0, cp_order=5)
+    cara = cara_lib.init_cara_params(jax.random.key(1), cfg, cc)
+    for name in ("A2", "P2"):
+        cara[name] = 0.1 * jax.random.normal(
+            jax.random.fold_in(jax.random.key(3), len(name)),
+            cara[name].shape)
+    batch = _batch(jax.random.key(9), 16, cfg, 4)
+    single = steps_lib.make_eval_step(cfg, cc, attn_impl="fused",
+                                      dense_impl="fused")
+    c0, t0 = jax.jit(single)(params, cara, batch)
+
+    mesh = mesh_lib.make_mesh((4, 2))
+    p_tp = dict(steps_lib.prepare_tp_frozen(
+        {k: v for k, v in params.items() if k != "head"}, cfg, mesh))
+    p_tp["head"] = mesh_lib.put_replicated(mesh, params["head"])
+    sharded = steps_lib.make_eval_step(cfg, cc, mesh=mesh,
+                                       attn_impl="fused",
+                                       dense_impl="fused")
+    c1, t1 = jax.jit(sharded)(
+        p_tp, mesh_lib.put_replicated(mesh, cara),
+        mesh_lib.put_batch(mesh, batch))
+    assert float(t0) == float(t1) == 16.0
+    np.testing.assert_allclose(float(c0), float(c1), atol=1e-6)
+
+
 def test_tp_fused_grad_accum_matches(setup):
     """grad_accum=2 microbatching composes with fused TP: equal to the
     single-pass TP step (weight dropout off, drop-path 0 -> exact)."""
