@@ -131,3 +131,53 @@ def test_cli_exit_code_on_seeded_error(tmp_path):
         capture_output=True, text=True)
     assert r.returncode == 1
     assert "F401" in r.stdout
+
+
+def test_t_series_return_shape_checks(tmp_path):
+    """T001/T002/T003: the mypy-gate stand-in (return-shape consistency)."""
+    src = """
+    def bad_arity(x):
+        if x:
+            return 1, 2
+        return 1, 2, 3
+
+    def bad_none(x) -> None:
+        return x + 1
+
+    def three():
+        return 1, 2, 3
+
+    a, b = three()
+    """
+    codes, msgs = _codes(src, tmp_path)
+    assert any(c == "T001" for c, _ in codes), msgs
+    assert any(c == "T002" for c, _ in codes), msgs
+    assert any(c == "T003" for c, _ in codes), msgs
+
+
+def test_t_series_no_false_positives(tmp_path):
+    src = """
+    from typing import Optional
+
+    def gen() -> None:
+        yield 1
+
+    def maybe(x) -> Optional[int]:
+        if x:
+            return 1
+        return None
+
+    def mixed(x):
+        if x:
+            return [1, 2]
+        return 1, 2  # non-tuple sibling -> unknown, not flagged
+
+    def three():
+        return 1, 2, 3
+
+    a, *rest = three()       # starred unpack: skipped
+    b = three()              # no unpack: fine
+    a2, b2, c2 = three()     # correct arity
+    """
+    codes, msgs = _codes(src, tmp_path)
+    assert not any(c.startswith("T") for c, _ in codes), msgs
