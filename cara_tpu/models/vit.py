@@ -408,7 +408,7 @@ def _block(
                 wp, bpj,
                 zp, jnp.zeros((1, e), x.dtype), jnp.zeros((e,), x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
-                hh, d ** -0.5, n, 0.0, _attn_bb(npad, e), None,
+                hh, d ** -0.5, n, 1.0, _attn_bb(npad, e), None,
                 cfg.layernorm_eps)[:, :n, :]
         else:
             if use_elem:
@@ -430,11 +430,15 @@ def _block(
                 u2 = jax.lax.dynamic_slice_in_dim(
                     u2, tp_idx * e_loc, e_loc, axis=0)
                 cb2 = cb2 * inv_tp
+            # The delta scale rides the collapsed factors (v*s, cb*s) and
+            # the kernel runs at s=1.0 — a STATIC kernel s makes every
+            # distinct per-task scale (0.1-100, vtab_config) a fresh
+            # Mosaic compile; folding keeps ONE kernel set for all tasks.
             args = (x_p, wq, bq,
-                    u1.astype(x.dtype), v1.astype(x.dtype),
+                    u1.astype(x.dtype), (v1 * s).astype(x.dtype),
                     wp, bpj,
-                    u2.astype(x.dtype), v2.astype(x.dtype),
-                    cb2.astype(x.dtype),
+                    u2.astype(x.dtype), (v2 * s).astype(x.dtype),
+                    (cb2 * s).astype(x.dtype),
                     bp["ln1_scale"], bp["ln1_bias"], dpm)
             if use_elem:
                 # Per-shard seed offset: the hash-mask coordinates are
@@ -444,12 +448,12 @@ def _block(
                 off = tp_idx if tp > 1 else 0
                 x = cp_attn_block_wd(
                     *args, _wd_seed(k_wd_qkv) + off, _wd_seed(k_wd_proj) + off,
-                    hh, d ** -0.5, n, s, cara_cfg.weight_dropout,
+                    hh, d ** -0.5, n, 1.0, cara_cfg.weight_dropout,
                     _attn_bb(npad, e), None,
                     cfg.layernorm_eps)[:, :n, :]
             else:
                 x = cp_attn_block(
-                    *args, hh, d ** -0.5, n, s, _attn_bb(npad, e), None,
+                    *args, hh, d ** -0.5, n, 1.0, _attn_bb(npad, e), None,
                     cfg.layernorm_eps)[:, :n, :]
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)
@@ -481,10 +485,10 @@ def _block(
                 u, vmat = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg)
                 qkv = cp_dense_ln_wd(
                     x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
-                    u.astype(x.dtype), vmat.astype(x.dtype),
+                    u.astype(x.dtype), (vmat * s).astype(x.dtype),
                     jnp.zeros((3 * e,), x.dtype),
                     bp["ln1_scale"], bp["ln1_bias"], _wd_seed(k_wd_qkv),
-                    s, cara_cfg.weight_dropout, 256, 1024, 768, None,
+                    1.0, cara_cfg.weight_dropout, 256, 1024, 768, None,
                     None, cfg.layernorm_eps)
             else:
                 comp = cp_ops.weight_dropout_mask(
@@ -494,9 +498,9 @@ def _block(
                                           comp)
                 qkv = cp_dense_ln(
                     x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
-                    u.astype(x.dtype), vmat.astype(x.dtype),
+                    u.astype(x.dtype), (vmat * s).astype(x.dtype),
                     jnp.zeros((3 * e,), x.dtype),
-                    bp["ln1_scale"], bp["ln1_bias"], s,
+                    bp["ln1_scale"], bp["ln1_bias"], 1.0,
                     512, 3 * e, 768, None, None,
                     cfg.layernorm_eps)  # cara.py:42 + LN1 in one pass
                 # (512-row x single-pass-N blocks: measured 1.79 vs 2.19 ms
@@ -524,9 +528,9 @@ def _block(
                 cara_params["R2"], comp)
             proj = fused_qkv_attention_proj(
                 qkv, bp["proj"]["kernel"], bp["proj"]["bias"],
-                u.astype(x.dtype), vmat.astype(x.dtype),
-                cara_params["bias1"].astype(x.dtype),
-                h, d ** -0.5, n, s)[:, :n, :]
+                u.astype(x.dtype), (vmat * s).astype(x.dtype),
+                (cara_params["bias1"] * s).astype(x.dtype),
+                h, d ** -0.5, n, 1.0)[:, :n, :]
         else:
             attn_out = attn_fn(qkv)[:, :n, :]
     else:
@@ -559,9 +563,9 @@ def _block(
                 cara_params["R2"])
             proj = cp_dense_wd(
                 attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
-                u.astype(x.dtype), vmat.astype(x.dtype),
-                cara_params["bias1"].astype(x.dtype), _wd_seed(k_wd_proj),
-                s, cara_cfg.weight_dropout)
+                u.astype(x.dtype), (vmat * s).astype(x.dtype),
+                (cara_params["bias1"] * s).astype(x.dtype),
+                _wd_seed(k_wd_proj), 1.0, cara_cfg.weight_dropout)
         else:
             comp = cp_ops.weight_dropout_mask(
                 k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
@@ -571,8 +575,8 @@ def _block(
                 cara_params["R2"], comp)
             proj = cp_dense(
                 attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
-                u.astype(x.dtype), vmat.astype(x.dtype),
-                cara_params["bias1"].astype(x.dtype), s,
+                u.astype(x.dtype), (vmat * s).astype(x.dtype),
+                (cara_params["bias1"] * s).astype(x.dtype), 1.0,
                 512, e, 768)  # cara.py:57-58
     else:
       proj = matk(attn_out, bp["proj"]["kernel"]) + bp["proj"]["bias"]
@@ -612,7 +616,7 @@ def _block(
             bp["fc2"]["kernel"], b2,
             jnp.zeros((hid, 1), x.dtype), jnp.zeros((1, e), x.dtype),
             jnp.zeros((e,), x.dtype),
-            bp["ln2_scale"], bp["ln2_bias"], dpm, 0.0,
+            bp["ln2_scale"], bp["ln2_bias"], dpm, 1.0,
             _mlp_bm(False), None, cfg.activation, cfg.layernorm_eps)
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)
@@ -652,20 +656,24 @@ def _block(
             x_in = x * inv_tp
             b2 = b2 * inv_tp
             cb2 = cb2 * inv_tp
+        # Scale folded into the factors (kernel s==1.0) — see the
+        # attention branch note: per-task scales must not fork kernels.
         args = (x_in, bp["fc1"]["kernel"], bp["fc1"]["bias"],
-                u1.astype(x.dtype), v1.astype(x.dtype), cb1.astype(x.dtype),
+                u1.astype(x.dtype), (v1 * s).astype(x.dtype),
+                (cb1 * s).astype(x.dtype),
                 bp["fc2"]["kernel"], b2,
-                u2.astype(x.dtype), v2.astype(x.dtype), cb2.astype(x.dtype),
+                u2.astype(x.dtype), (v2 * s).astype(x.dtype),
+                (cb2 * s).astype(x.dtype),
                 bp["ln2_scale"], bp["ln2_bias"], dpm)
         if use_elem:
             off = tp_idx if tp > 1 else 0
             x = cp_mlp_block_wd(
                 *args, _wd_seed(k_wd_up) + off, _wd_seed(k_wd_down) + off,
-                s, cara_cfg.weight_dropout, _mlp_bm(True), None,
+                1.0, cara_cfg.weight_dropout, _mlp_bm(True), None,
                 cfg.activation, cfg.layernorm_eps)
         else:
             x = cp_mlp_block(
-                *args, s, _mlp_bm(False), None, cfg.activation,
+                *args, 1.0, _mlp_bm(False), None, cfg.activation,
                 cfg.layernorm_eps)
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)
@@ -680,10 +688,10 @@ def _block(
                 cara_params["R2"])
             act = cp_dense_ln_wd(
                 x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
-                u.astype(x.dtype), vmat.astype(x.dtype),
-                cara_params["bias2"].astype(x.dtype),
+                u.astype(x.dtype), (vmat * s).astype(x.dtype),
+                (cara_params["bias2"] * s).astype(x.dtype),
                 bp["ln2_scale"], bp["ln2_bias"], _wd_seed(k_wd_up),
-                s, cara_cfg.weight_dropout, 256, 1024, 768, None,
+                1.0, cara_cfg.weight_dropout, 256, 1024, 768, None,
                 cfg.activation, cfg.layernorm_eps)
         else:
             comp = cp_ops.weight_dropout_mask(
@@ -693,9 +701,9 @@ def _block(
                 cara_params["R2"], comp)
             act = cp_dense_ln(
                 x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
-                u.astype(x.dtype), vmat.astype(x.dtype),
-                cara_params["bias2"].astype(x.dtype),
-                bp["ln2_scale"], bp["ln2_bias"], s,
+                u.astype(x.dtype), (vmat * s).astype(x.dtype),
+                (cara_params["bias2"] * s).astype(x.dtype),
+                bp["ln2_scale"], bp["ln2_bias"], 1.0,
                 512, mr * e, 768, None, cfg.activation, cfg.layernorm_eps)
     else:
       xm = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
@@ -726,9 +734,9 @@ def _block(
                 cara_params["R2"])
             down = cp_dense_wd(
                 act, bp["fc2"]["kernel"], bp["fc2"]["bias"],
-                u.astype(x.dtype), vmat.astype(x.dtype),
-                cara_params["bias3"].astype(x.dtype), _wd_seed(k_wd_down),
-                s, cara_cfg.weight_dropout)
+                u.astype(x.dtype), (vmat * s).astype(x.dtype),
+                (cara_params["bias3"] * s).astype(x.dtype),
+                _wd_seed(k_wd_down), 1.0, cara_cfg.weight_dropout)
         else:
             comp = cp_ops.weight_dropout_mask(
                 k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout,
@@ -738,8 +746,9 @@ def _block(
                 cara_params["R2"], comp)
             down = cp_dense(
                 act, bp["fc2"]["kernel"], bp["fc2"]["bias"],
-                u.astype(x.dtype), vmat.astype(x.dtype),
-                cara_params["bias3"].astype(x.dtype), s)  # cara.py:92-93
+                u.astype(x.dtype), (vmat * s).astype(x.dtype),
+                (cara_params["bias3"] * s).astype(x.dtype),
+                1.0)  # cara.py:92-93
     else:
       down = matk(act, bp["fc2"]["kernel"]) + bp["fc2"]["bias"]
       if use_cara:
