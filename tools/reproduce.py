@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Single reproduction entry point: synthetic smoke today, real parity later.
+
+The reference's reproduction story is manual: one ``vit_cp.py`` invocation
+per dataset plus a hand-run ``--evaluate`` on its released checkpoints
+(``/root/reference/README.rst:52-75``).  This repo previously split the
+equivalents across ``cara_tpu/cli/sweep.py`` (multi-task runs) and
+``tools/parity_run.py`` (released-checkpoint parity).  This script fronts
+both behind one command that picks the strongest reproduction the
+available artifacts allow:
+
+    python tools/reproduce.py                  # auto-detect mode
+    python tools/reproduce.py --mode smoke     # synthetic e2e (no data)
+    python tools/reproduce.py --mode sweep     # real VTAB-1k training sweep
+    python tools/reproduce.py --mode parity --ckpt-dir ./released_ckpts
+
+Modes (``--mode auto`` resolves top-down to the first whose artifacts
+exist):
+
+  parity  needs --data-root + --backbone + --ckpt-dir: import the released
+          torch checkpoints, eval each task, report deltas vs the accuracy
+          in the reference filename convention (delegates to
+          tools/parity_run.py; |delta| <= 0.2% is the BASELINE.md target).
+  sweep   needs --data-root + --backbone: fine-tune + eval the selected
+          VTAB tasks at the per-task reference hyperparameters (delegates
+          to cara_tpu.cli.sweep).
+  smoke   no artifacts needed: the same sweep driver on synthetic data for
+          a few epochs — proves the full train/eval/checkpoint pipeline on
+          whatever devices are visible.  This is what CI can always run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMOKE_TASKS = "cifar,svhn,dtd"
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--mode", default="auto",
+                   choices=("auto", "smoke", "sweep", "parity"))
+    p.add_argument("--data-root", default="./data/vtab-1k")
+    p.add_argument("--backbone", default="./ViT-B_16.npz")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="directory of released reference .pt checkpoints "
+                        "(enables parity mode)")
+    p.add_argument("--tasks", default=None,
+                   help="comma list or 'all'; default: all for "
+                        "sweep/parity, a 3-task subset for smoke")
+    p.add_argument("--dim", default=32, type=int, help="CP rank")
+    p.add_argument("--model", default=None,
+                   help="backbone override for smoke/sweep (e.g. "
+                        "vit_tiny_test for seconds-fast CI smoke)")
+    p.add_argument("--epochs", default=None, type=int,
+                   help="override epochs (default: 100 real, 3 smoke)")
+    p.add_argument("--out", default="reproduce_report.json")
+    return p.parse_args(argv)
+
+
+def resolve_mode(args) -> str:
+    if args.mode != "auto":
+        return args.mode
+    have_data = os.path.isdir(args.data_root)
+    have_backbone = os.path.exists(args.backbone)
+    if have_data and have_backbone and args.ckpt_dir:
+        return "parity"
+    if have_data and have_backbone:
+        return "sweep"
+    return "smoke"
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    mode = resolve_mode(args)
+    print(f"[reproduce] mode={mode}", flush=True)
+
+    if mode == "parity":
+        from tools import parity_run
+        pr_argv = [f"--data-root={args.data_root}",
+                   f"--backbone={args.backbone}",
+                   f"--ckpt-dir={args.ckpt_dir or ''}",
+                   f"--dim={args.dim}", f"--out={args.out}"]
+        if args.tasks:
+            pr_argv.append(f"--tasks={args.tasks}")
+        return parity_run.main(pr_argv)
+
+    from cara_tpu.cli import sweep
+    tasks = args.tasks or ("all" if mode == "sweep" else SMOKE_TASKS)
+    epochs = args.epochs or (100 if mode == "sweep" else 3)
+    sw_argv = [f"--tasks={tasks}", f"--dim={args.dim}",
+               f"--epochs={epochs}", f"--results={args.out}"]
+    if args.model:
+        sw_argv.append(f"--model={args.model}")
+    if mode == "smoke":
+        sw_argv += ["--synthetic", "--synthetic-size=96",
+                    "--batch-size=16", "--eval-batch-size=32"]
+    else:
+        sw_argv += [f"--data-root={args.data_root}",
+                    f"--backbone={args.backbone}"]
+    results = sweep.main(sw_argv)  # dict of per-task rows + __summary__
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            report = json.load(f)
+        report["mode"] = mode
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+    return 0 if results else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
