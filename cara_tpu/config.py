@@ -140,6 +140,10 @@ MODEL_REGISTRY = {
         num_classes=0, ln_pre=True, activation="quick_gelu", proj_dim=768,
         layernorm_eps=1e-5, drop_path_rate=0.0,
     ),
+    "vit_huge_patch14_224_in21k": ViTConfig(
+        patch_size=14, embed_dim=1280, depth=32, num_heads=16,
+        repr_size=1280,
+    ),
     "vit_small_patch16_224_in21k": ViTConfig(
         embed_dim=384, depth=12, num_heads=6, repr_size=384),
     "vit_base_patch32_224_in21k": ViTConfig(patch_size=32),

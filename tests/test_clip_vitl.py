@@ -111,3 +111,18 @@ def test_clip_megakernel_matches_xla():
         np.asarray(fwd("fused", "fused", train=True, c=cc0)),
         np.asarray(fwd("xla", "xla", train=True, c=cc0)), atol=5e-4)
     assert bool(jnp.all(jnp.isfinite(fwd("fused", "fused", train=True))))
+
+
+def test_huge_geometry_cara_shapes():
+    """ViT-H/14 (1280/32/16, head_dim 80): the factor shapes keep deriving
+    from geometry at the next model size up — incl. a non-64 head_dim."""
+    from cara_tpu.config import CaraConfig as CC
+
+    cfg = get_model_config("vit_huge_patch14_224_in21k")
+    assert cfg.head_dim == 80 and cfg.seq_len == 257
+    shapes = cara_lib.cara_param_shapes(cfg, CC(rank=8))
+    assert shapes["A1"] == (3 * 32, 8)
+    assert shapes["A3"] == (16, 8)
+    assert shapes["A4"] == (80, 8)
+    assert shapes["P1"] == ((1 + 8) * 32, 8)
+    assert shapes["bias2"] == (5120,)
