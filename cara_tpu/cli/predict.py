@@ -16,7 +16,6 @@ import json
 
 import numpy as np
 
-from cara_tpu.config import get_model_config
 from cara_tpu.serving import Predictor
 
 
@@ -40,33 +39,14 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    from cara_tpu.train.checkpoint import load_model
-
-    params, cara_params, meta = load_model(args.ckpt)
-    num_classes = args.num_classes
-    if num_classes is None and "head" in params:
-        num_classes = int(params["head"]["kernel"].shape[-1])
-    cfg = get_model_config(args.model, num_classes=num_classes)
-
-    from cara_tpu.config import CaraConfig
-
-    cara_cfg = None
-    if cara_params is not None:
-        if args.scale is not None:
-            scale = args.scale
-        elif "scale" in meta:
-            scale = float(meta["scale"])
-        else:
-            raise SystemExit(
-                "checkpoint records no delta scale and --scale was not "
-                "given; refusing to default to 1.0 (per-task scales span "
-                "0.1-100 — a wrong scale silently mis-applies the adapter)")
-        cara_cfg = CaraConfig(rank=int(cara_params["R1"].shape[0]),
-                              scale=scale,
-                              cp_order=int(meta.get("cp_order", 4)))
-    pred = Predictor(
-        params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
-        merge=not args.no_merge, batch_size=args.batch_size)
+    try:
+        pred = Predictor.from_checkpoint_auto(
+            args.ckpt, args.model, num_classes=args.num_classes,
+            scale=args.scale, merge=not args.no_merge,
+            batch_size=args.batch_size)
+    except ValueError as exc:  # e.g. missing delta scale
+        raise SystemExit(str(exc))
+    cfg = pred.cfg
 
     # Decode with the data pipeline (native loader if available).
     from cara_tpu.data.vtab import _load_image_pil, normalize

@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument("--tasks", default="all", type=str,
                    help="'all' or comma-separated VTAB task names")
     p.add_argument("--results", default="vtab_results.json", type=str)
+    p.add_argument("--resume-sweep", action="store_true",
+                   help="Skip tasks already present in the results file — "
+                        "lets a long (per-task-compile-bound) sweep continue "
+                        "across interrupted invocations")
     common.add_common_args(p)
     return p.parse_args(argv)
 
@@ -89,6 +93,16 @@ def main(argv=None):
     tasks = (sorted(vtab_lib.VTAB_TASKS) if args.tasks == "all"
              else args.tasks.split(","))
     results: dict = {}
+    results_path = os.path.join(args.out_dir, args.results)
+    if args.resume_sweep and os.path.exists(results_path):
+        with open(results_path) as f:
+            results = {k: v for k, v in json.load(f).items()
+                       if not k.startswith("__")}
+        done = [t for t in tasks if t in results]
+        tasks = [t for t in tasks if t not in results]
+        if done:
+            print(f"resume: {len(done)} task(s) already in "
+                  f"{results_path}, {len(tasks)} to go")
     for task in tasks:
         print(f"=== {task} ===")
         acc = run_task(task, args, results)
@@ -96,6 +110,9 @@ def main(argv=None):
         with open(os.path.join(args.out_dir, args.results), "w") as f:
             json.dump(results, f, indent=1)
     accs = [r["top1"] for r in results.values()]
+    if not accs:
+        print("no tasks to run")
+        return results
     summary = {"mean_top1": sum(accs) / len(accs), "tasks": len(accs)}
     results["__summary__"] = summary
     with open(os.path.join(args.out_dir, args.results), "w") as f:

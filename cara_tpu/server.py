@@ -1,0 +1,244 @@
+"""HTTP inference server with dynamic micro-batching.
+
+The reference has no serving surface at all (its only inference entry is
+the ``--evaluate`` flag on the training CLI,
+``image_classification/vit_cp.py:109-114,168-173``).  This module is the
+online half of the deployment story the TPU build adds on top of
+:class:`cara_tpu.serving.Predictor` (the offline half): a daemon that
+keeps merged weights device-resident and coalesces concurrent requests
+into padded fixed-shape batches, so the one jitted executable serves
+every request shape.
+
+Design notes (TPU-first):
+
+* **One consumer thread owns the device.**  HTTP handler threads only
+  decode, enqueue and wait on a future; a single batcher thread runs the
+  jitted forward.  This keeps JAX dispatch single-threaded (no cross-
+  thread tracing) and makes the batch the unit of device work.
+* **Fixed shapes.**  The batcher stacks up to ``max_batch`` requests and
+  hands them to ``Predictor.logits``, which pads to the compiled batch
+  size — no shape-polymorphic recompiles, ever.
+* **Latency/throughput knob.**  ``max_wait_ms`` bounds how long the first
+  request in a batch waits for co-riders; 0 serves singles immediately.
+
+Run: ``python -m cara_tpu.cli.serve --ckpt vit_cifar_*.npz --port 8000``
+
+    curl -s -X POST --data-binary @cat.jpg localhost:8000/predict
+    -> {"class": 3, "classes": [3, 7], "scores": [...], "batched_with": 5}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+from cara_tpu.data.vtab import normalize
+from cara_tpu.serving import Predictor
+
+
+def decode_image_bytes(data: bytes, image_size: int) -> np.ndarray:
+    """JPEG/PNG bytes -> normalized float32 (H, W, 3), the eval transform
+    of the data pipeline (bicubic resize + ImageNet normalize,
+    ``image_classification/vtab.py:79-82``)."""
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        im = im.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
+        return normalize(np.asarray(im, np.uint8).astype(np.float32) / 255.0)
+
+
+class _Request:
+    __slots__ = ("image", "future", "t_enqueue", "batched_with")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.future: Future = Future()
+        self.t_enqueue = time.perf_counter()
+        self.batched_with = 0
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-image requests into device batches.
+
+    A daemon thread drains the queue: the first request opens a batch,
+    then up to ``max_batch - 1`` more are awaited for at most
+    ``max_wait_ms``; the stacked batch runs through ``logits_fn`` and each
+    row resolves its request's future.
+    """
+
+    def __init__(self, logits_fn, max_batch: int, max_wait_ms: float = 2.0):
+        self._logits_fn = logits_fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "batches": 0, "rows": 0,
+                      "latency_ms_sum": 0.0, "latency_ms_max": 0.0}
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray) -> Future:
+        req = _Request(image)
+        self._q.put(req)
+        return req.future
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def _collect(self) -> Optional[List[_Request]]:
+        head = self._q.get()
+        if head is None:
+            return None
+        batch = [head]
+        deadline = time.perf_counter() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-post shutdown for the outer loop
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                logits = self._logits_fn(
+                    np.stack([r.image for r in batch]))
+            except Exception as exc:  # resolve waiters, keep serving
+                for r in batch:
+                    r.future.set_exception(exc)
+                continue
+            now = time.perf_counter()
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["requests"] += len(batch)
+                self.stats["rows"] += len(batch)
+            for r, row in zip(batch, logits):
+                r.batched_with = len(batch)
+                lat = (now - r.t_enqueue) * 1e3
+                with self._lock:
+                    self.stats["latency_ms_sum"] += lat
+                    self.stats["latency_ms_max"] = max(
+                        self.stats["latency_ms_max"], lat)
+                r.future.set_result((row, r))
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            s = dict(self.stats)
+        n = max(1, s["requests"])
+        s["mean_batch_occupancy"] = s["rows"] / max(1, s["batches"])
+        s["mean_latency_ms"] = round(s.pop("latency_ms_sum") / n, 3)
+        s["max_latency_ms"] = round(s.pop("latency_ms_max"), 3)
+        return s
+
+
+class InferenceServer:
+    """ThreadingHTTPServer wrapping a Predictor + MicroBatcher.
+
+    Endpoints:
+      ``POST /predict``  image bytes -> ``{"class", "classes", "scores",
+                         "batched_with", "latency_ms"}``
+      ``GET /healthz``   liveness + model info
+      ``GET /stats``     batcher counters (occupancy, latency)
+    """
+
+    def __init__(self, predictor: Predictor, *, host: str = "127.0.0.1",
+                 port: int = 0, max_wait_ms: float = 2.0, top: int = 5):
+        self._pred = predictor
+        self._top = top
+        self.batcher = MicroBatcher(
+            predictor.logits, predictor.batch_size, max_wait_ms)
+        image_size = predictor.cfg.image_size
+        batcher = self.batcher
+
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet access log
+                pass
+
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {
+                        "status": "ok",
+                        "image_size": image_size,
+                        "max_batch": batcher.max_batch})
+                elif self.path == "/stats":
+                    self._json(200, batcher.snapshot())
+                else:
+                    self._json(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._json(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    img = decode_image_bytes(self.rfile.read(n), image_size)
+                except Exception as exc:
+                    self._json(400, {"error": f"bad image: {exc}"})
+                    return
+                try:
+                    row, req = batcher.submit(img).result(timeout=60)
+                except Exception as exc:
+                    self._json(500, {"error": str(exc)})
+                    return
+                k = min(outer._top, row.shape[-1])
+                classes = np.argsort(-row)[:k]
+                self._json(200, {
+                    "class": int(classes[0]),
+                    "classes": classes.tolist(),
+                    "scores": [round(float(row[c]), 4) for c in classes],
+                    "batched_with": req.batched_with,
+                    "latency_ms": round(
+                        (time.perf_counter() - req.t_enqueue) * 1e3, 3),
+                })
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._serve_thread: Optional[threading.Thread] = None
+
+    def start(self):
+        """Serve in a background thread (returns immediately)."""
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._serve_thread.start()
+        return self
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._serve_thread is not None:
+            self._serve_thread.join(timeout=5)
+        self.batcher.close()

@@ -97,6 +97,37 @@ class Predictor:
         return cls(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
                    **kw)
 
+    @classmethod
+    def from_checkpoint_auto(cls, ckpt: str, model: str,
+                             num_classes: Optional[int] = None,
+                             scale: Optional[float] = None, **kw):
+        """Build from a checkpoint inferring num_classes from the stored
+        head and the delta scale/rank/order from checkpoint meta — the
+        shared CLI path (predict + serve).  Refuses to default a missing
+        scale (per-task scales span 0.1-100, ``vtab_config.py``)."""
+        from cara_tpu.config import CaraConfig, get_model_config
+        from cara_tpu.train.checkpoint import load_model
+
+        params, cara_params, meta = load_model(ckpt)
+        if num_classes is None and "head" in params:
+            num_classes = int(params["head"]["kernel"].shape[-1])
+        cfg = get_model_config(model, num_classes=num_classes)
+        cara_cfg = None
+        if cara_params is not None:
+            if scale is None:
+                if "scale" not in meta:
+                    raise ValueError(
+                        "checkpoint records no delta scale and none was "
+                        "given; refusing to default to 1.0 (a wrong scale "
+                        "silently mis-applies the adapter)")
+                scale = float(meta["scale"])
+            cara_cfg = CaraConfig(
+                rank=int(cara_params["R1"].shape[0]), scale=scale,
+                cp_order=int(meta.get("cp_order", 4)),
+                weight_dropout=float(meta.get("weight_dropout", 0.1)))
+        return cls(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+                   **kw)
+
     def logits(self, images: np.ndarray) -> np.ndarray:
         """(N, H, W, C) -> (N, num_classes); any N (internally padded)."""
         n = len(images)

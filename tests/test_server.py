@@ -1,0 +1,125 @@
+"""HTTP inference server: micro-batching, endpoints, error paths.
+
+Tiny model on CPU; requests go through a real ThreadingHTTPServer on an
+ephemeral port, so decode -> batcher -> Predictor -> JSON is exercised
+exactly as deployed."""
+
+import concurrent.futures
+import io
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from cara_tpu import api
+from cara_tpu.serving import Predictor
+from cara_tpu.server import InferenceServer, MicroBatcher
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=10, seed=0)
+    pred = Predictor(model.params, model.cfg, cara_params=model.cara_params,
+                     cara_cfg=model.cara_cfg, merge=True, batch_size=8,
+                     dtype=np.float32)
+    srv = InferenceServer(pred, port=0, max_wait_ms=30.0, top=3).start()
+    yield srv
+    srv.close()
+
+
+def _png_bytes(seed: int, size: int = 40) -> bytes:
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    im = Image.fromarray(rng.randint(0, 255, (size, size, 3), np.uint8))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(port: int, body: bytes, path: str = "/predict"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(port: int, path: str):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz_and_404(server):
+    status, body = _get(server.port, "/healthz")
+    assert status == 200 and body["status"] == "ok"
+    assert body["max_batch"] == 8
+    req = urllib.request.Request(f"http://127.0.0.1:{server.port}/nope")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 404
+
+
+def test_predict_single(server):
+    status, body = _post(server.port, _png_bytes(0))
+    assert status == 200
+    assert 0 <= body["class"] < 10
+    assert body["classes"][0] == body["class"]
+    assert len(body["classes"]) == 3 and len(body["scores"]) == 3
+    assert body["scores"] == sorted(body["scores"], reverse=True)
+    assert body["batched_with"] >= 1
+
+
+def test_concurrent_requests_coalesce(server):
+    """Fire 6 requests at once: the 30 ms batching window should put at
+    least two of them in one device batch."""
+    with concurrent.futures.ThreadPoolExecutor(6) as ex:
+        results = list(ex.map(
+            lambda i: _post(server.port, _png_bytes(i)), range(6)))
+    assert all(status == 200 for status, _ in results)
+    assert max(body["batched_with"] for _, body in results) >= 2
+    status, stats = _get(server.port, "/stats")
+    assert status == 200
+    assert stats["requests"] >= 7  # the single + these 6
+    assert stats["batches"] < stats["requests"]  # coalescing happened
+    assert stats["mean_batch_occupancy"] > 1.0
+
+
+def test_bad_image_400(server):
+    status, body = _post(server.port, b"this is not an image")
+    assert status == 400 and "bad image" in body["error"]
+
+
+def test_deterministic_vs_predictor(server):
+    """The served class for a fixed image equals a direct Predictor call
+    on the same decoded array (padding rows don't leak)."""
+    from cara_tpu.server import decode_image_bytes
+
+    png = _png_bytes(123)
+    img = decode_image_bytes(png, server._pred.cfg.image_size)
+    direct = int(server._pred.predict(img[None])[0])
+    for _ in range(2):
+        status, body = _post(server.port, png)
+        assert status == 200 and body["class"] == direct
+
+
+def test_batcher_error_resolves_futures():
+    def boom(xs):
+        raise RuntimeError("device on fire")
+
+    mb = MicroBatcher(boom, max_batch=4, max_wait_ms=1.0)
+    try:
+        fut = mb.submit(np.zeros((2, 2, 3), np.float32))
+        with pytest.raises(RuntimeError, match="device on fire"):
+            fut.result(timeout=10)
+        # The batcher thread survives an inference error.
+        fut2 = mb.submit(np.zeros((2, 2, 3), np.float32))
+        with pytest.raises(RuntimeError):
+            fut2.result(timeout=10)
+    finally:
+        mb.close()
