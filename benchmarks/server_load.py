@@ -1,0 +1,121 @@
+"""Load test for the HTTP inference server (cara_tpu/server.py).
+
+Spins up an in-process InferenceServer on a fresh merged model, fires C
+concurrent closed-loop clients for S seconds with pre-encoded JPEG bodies,
+and reports requests/s, latency percentiles and batch occupancy.
+
+Run (TPU):  python benchmarks/server_load.py --model vit_base_patch16_224_in21k \
+                --concurrency 1 4 16 64 --seconds 10
+
+Caveat: on this host the TPU rides a remote tunnel, so server throughput
+includes tunnel H2D/D2H per batch — on a real TPU VM the device rate
+governs (same caveat as the e2e serving latency in RESULTS.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_jpegs(n: int, size: int) -> list:
+    from PIL import Image
+
+    out = []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        im = Image.fromarray(rng.randint(0, 255, (size, size, 3), np.uint8))
+        buf = io.BytesIO()
+        im.save(buf, format="JPEG", quality=90)
+        out.append(buf.getvalue())
+    return out
+
+
+def run_level(port: int, bodies: list, concurrency: int,
+              seconds: float) -> dict:
+    stop = time.perf_counter() + seconds
+    lats, lock = [], threading.Lock()
+
+    def client(cid: int):
+        i = cid
+        local = []
+        while time.perf_counter() < stop:
+            body = bodies[i % len(bodies)]
+            i += concurrency
+            t0 = time.perf_counter()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=body,
+                method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                json.loads(r.read())
+            local.append((time.perf_counter() - t0) * 1e3)
+        with lock:
+            lats.extend(local)
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lats.sort()
+
+    def pct(p):
+        return round(lats[min(len(lats) - 1, int(p * len(lats)))], 2)
+
+    return {"concurrency": concurrency, "requests": len(lats),
+            "req_per_s": round(len(lats) / wall, 1),
+            "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="vit_base_patch16_224_in21k")
+    p.add_argument("--rank", default=8, type=int)
+    p.add_argument("--max-batch", default=64, type=int)
+    p.add_argument("--max-wait-ms", default=2.0, type=float)
+    p.add_argument("--concurrency", nargs="+", type=int,
+                   default=[1, 4, 16, 64])
+    p.add_argument("--seconds", default=10.0, type=float)
+    p.add_argument("--images", default=64, type=int,
+                   help="distinct pre-encoded JPEG bodies")
+    args = p.parse_args()
+
+    from cara_tpu import api
+    from cara_tpu.serving import Predictor
+    from cara_tpu.server import InferenceServer
+
+    model = api.build_model(args.model, rank=args.rank, scale=1.0,
+                            num_classes=100, seed=0)
+    pred = Predictor(model.params, model.cfg, cara_params=model.cara_params,
+                     cara_cfg=model.cara_cfg, merge=True,
+                     batch_size=args.max_batch)
+    srv = InferenceServer(pred, port=0, max_wait_ms=args.max_wait_ms).start()
+    bodies = make_jpegs(args.images, model.cfg.image_size)
+
+    # Warm the compiled batch path before measuring.
+    run_level(srv.port, bodies, min(4, args.concurrency[-1]), 2.0)
+
+    try:
+        for c in args.concurrency:
+            row = run_level(srv.port, bodies, c, args.seconds)
+            row["batcher"] = srv.batcher.snapshot()
+            print(json.dumps(row), flush=True)
+    finally:
+        srv.close()
+
+
+if __name__ == "__main__":
+    main()
