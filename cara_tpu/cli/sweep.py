@@ -17,6 +17,7 @@ import os
 import time
 
 import jax
+import numpy as np
 
 from cara_tpu import api
 from cara_tpu.cli import common
@@ -35,6 +36,12 @@ def parse_args(argv=None):
     p.add_argument("--tasks", default="all", type=str,
                    help="'all' or comma-separated VTAB task names")
     p.add_argument("--results", default="vtab_results.json", type=str)
+    p.add_argument("--pad-classes", default=0, type=int,
+                   help="Pad every task's head to this class count so ALL "
+                        "tasks share ONE compiled executable (the true "
+                        "count rides in the batch and masks the trailing "
+                        "logits — exact math, no per-task recompile; "
+                        "19-task VTAB needs >= 397, e.g. 512). 0 = off")
     p.add_argument("--resume-sweep", action="store_true",
                    help="Skip tasks already present in the results file — "
                         "lets a long (per-task-compile-bound) sweep continue "
@@ -43,10 +50,30 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+class _ClassCountLoader:
+    """Stamp the task's true class count into every batch (scalar), for the
+    padded-head executable's logit mask (``steps.mask_padded_classes``)."""
+
+    def __init__(self, inner, num_real: int):
+        self._inner = inner
+        self._nc = np.int32(num_real)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def __iter__(self):
+        for b in self._inner:
+            b = dict(b)
+            b["num_classes"] = self._nc
+            yield b
+
+
 def run_task(task: str, args, results: dict) -> float:
     hp = get_task_hparams(task)
     seed = args.seed if args.seed is not None else hp.seed
-    num_classes = vtab_lib.get_classes_num(task)
+    num_real = vtab_lib.get_classes_num(task)
+    num_classes = max(args.pad_classes, num_real) if args.pad_classes \
+        else num_real
     model = api.build_model(
         args.model, rank=args.dim, scale=hp.scale, l_mu=hp.init_mean,
         l_std=hp.init_std, num_classes=num_classes, seed=seed,
@@ -57,6 +84,9 @@ def run_task(task: str, args, results: dict) -> float:
         batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
         image_size=model.cfg.image_size, seed=seed,
         synthetic=args.synthetic, synthetic_size=args.synthetic_size)
+    if num_classes != num_real:
+        train_loader = _ClassCountLoader(train_loader, num_real)
+        eval_loader = _ClassCountLoader(eval_loader, num_real)
     tx = steps_lib.make_optimizer(
         args.lr, train_loader.steps_per_epoch(), total_epochs=args.epochs)
     frozen, state = steps_lib.init_train_state(
@@ -76,7 +106,8 @@ def run_task(task: str, args, results: dict) -> float:
         remat=False if args.no_remat else "auto", attn_impl=args.attn_impl,
         grad_accum=args.grad_accum,
         dense_impl=args.dense_impl,
-        ckpt_meta={"model": args.model, "dataset": task})
+        ckpt_meta={"model": args.model, "dataset": task,
+                   "num_classes_real": num_real})
     results[task] = {
         "top1": out["best_acc"],
         "seed": seed,

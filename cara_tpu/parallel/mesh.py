@@ -118,17 +118,24 @@ def put_batch(mesh: Mesh, batch):
     from per-process shards — no host ever touches another host's rows.
     """
     sh = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())  # 0-d leaves (e.g. padded-class count)
+
+    def _sh(x):
+        return sh if getattr(x, "ndim", 0) else rep
+
     if jax.process_count() > 1:
         return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sh, x), batch)
+            lambda x: jax.make_array_from_process_local_data(_sh(x), x),
+            batch)
     ndata = mesh.shape[DATA_AXIS]
-    leaves = jax.tree_util.tree_leaves(batch)
+    leaves = [x for x in jax.tree_util.tree_leaves(batch)
+              if getattr(x, "ndim", 0)]
     if leaves and leaves[0].shape[0] % ndata:
         raise ValueError(
             f"batch size {leaves[0].shape[0]} not divisible by the data-axis "
             f"size {ndata}; pick --batch-size/--eval-batch-size as multiples "
             "of the data-parallel degree")
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, _sh(x)), batch)
 
 
 def put_replicated(mesh: Mesh, tree):

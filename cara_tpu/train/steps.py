@@ -149,6 +149,34 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
     return attn_impl, dense_impl, use_shard_map, tp_fused
 
 
+def mask_padded_classes(logits: jax.Array, batch) -> jax.Array:
+    """Mask trailing logit columns when the head is padded past the task's
+    true class count.
+
+    Sweep mode pads every task's head to one static ``num_classes`` so ALL
+    tasks share one compiled executable (per-task head shapes otherwise
+    force a full recompile each — minutes on a cold cache).  The true count
+    rides in the batch as a scalar ``batch["num_classes"]`` (a traced
+    operand, NOT a Python constant, so it doesn't re-specialize the jit);
+    columns past it get dtype-min, which zeroes them out of both the
+    softmax cross-entropy and the argmax — exactly the unpadded math.
+    """
+    nc = batch.get("num_classes")
+    if nc is None:
+        return logits
+    keep = jnp.arange(logits.shape[-1]) < nc
+    return jnp.where(keep, logits, jnp.finfo(logits.dtype).min)
+
+
+def batch_pspecs(batch, data_axis):
+    """Per-leaf shard_map/put specs: batch-dim leaves shard on the data
+    axis; 0-d leaves (e.g. the padded-class count) replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    return jax.tree_util.tree_map(
+        lambda x: P(data_axis) if getattr(x, "ndim", 0) else P(), batch)
+
+
 def prepare_tp_frozen(frozen: Params, cfg: ViTConfig, mesh):
     """Frozen backbone -> fused-TP form: fused-qkv layout permuted for head
     sharding (``mesh.tp_permute_qkv``) and every leaf device_put with its
@@ -222,6 +250,7 @@ def make_train_step(
                 attn_impl=attn_impl, dense_impl=dense_impl,
                 tp_axis=tp_axis,
             ).astype(jnp.float32)
+            logits = mask_padded_classes(logits, mb)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, mb["label"]).mean()
             acc = jnp.mean((jnp.argmax(logits, axis=-1)
@@ -292,7 +321,8 @@ def make_train_step(
                             if tp_fused else P())
             fn = jax.shard_map(
                 sharded_compute, mesh=mesh,
-                in_specs=(P(), frozen_specs, P(DATA_AXIS), P()),
+                in_specs=(P(), frozen_specs,
+                          batch_pspecs(batch, DATA_AXIS), P()),
                 out_specs=P(), check_vma=False)
             return fn(trainable, frozen, batch, rng)
 
@@ -356,7 +386,7 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
             p, x, cfg, cara_params=cara,
             cara_cfg=cara_cfg if cara is not None else None, train=False,
             attn_impl=attn_impl, dense_impl=di, tp_axis=tp_axis)
-        pred = jnp.argmax(logits, axis=-1)
+        pred = jnp.argmax(mask_padded_classes(logits, batch), axis=-1)
         valid = batch.get("valid")
         if valid is None:
             valid = jnp.ones_like(batch["label"], jnp.float32)
@@ -382,7 +412,7 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
                        if tp_fused else P())
         fn = jax.shard_map(
             sharded_eval, mesh=mesh,
-            in_specs=(param_specs, P(), P(DATA_AXIS)),
+            in_specs=(param_specs, P(), batch_pspecs(batch, DATA_AXIS)),
             out_specs=P(), check_vma=False)
         return fn(params, cara_params, batch)
 
