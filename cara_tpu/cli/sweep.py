@@ -50,13 +50,17 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-class _ClassCountLoader:
-    """Stamp the task's true class count into every batch (scalar), for the
-    padded-head executable's logit mask (``steps.mask_padded_classes``)."""
+class _TaskOperandLoader:
+    """Stamp the per-task scalars into every batch: the true class count
+    (for the padded-head logit mask, ``steps.mask_padded_classes``) and the
+    delta scale (``vit_forward(scale_override=...)``).  Both become TRACED
+    0-d operands instead of jit specializations, so one compiled
+    executable serves every task."""
 
-    def __init__(self, inner, num_real: int):
+    def __init__(self, inner, num_real: int, scale: float):
         self._inner = inner
         self._nc = np.int32(num_real)
+        self._scale = np.float32(scale)
 
     def __getattr__(self, name):
         return getattr(self._inner, name)
@@ -65,10 +69,12 @@ class _ClassCountLoader:
         for b in self._inner:
             b = dict(b)
             b["num_classes"] = self._nc
+            b["delta_scale"] = self._scale
             yield b
 
 
-def run_task(task: str, args, results: dict) -> float:
+def run_task(task: str, args, results: dict,
+             step_cache: dict = None) -> float:
     hp = get_task_hparams(task)
     seed = args.seed if args.seed is not None else hp.seed
     num_real = vtab_lib.get_classes_num(task)
@@ -84,11 +90,33 @@ def run_task(task: str, args, results: dict) -> float:
         batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
         image_size=model.cfg.image_size, seed=seed,
         synthetic=args.synthetic, synthetic_size=args.synthetic_size)
-    if num_classes != num_real:
-        train_loader = _ClassCountLoader(train_loader, num_real)
-        eval_loader = _ClassCountLoader(eval_loader, num_real)
+    if args.pad_classes:
+        train_loader = _TaskOperandLoader(train_loader, num_real, hp.scale)
+        eval_loader = _TaskOperandLoader(eval_loader, num_real, hp.scale)
     tx = steps_lib.make_optimizer(
         args.lr, train_loader.steps_per_epoch(), total_epochs=args.epochs)
+    # Compile sharing: with padded heads + batch-operand class count/scale,
+    # the ONLY per-task jit specialization left is the weight-dropout rate
+    # — reuse the jitted step functions across tasks keyed on it.
+    train_step = eval_step = None
+    if args.pad_classes and step_cache is not None:
+        key = (hp.weight_dropout,)
+        if key not in step_cache:
+            mesh = common.resolve_mesh(args.mesh)
+            cd = common.resolve_dtype(args.dtype)
+            ts = jax.jit(
+                steps_lib.make_train_step(
+                    model.cfg, model.cara_cfg, tx, compute_dtype=cd,
+                    remat=False if args.no_remat else "auto",
+                    attn_impl=args.attn_impl, dense_impl=args.dense_impl,
+                    mesh=mesh, grad_accum=args.grad_accum),
+                donate_argnums=(0,))
+            es = jax.jit(
+                steps_lib.make_eval_step(
+                    model.cfg, model.cara_cfg, compute_dtype=cd, mesh=mesh,
+                    attn_impl=args.attn_impl, dense_impl=args.dense_impl))
+            step_cache[key] = (ts, es)
+        train_step, eval_step = step_cache[key]
     frozen, state = steps_lib.init_train_state(
         tx, model.params, model.cara_params)
     keeper = ckpt_lib.BestCheckpointKeeper(args.out_dir, task, seed)
@@ -102,6 +130,7 @@ def run_task(task: str, args, results: dict) -> float:
         rng=jax.random.key(seed), fit_cfg=fit_cfg,
         mesh=common.resolve_mesh(args.mesh),
         logger=MetricLogger(enabled=False), keeper=keeper,
+        train_step=train_step, eval_step=eval_step,
         compute_dtype=common.resolve_dtype(args.dtype),
         remat=False if args.no_remat else "auto", attn_impl=args.attn_impl,
         grad_accum=args.grad_accum,
@@ -134,9 +163,10 @@ def main(argv=None):
         if done:
             print(f"resume: {len(done)} task(s) already in "
                   f"{results_path}, {len(tasks)} to go")
+    step_cache: dict = {}
     for task in tasks:
         print(f"=== {task} ===")
-        acc = run_task(task, args, results)
+        acc = run_task(task, args, results, step_cache)
         print(f"{task}: top-1 {acc:.4f}")
         with open(os.path.join(args.out_dir, args.results), "w") as f:
             json.dump(results, f, indent=1)

@@ -289,9 +289,15 @@ def _block(
     attn_impl: str,
     dense_impl: str = "xla",
     tp_axis: Optional[str] = None,
+    scale_override: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One transformer block with optional CaRA deltas (reference hot loop,
     SURVEY.md section 3.3).
+
+    ``scale_override``: optional 0-d TRACED delta scale replacing the
+    static ``cara_cfg.scale`` — lets one compiled executable serve tasks
+    whose scales span 0.1-100 (sweep compile sharing); cast to the
+    activation dtype so it multiplies exactly like the Python constant.
 
     ``key`` drives the weight-dropout masks (shared across the batch by
     reference semantics, ``cara.py:35`` — under data-parallel shard_map it
@@ -331,7 +337,8 @@ def _block(
     use_cara = cara_params is not None
     use_elem = False
     if use_cara:
-        s = cara_cfg.scale
+        s = (cara_cfg.scale if scale_override is None
+             else scale_override.astype(x.dtype))
         materialized = cara_cfg.delta_impl == "materialized"
         # Exact element-wise weight dropout on the dense delta (reference
         # semantics, cara.py:35,57,81,92) — active in training only.  On
@@ -806,8 +813,13 @@ def vit_forward(
     attn_impl: str = "auto",
     dense_impl: str = "auto",
     tp_axis: Optional[str] = None,
+    scale_override: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full forward: images (B, H, W, C) NHWC -> logits (B, num_classes).
+
+    ``scale_override``: optional 0-d traced delta scale replacing the
+    static ``cara_cfg.scale`` (see ``_block``) — one executable serves
+    every per-task scale when the caller threads it from the batch.
 
     ``train=True`` with an ``rng`` enables drop-path and the CaRA weight
     dropout; eval is fully deterministic.  ``sample_rng`` (default: ``rng``)
@@ -884,7 +896,7 @@ def vit_forward(
             key = skey = None
         out = _block(
             carry, bp, f1, p1, dpr_l, key, skey, cfg, cara_params, cara_cfg,
-            attn_impl, dense_impl, tp_axis
+            attn_impl, dense_impl, tp_axis, scale_override
         )
         return out, None
 

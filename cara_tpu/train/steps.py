@@ -248,7 +248,7 @@ def make_train_step(
                 p, x, cfg, cara_params=cara, cara_cfg=cara_cfg,
                 train=True, rng=wd_rng, sample_rng=srng, remat=remat,
                 attn_impl=attn_impl, dense_impl=dense_impl,
-                tp_axis=tp_axis,
+                tp_axis=tp_axis, scale_override=mb.get("delta_scale"),
             ).astype(jnp.float32)
             logits = mask_padded_classes(logits, mb)
             loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -385,7 +385,8 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
         logits = vit_forward(
             p, x, cfg, cara_params=cara,
             cara_cfg=cara_cfg if cara is not None else None, train=False,
-            attn_impl=attn_impl, dense_impl=di, tp_axis=tp_axis)
+            attn_impl=attn_impl, dense_impl=di, tp_axis=tp_axis,
+            scale_override=batch.get("delta_scale"))
         pred = jnp.argmax(mask_padded_classes(logits, batch), axis=-1)
         valid = batch.get("valid")
         if valid is None:
