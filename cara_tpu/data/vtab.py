@@ -187,7 +187,11 @@ def synthetic_source(num: int, num_classes: int, image_size: int = 224,
                      seed: int = 0) -> ArraySource:
     rng = np.random.RandomState(seed)
     y = rng.randint(0, num_classes, size=(num,)).astype(np.int32)
-    x = rng.randn(num, image_size, image_size, 3).astype(np.float32) * 0.5
+    # Generator.standard_normal(dtype=f32) draws directly in f32 — ~4x
+    # faster than RandomState.randn's f64 path (150M draws/task at the
+    # VTAB defaults; measured 21s of per-task sweep wall).
+    x = np.random.default_rng(seed).standard_normal(
+        (num, image_size, image_size, 3), dtype=np.float32) * 0.5
     x += (y[:, None, None, None].astype(np.float32) / num_classes - 0.5)
     return ArraySource(x, y)
 
