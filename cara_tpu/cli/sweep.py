@@ -42,6 +42,12 @@ def parse_args(argv=None):
                         "count rides in the batch and masks the trailing "
                         "logits — exact math, no per-task recompile; "
                         "19-task VTAB needs >= 397, e.g. 512). 0 = off")
+    p.add_argument("--task-parallel", default=0, type=int,
+                   help="Train N tasks SIMULTANEOUSLY on an N-device (task,) "
+                        "mesh — one task per device, stacked adapters, "
+                        "shared frozen backbone, zero cross-task "
+                        "collectives (train/task_parallel.py). Requires "
+                        "--pad-classes. 0 = sequential")
     p.add_argument("--resume-sweep", action="store_true",
                    help="Skip tasks already present in the results file — "
                         "lets a long (per-task-compile-bound) sweep continue "
@@ -147,6 +153,121 @@ def run_task(task: str, args, results: dict,
     return out["best_acc"]
 
 
+def run_task_group(group, args, results: dict, step_cache: dict) -> None:
+    """Train a group of tasks simultaneously on a (task,) mesh.
+
+    The frozen backbone is shared across the group (identical by
+    construction when ``--backbone`` points at the pretrained npz — the
+    reference always fine-tunes from the same ``ViT-B_16.npz``; in
+    synthetic smoke runs the first task's init is used).  Per-task
+    trainables reproduce ``run_task``'s exact init: the same
+    ``jax.random.key(seed)`` 3-way split drives the cara factors (with the
+    task's l_mu/l_std) and the head."""
+    import dataclasses
+
+    from cara_tpu.models import cara as cara_lib
+    from cara_tpu.models import vit as vit_lib
+    from cara_tpu.train import task_parallel as tp_lib
+
+    t = len(group)
+    mesh = tp_lib.make_task_mesh(t)
+    hps = [get_task_hparams(task) for task in group]
+    seeds = [args.seed if args.seed is not None else hp.seed for hp in hps]
+    num_real = [vtab_lib.get_classes_num(task) for task in group]
+    if max(num_real) > args.pad_classes:
+        raise ValueError(
+            f"--pad-classes {args.pad_classes} < max class count "
+            f"{max(num_real)} in group {group}")
+
+    model = api.build_model(
+        args.model, rank=args.dim, scale=hps[0].scale,
+        l_mu=hps[0].init_mean, l_std=hps[0].init_std,
+        num_classes=args.pad_classes, seed=seeds[0],
+        backbone_path=args.backbone, delta_impl=args.delta_impl,
+        weight_dropout=hps[0].weight_dropout)
+    cfg, cara_cfg = model.cfg, model.cara_cfg
+    frozen = {k: v for k, v in model.params.items() if k != "head"}
+
+    trainables, metas, train_ls, eval_ls = [], [], [], []
+    for i, (task, hp, seed) in enumerate(zip(group, hps, seeds)):
+        cara_cfg_i = dataclasses.replace(
+            cara_cfg, scale=hp.scale, l_mu=hp.init_mean, l_std=hp.init_std,
+            weight_dropout=hp.weight_dropout)
+        if i == 0:
+            trainable = {"cara": model.cara_params,
+                         "head": model.params["head"]}
+        else:
+            _, k_cara, k_head = jax.random.split(jax.random.key(seed), 3)
+            trainable = {
+                "cara": cara_lib.init_cara_params(k_cara, cfg, cara_cfg_i),
+                "head": vit_lib.reset_classifier(
+                    {}, k_head, cfg, args.pad_classes)["head"],
+            }
+        trainables.append(trainable)
+        metas.append({**dataclasses.asdict(cara_cfg_i),
+                      "model": args.model, "dataset": task,
+                      "num_classes_real": num_real[i]})
+        tr, ev = vtab_lib.get_data(
+            task, root=args.data_root, evaluate=True,
+            batch_size=args.batch_size,
+            eval_batch_size=args.eval_batch_size,
+            image_size=cfg.image_size, seed=seed,
+            synthetic=args.synthetic, synthetic_size=args.synthetic_size)
+        train_ls.append(tr)
+        eval_ls.append(ev)
+
+    scales = [hp.scale for hp in hps]
+    train_loader = tp_lib.StackedLoader(
+        train_ls, num_real, scales, pad_tail=False)
+    eval_loader = tp_lib.StackedLoader(
+        eval_ls, num_real, scales, pad_tail=True)
+    tx = steps_lib.make_optimizer(
+        args.lr, train_ls[0].steps_per_epoch(), total_epochs=args.epochs)
+    states = [steps_lib.init_train_state(tx, dict(frozen, head=tr["head"]),
+                                         tr["cara"])[1]
+              for tr in trainables]
+    # One compiled pair per (group size, weight-dropout rate) — all VTAB
+    # tasks share rate 0.1, so typically exactly one compile per group size.
+    key = ("tp", t, hps[0].weight_dropout)
+    if key not in step_cache:
+        cd = common.resolve_dtype(args.dtype)
+        step_cache[key] = (
+            jax.jit(tp_lib.make_task_train_step(
+                cfg, cara_cfg, tx, mesh, compute_dtype=cd,
+                remat=False if args.no_remat else "auto",
+                attn_impl=args.attn_impl, dense_impl=args.dense_impl,
+                grad_accum=args.grad_accum), donate_argnums=(0,)),
+            jax.jit(tp_lib.make_task_eval_step(
+                cfg, cara_cfg, mesh, compute_dtype=cd,
+                attn_impl=args.attn_impl, dense_impl=args.dense_impl)))
+    train_step, eval_step = step_cache[key]
+    keepers = [ckpt_lib.BestCheckpointKeeper(args.out_dir, task, seed)
+               for task, seed in zip(group, seeds)]
+    fit_cfg = loop_lib.FitConfig(
+        epochs=args.epochs, eval_every=10, eval_start=1,
+        log_every=args.log_every)
+    t0 = time.time()
+    out = tp_lib.fit_tasks(
+        cfg=cfg, cara_cfg=cara_cfg, frozen=frozen, states=states, tx=tx,
+        train_loader=train_loader, eval_loader=eval_loader, seeds=seeds,
+        names=list(group), fit_cfg=fit_cfg, mesh=mesh, keepers=keepers,
+        ckpt_metas=metas, compute_dtype=common.resolve_dtype(args.dtype),
+        remat=False if args.no_remat else "auto",
+        attn_impl=args.attn_impl, dense_impl=args.dense_impl,
+        grad_accum=args.grad_accum, train_step=train_step,
+        eval_step=eval_step)
+    minutes = round((time.time() - t0) / 60, 2)
+    for i, task in enumerate(group):
+        results[task] = {
+            "top1": out[task]["best_acc"],
+            "seed": seeds[i],
+            "images_per_sec": out[task]["images_per_sec"],
+            "minutes": minutes,
+            "ckpt": keepers[i].best_path,
+        }
+        print(f"{task}: top-1 {out[task]['best_acc']:.4f}")
+
+
 def main(argv=None):
     args = parse_args(argv)
     common.setup_runtime(args)
@@ -164,12 +285,34 @@ def main(argv=None):
             print(f"resume: {len(done)} task(s) already in "
                   f"{results_path}, {len(tasks)} to go")
     step_cache: dict = {}
-    for task in tasks:
-        print(f"=== {task} ===")
-        acc = run_task(task, args, results, step_cache)
-        print(f"{task}: top-1 {acc:.4f}")
-        with open(os.path.join(args.out_dir, args.results), "w") as f:
-            json.dump(results, f, indent=1)
+    if args.task_parallel:
+        if not args.pad_classes:
+            raise SystemExit("--task-parallel requires --pad-classes (one "
+                             "stacked head shape across the group)")
+        import collections
+
+        n = min(args.task_parallel, len(jax.devices()))
+        # Group by weight-dropout rate (the one remaining jit
+        # specialization — uniform 0.1 across VTAB), then chunk to the
+        # mesh size; a short tail group compiles once at its own size.
+        by_rate = collections.defaultdict(list)
+        for task in tasks:
+            by_rate[get_task_hparams(task).weight_dropout].append(task)
+        for rate_tasks in by_rate.values():
+            for i in range(0, len(rate_tasks), n):
+                group = rate_tasks[i:i + n]
+                print(f"=== task-parallel x{len(group)}: "
+                      f"{','.join(group)} ===")
+                run_task_group(group, args, results, step_cache)
+                with open(os.path.join(args.out_dir, args.results), "w") as f:
+                    json.dump(results, f, indent=1)
+    else:
+        for task in tasks:
+            print(f"=== {task} ===")
+            acc = run_task(task, args, results, step_cache)
+            print(f"{task}: top-1 {acc:.4f}")
+            with open(os.path.join(args.out_dir, args.results), "w") as f:
+                json.dump(results, f, indent=1)
     accs = [r["top1"] for r in results.values()]
     if not accs:
         print("no tasks to run")

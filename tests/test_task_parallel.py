@@ -1,0 +1,190 @@
+"""Task-parallel sweep: T tasks trained simultaneously on a T-device mesh
+must be BIT-IDENTICAL to T sequential single-device runs (no cross-task
+collectives exist, each shard runs the unmodified single-device step —
+``train/task_parallel.py``)."""
+
+import numpy as np
+import jax
+import pytest
+
+from cara_tpu.config import CaraConfig, ViTConfig
+from cara_tpu.models import cara as cara_lib
+from cara_tpu.models import vit as vit_lib
+from cara_tpu.train import steps as steps_lib
+from cara_tpu.train import task_parallel as tp_lib
+
+NUM_PAD = 8  # padded head size shared by all tasks
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ViTConfig(
+        image_size=16, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+        repr_size=None, num_classes=NUM_PAD, drop_path_rate=0.1,
+    )
+    cara_cfg = CaraConfig(rank=4, scale=1.0, l_mu=1.0, l_std=0.0,
+                          weight_dropout=0.1)
+    # Shared frozen backbone (the pretrained-npz situation); per-task
+    # trainables (head from the task seed's init + cara from seed+1).
+    base = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    frozen = {k: v for k, v in base.items() if k != "head"}
+    return cfg, cara_cfg, frozen
+
+
+def _task(cfg, cara_cfg, seed, num_real):
+    """One synthetic 'task': trainables + a couple of batches."""
+    params = vit_lib.init_vit_params(jax.random.key(seed), cfg)
+    cara = cara_lib.init_cara_params(jax.random.key(seed + 1), cfg, cara_cfg)
+    trainable = {"cara": cara, "head": params["head"]}
+    kx, ky = jax.random.split(jax.random.key(seed + 2))
+    batches = []
+    for i in range(3):
+        x = jax.random.normal(
+            jax.random.fold_in(kx, i), (4, cfg.image_size, cfg.image_size, 3),
+            np.float32)
+        y = jax.random.randint(jax.random.fold_in(ky, i), (4,), 0, num_real)
+        batches.append({
+            "image": np.asarray(x), "label": np.asarray(y),
+            "valid": np.ones(4, np.float32),
+            "num_classes": np.int32(num_real),
+            "delta_scale": np.float32(0.5 + seed / 10),
+        })
+    return trainable, batches
+
+
+def test_task_parallel_matches_sequential(setup):
+    cfg, cara_cfg, frozen = setup
+    T = 4
+    num_real = [3, 5, 2, 8]
+    seeds = [11, 22, 33, 44]
+    tasks = [_task(cfg, cara_cfg, s, n) for s, n in zip(seeds, num_real)]
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=3)
+
+    # --- sequential reference: per-task single-device training ---
+    seq_states, seq_evals = [], []
+    step_fn = jax.jit(steps_lib.make_train_step(cfg, cara_cfg, tx))
+    eval_fn = jax.jit(steps_lib.make_eval_step(cfg, cara_cfg))
+    for (trainable, batches), seed in zip(tasks, seeds):
+        st = steps_lib.TrainState(
+            jax.numpy.zeros((), jax.numpy.int32), trainable,
+            tx.init(trainable))
+        rng = jax.random.key(seed)
+        for b in batches:
+            st, _ = step_fn(st, frozen, b, rng)
+        seq_states.append(jax.device_get(st))
+        c, n = eval_fn(steps_lib.merge_params(frozen, st.trainable),
+                       st.trainable["cara"], batches[0])
+        seq_evals.append((float(c), float(n)))
+
+    # --- task-parallel: same math, one stacked step on a (task,) mesh ---
+    mesh = tp_lib.make_task_mesh(T, jax.devices()[:T])
+    train_step = jax.jit(
+        tp_lib.make_task_train_step(cfg, cara_cfg, tx, mesh),
+        donate_argnums=(0,))
+    eval_step = jax.jit(tp_lib.make_task_eval_step(cfg, cara_cfg, mesh))
+
+    states = [steps_lib.TrainState(
+        jax.numpy.zeros((), jax.numpy.int32), tr, tx.init(tr))
+        for tr, _ in tasks]
+    state = tp_lib.put_stacked(mesh, tp_lib.stack_trees(states))
+    seeds_dev = jax.device_put(
+        np.asarray(seeds, np.int32),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(tp_lib.TASK_AXIS)))
+    for i in range(3):
+        stacked = {k: np.stack([t[1][i][k] for t in tasks])
+                   for k in tasks[0][1][0].keys()}
+        state, metrics = train_step(
+            state, frozen, tp_lib.put_stacked(mesh, stacked), seeds_dev)
+
+    host = jax.device_get(state)
+    for i in range(T):
+        got = tp_lib.index_tree(host.trainable, i)
+        want = seq_states[i].trainable
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), got, want)
+
+    stacked0 = {k: np.stack([t[1][0][k] for t in tasks])
+                for k in tasks[0][1][0].keys()}
+    c, n = eval_step(frozen, host.trainable,
+                     tp_lib.put_stacked(mesh, stacked0))
+    for i in range(T):
+        assert (float(c[i]), float(n[i])) == seq_evals[i]
+
+
+def test_stacked_loader_pads_uneven_eval(setup):
+    """Exhausted tasks are padded with zero-valid batches; accuracy sums
+    stay exact for every task."""
+
+    class FakeLoader:
+        batch_size = 4
+
+        def __init__(self, nbatches, label):
+            self.n, self.label = nbatches, label
+
+        def steps_per_epoch(self):
+            return self.n
+
+        def __iter__(self):
+            for _ in range(self.n):
+                yield {"image": np.zeros((4, 2, 2, 3), np.float32),
+                       "label": np.full(4, self.label, np.int32),
+                       "valid": np.ones(4, np.float32)}
+
+    sl = tp_lib.StackedLoader(
+        [FakeLoader(2, 1), FakeLoader(4, 2)], num_classes=[3, 5],
+        delta_scales=[1.0, 2.0], pad_tail=True)
+    batches = list(sl)
+    assert len(batches) == 4
+    assert batches[0]["image"].shape == (2, 4, 2, 2, 3)
+    np.testing.assert_array_equal(batches[0]["num_classes"], [3, 5])
+    np.testing.assert_array_equal(batches[0]["delta_scale"], [1.0, 2.0])
+    # Task 0 exhausted after 2 batches -> valid all-zero thereafter.
+    assert batches[2]["valid"][0].sum() == 0
+    assert batches[2]["valid"][1].sum() == 4
+    total_valid = sum(b["valid"].sum(axis=1) for b in batches)
+    np.testing.assert_array_equal(total_valid, [8.0, 16.0])
+
+
+def test_stacked_loader_rejects_unequal_train(setup):
+    class FakeLoader:
+        batch_size = 4
+
+        def __init__(self, n):
+            self.n = n
+
+        def steps_per_epoch(self):
+            return self.n
+
+        def __iter__(self):  # pragma: no cover
+            return iter(())
+
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        tp_lib.StackedLoader([FakeLoader(2), FakeLoader(3)],
+                             num_classes=[3, 3], delta_scales=[1.0, 1.0],
+                             pad_tail=False)
+
+
+def test_task_parallel_sweep_cli_e2e(tmp_path):
+    """Full CLI path: 3 tasks on a 3-device (task,) mesh, synthetic data,
+    padded heads, per-task checkpoints + results JSON."""
+    import json
+    import os
+
+    from cara_tpu.cli import sweep as sweep_cli
+
+    results = sweep_cli.main([
+        "--synthetic", "--tasks", "patch_camelyon,kitti,svhn",
+        "--task-parallel", "3", "--pad-classes", "16",
+        "--model", "vit_tiny_test", "--dim", "4", "--epochs", "2",
+        "--batch-size", "8", "--eval-batch-size", "8",
+        "--synthetic-size", "32", "--dtype", "float32",
+        "--backbone", str(tmp_path / "none.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000"])
+    for task in ("patch_camelyon", "kitti", "svhn"):
+        assert 0.0 <= results[task]["top1"] <= 1.0
+        assert results[task]["ckpt"] and os.path.exists(results[task]["ckpt"])
+    with open(tmp_path / "vtab_results.json") as f:
+        on_disk = json.load(f)
+    assert on_disk["__summary__"]["tasks"] == 3
