@@ -61,6 +61,11 @@ def parse_args(argv=None):
     p.add_argument("--epochs", default=None, type=int,
                    help="override epochs (default: 100 real, 3 smoke)")
     p.add_argument("--out", default="reproduce_report.json")
+    p.add_argument("--task-parallel", default=None, type=int,
+                   help="train N tasks simultaneously on an N-device "
+                        "(task,) mesh (sweep/smoke modes; default: device "
+                        "count when >1, else sequential; 0 forces "
+                        "sequential)")
     return p.parse_args(argv)
 
 
@@ -98,6 +103,16 @@ def main(argv=None) -> int:
                f"--epochs={epochs}", f"--results={args.out}"]
     if args.model:
         sw_argv.append(f"--model={args.model}")
+    tp = args.task_parallel
+    if tp is None:
+        import jax
+
+        n = len(jax.devices())
+        tp = n if n > 1 else 0
+    if tp:
+        # One-task-per-device sweep (train/task_parallel.py); padded heads
+        # are a prerequisite (512 covers every VTAB class count).
+        sw_argv += [f"--task-parallel={tp}", "--pad-classes=512"]
     if mode == "smoke":
         sw_argv += ["--synthetic", "--synthetic-size=96",
                     "--batch-size=16", "--eval-batch-size=32"]
