@@ -42,6 +42,12 @@ def parse_args(argv=None):
                         "count rides in the batch and masks the trailing "
                         "logits — exact math, no per-task recompile; "
                         "19-task VTAB needs >= 397, e.g. 512). 0 = off")
+    p.add_argument("--seeds", default=None, type=str,
+                   help="Comma-separated seed list: run EVERY task at "
+                        "EVERY seed (results keyed task@s<seed>, summary "
+                        "adds per-task best) — the paper's per-task seed "
+                        "tuning as one sweep. Default: each task's "
+                        "reference seed (vtab_config)")
     p.add_argument("--task-parallel", default=0, type=int,
                    help="Train N tasks SIMULTANEOUSLY on an N-device (task,) "
                         "mesh — one task per device, stacked adapters, "
@@ -80,9 +86,12 @@ class _TaskOperandLoader:
 
 
 def run_task(task: str, args, results: dict,
-             step_cache: dict = None) -> float:
+             step_cache: dict = None, *, seed: int = None,
+             key: str = None) -> float:
     hp = get_task_hparams(task)
-    seed = args.seed if args.seed is not None else hp.seed
+    if seed is None:
+        seed = args.seed if args.seed is not None else hp.seed
+    key = key or task
     num_real = vtab_lib.get_classes_num(task)
     num_classes = max(args.pad_classes, num_real) if args.pad_classes \
         else num_real
@@ -143,7 +152,7 @@ def run_task(task: str, args, results: dict,
         dense_impl=args.dense_impl,
         ckpt_meta={"model": args.model, "dataset": task,
                    "num_classes_real": num_real})
-    results[task] = {
+    results[key] = {
         "top1": out["best_acc"],
         "seed": seed,
         "images_per_sec": out["images_per_sec"],
@@ -153,13 +162,15 @@ def run_task(task: str, args, results: dict,
     return out["best_acc"]
 
 
-def run_task_group(group, args, results: dict, step_cache: dict) -> None:
-    """Train a group of tasks simultaneously on a (task,) mesh.
+def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
+    """Train a group of (task, seed, key) combos simultaneously on a
+    (task,) mesh — one combo per device (multi-seed sweeps parallelize the
+    same way as multi-task ones: the seed is just another traced operand).
 
     The frozen backbone is shared across the group (identical by
     construction when ``--backbone`` points at the pretrained npz — the
     reference always fine-tunes from the same ``ViT-B_16.npz``; in
-    synthetic smoke runs the first task's init is used).  Per-task
+    synthetic smoke runs the first combo's init is used).  Per-combo
     trainables reproduce ``run_task``'s exact init: the same
     ``jax.random.key(seed)`` 3-way split drives the cara factors (with the
     task's l_mu/l_std) and the head."""
@@ -169,10 +180,14 @@ def run_task_group(group, args, results: dict, step_cache: dict) -> None:
     from cara_tpu.models import vit as vit_lib
     from cara_tpu.train import task_parallel as tp_lib
 
-    t = len(group)
+    t = len(combos)
+    group = [c[0] for c in combos]
+    keys = [c[2] or c[0] for c in combos]
     mesh = tp_lib.make_task_mesh(t)
     hps = [get_task_hparams(task) for task in group]
-    seeds = [args.seed if args.seed is not None else hp.seed for hp in hps]
+    seeds = [c[1] if c[1] is not None
+             else (args.seed if args.seed is not None else hp.seed)
+             for c, hp in zip(combos, hps)]
     num_real = [vtab_lib.get_classes_num(task) for task in group]
     if max(num_real) > args.pad_classes:
         raise ValueError(
@@ -250,22 +265,22 @@ def run_task_group(group, args, results: dict, step_cache: dict) -> None:
     out = tp_lib.fit_tasks(
         cfg=cfg, cara_cfg=cara_cfg, frozen=frozen, states=states, tx=tx,
         train_loader=train_loader, eval_loader=eval_loader, seeds=seeds,
-        names=list(group), fit_cfg=fit_cfg, mesh=mesh, keepers=keepers,
+        names=keys, fit_cfg=fit_cfg, mesh=mesh, keepers=keepers,
         ckpt_metas=metas, compute_dtype=common.resolve_dtype(args.dtype),
         remat=False if args.no_remat else "auto",
         attn_impl=args.attn_impl, dense_impl=args.dense_impl,
         grad_accum=args.grad_accum, train_step=train_step,
         eval_step=eval_step)
     minutes = round((time.time() - t0) / 60, 2)
-    for i, task in enumerate(group):
-        results[task] = {
-            "top1": out[task]["best_acc"],
+    for i, key in enumerate(keys):
+        results[key] = {
+            "top1": out[key]["best_acc"],
             "seed": seeds[i],
-            "images_per_sec": out[task]["images_per_sec"],
+            "images_per_sec": out[key]["images_per_sec"],
             "minutes": minutes,
             "ckpt": keepers[i].best_path,
         }
-        print(f"{task}: top-1 {out[task]['best_acc']:.4f}")
+        print(f"{key}: top-1 {out[key]['best_acc']:.4f}")
 
 
 def main(argv=None):
@@ -273,17 +288,27 @@ def main(argv=None):
     common.setup_runtime(args)
     tasks = (sorted(vtab_lib.VTAB_TASKS) if args.tasks == "all"
              else args.tasks.split(","))
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [None])
+    multi_seed = len(seeds) > 1 or args.seeds is not None
+
+    def combo_key(task, seed):
+        return f"{task}@s{seed}" if multi_seed and seed is not None else task
+
+    # (task, seed, results-key) work list — the seed axis multiplies the
+    # task axis (the paper tunes per-task seeds; one sweep reproduces it).
+    combos = [(t, s, combo_key(t, s)) for t in tasks for s in seeds]
     results: dict = {}
     results_path = os.path.join(args.out_dir, args.results)
     if args.resume_sweep and os.path.exists(results_path):
         with open(results_path) as f:
             results = {k: v for k, v in json.load(f).items()
                        if not k.startswith("__")}
-        done = [t for t in tasks if t in results]
-        tasks = [t for t in tasks if t not in results]
+        done = [c for c in combos if c[2] in results]
+        combos = [c for c in combos if c[2] not in results]
         if done:
-            print(f"resume: {len(done)} task(s) already in "
-                  f"{results_path}, {len(tasks)} to go")
+            print(f"resume: {len(done)} run(s) already in "
+                  f"{results_path}, {len(combos)} to go")
     step_cache: dict = {}
     if args.task_parallel:
         if not args.pad_classes:
@@ -296,21 +321,22 @@ def main(argv=None):
         # specialization — uniform 0.1 across VTAB), then chunk to the
         # mesh size; a short tail group compiles once at its own size.
         by_rate = collections.defaultdict(list)
-        for task in tasks:
-            by_rate[get_task_hparams(task).weight_dropout].append(task)
-        for rate_tasks in by_rate.values():
-            for i in range(0, len(rate_tasks), n):
-                group = rate_tasks[i:i + n]
+        for combo in combos:
+            by_rate[get_task_hparams(combo[0]).weight_dropout].append(combo)
+        for rate_combos in by_rate.values():
+            for i in range(0, len(rate_combos), n):
+                group = rate_combos[i:i + n]
                 print(f"=== task-parallel x{len(group)}: "
-                      f"{','.join(group)} ===")
+                      f"{','.join(c[2] for c in group)} ===")
                 run_task_group(group, args, results, step_cache)
                 with open(os.path.join(args.out_dir, args.results), "w") as f:
                     json.dump(results, f, indent=1)
     else:
-        for task in tasks:
-            print(f"=== {task} ===")
-            acc = run_task(task, args, results, step_cache)
-            print(f"{task}: top-1 {acc:.4f}")
+        for task, seed, key in combos:
+            print(f"=== {key} ===")
+            acc = run_task(task, args, results, step_cache,
+                           seed=seed, key=key)
+            print(f"{key}: top-1 {acc:.4f}")
             with open(os.path.join(args.out_dir, args.results), "w") as f:
                 json.dump(results, f, indent=1)
     accs = [r["top1"] for r in results.values()]
@@ -318,6 +344,16 @@ def main(argv=None):
         print("no tasks to run")
         return results
     summary = {"mean_top1": sum(accs) / len(accs), "tasks": len(accs)}
+    if multi_seed:
+        # Per-task best across the seed axis (the paper's selection rule).
+        best: dict = {}
+        for key, row in results.items():
+            task = key.split("@s")[0]
+            if task not in best or row["top1"] > best[task]["top1"]:
+                best[task] = {"top1": row["top1"], "seed": row["seed"]}
+        summary["best_per_task"] = best
+        summary["mean_best_top1"] = (
+            sum(v["top1"] for v in best.values()) / len(best))
     results["__summary__"] = summary
     with open(os.path.join(args.out_dir, args.results), "w") as f:
         json.dump(results, f, indent=1)

@@ -29,7 +29,16 @@ def enable_compilation_cache(path: Optional[str] = None) -> str:
     env = os.environ.get("CARA_JIT_CACHE")
     if path is None and env == "0":
         return ""
+    explicit = path is not None or bool(env)
     path = path or env or DEFAULT_DIR
+    if not explicit and jax.default_backend() == "cpu":
+        # XLA:CPU cache entries are AOT-compiled for the *writing* host's
+        # exact ISA feature set; a shared default cache dir can hand a
+        # different host a binary it warns "could lead to execution errors
+        # such as SIGILL" about.  CPU compiles of this workload are cheap,
+        # so the default cache is accelerator-only; an explicit path/env
+        # opts a single-host CPU setup back in.
+        return ""
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # The remote compile service hides compile latency from the local

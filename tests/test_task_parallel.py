@@ -188,3 +188,26 @@ def test_task_parallel_sweep_cli_e2e(tmp_path):
     with open(tmp_path / "vtab_results.json") as f:
         on_disk = json.load(f)
     assert on_disk["__summary__"]["tasks"] == 3
+
+
+def test_multi_seed_sweep_cli_e2e(tmp_path):
+    """--seeds multiplies the task axis; same-task-different-seed combos
+    share one task-parallel group (unique result keys, per-task best in
+    the summary)."""
+    from cara_tpu.cli import sweep as sweep_cli
+
+    results = sweep_cli.main([
+        "--synthetic", "--tasks", "patch_camelyon,kitti",
+        "--seeds", "3,4", "--task-parallel", "4", "--pad-classes", "8",
+        "--model", "vit_tiny_test", "--dim", "4", "--epochs", "2",
+        "--batch-size", "8", "--eval-batch-size", "8",
+        "--synthetic-size", "32", "--dtype", "float32",
+        "--backbone", str(tmp_path / "none.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000"])
+    for key in ("patch_camelyon@s3", "patch_camelyon@s4",
+                "kitti@s3", "kitti@s4"):
+        assert 0.0 <= results[key]["top1"] <= 1.0
+    summ = results["__summary__"]
+    assert summ["tasks"] == 4
+    assert set(summ["best_per_task"]) == {"patch_camelyon", "kitti"}
+    assert summ["best_per_task"]["kitti"]["seed"] in (3, 4)
