@@ -7,6 +7,9 @@ New capability vs the reference (whose only artifact is the full state dict,
   eval mode) — a plain ViT for serving, zero adapter overhead.
 * ``--mode adapter`` extracts just the CP factors + head (~100KB vs ~350MB).
 * ``--mode full``    re-saves a (backbone, adapter) pair as one artifact.
+* ``--mode stablehlo`` serializes the merged eval forward as a portable
+  self-contained ``jax.export`` StableHLO module (weights embedded; loads
+  anywhere with just jax — no model code or checkpoint needed).
 
 Run:  ``python -m cara_tpu.cli.export --ckpt vit_cifar_*.npz --mode merged \\
          --out merged.npz --model vit_base_patch16_224_in21k --dim 32``
@@ -27,7 +30,16 @@ def parse_args(argv=None):
                    help="Input full-model checkpoint (.npz)")
     p.add_argument("--out", required=True, type=str)
     p.add_argument("--mode", default="merged",
-                   choices=["merged", "adapter", "full"])
+                   choices=["merged", "adapter", "full", "stablehlo"])
+    p.add_argument("--batch-size", default=64, type=int,
+                   help="stablehlo only: exported (static) batch size — "
+                        "ExportedPredictor pads any request up to it")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="stablehlo only: on-device compute dtype (the "
+                        "artifact's I/O is always float32)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="stablehlo only: comma-separated lowering targets")
     p.add_argument("--model", default=None,
                    help="Model name (default: from checkpoint meta)")
     p.add_argument("--dim", default=32, type=int, help="CP rank")
@@ -45,14 +57,15 @@ def parse_args(argv=None):
 def main(argv=None) -> str:
     args = parse_args(argv)
     params, cara_params, meta = ckpt_lib.load_model(args.ckpt)
-    if cara_params is None and args.mode != "full":
+    if cara_params is None and args.mode not in ("full", "stablehlo"):
         raise SystemExit("checkpoint has no adapter subtree")
     if args.scale is not None:
         scale = args.scale
     elif "scale" in meta:
         scale = float(meta["scale"])
-    elif args.mode == "full":
-        scale = None  # not needed: adapter is passed through unmodified
+    elif args.mode == "full" or (args.mode == "stablehlo"
+                                 and cara_params is None):
+        scale = None  # not needed: no adapter to (re)apply
     else:
         raise SystemExit(
             "checkpoint records no delta scale and --scale was not given; "
@@ -62,9 +75,7 @@ def main(argv=None) -> str:
     if args.mode == "adapter":
         ckpt_lib.save_adapter(args.out, cara_params, params.get("head"),
                               {**meta, "scale": scale})
-    elif args.mode == "merged":
-        from cara_tpu.models.merge import merge_cara
-
+    elif args.mode in ("merged", "stablehlo"):
         num_classes = params["head"]["kernel"].shape[-1] \
             if "head" in params else 0
         model_name = args.model or meta.get("model")
@@ -72,13 +83,31 @@ def main(argv=None) -> str:
             raise SystemExit(
                 "checkpoint records no model name and --model was not given")
         cfg = get_model_config(model_name, num_classes=num_classes)
-        rank = int(cara_params["R1"].shape[0])
-        cp_order = (args.cp_order if args.cp_order is not None
-                    else int(meta.get("cp_order", 4)))
-        cara_cfg = CaraConfig(rank=rank, scale=scale, cp_order=cp_order)
-        merged = merge_cara(params, cara_params, cfg, cara_cfg)
-        ckpt_lib.save_model(args.out, merged, None,
-                            {**meta, "merged": True, "scale": scale})
+        cara_cfg = None
+        if cara_params is not None:
+            rank = int(cara_params["R1"].shape[0])
+            cp_order = (args.cp_order if args.cp_order is not None
+                        else int(meta.get("cp_order", 4)))
+            cara_cfg = CaraConfig(rank=rank, scale=scale, cp_order=cp_order)
+        if args.mode == "stablehlo":
+            import jax.numpy as jnp
+
+            from cara_tpu.serving import export_serialized
+
+            blob = export_serialized(
+                params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+                batch_size=args.batch_size,
+                dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                else jnp.float32,
+                platforms=tuple(args.platforms.split(",")))
+            with open(args.out, "wb") as f:
+                f.write(blob)
+        else:
+            from cara_tpu.models.merge import merge_cara
+
+            merged = merge_cara(params, cara_params, cfg, cara_cfg)
+            ckpt_lib.save_model(args.out, merged, None,
+                                {**meta, "merged": True, "scale": scale})
     else:
         ckpt_lib.save_model(args.out, params, cara_params, meta)
     print(f"wrote {args.out} ({args.mode})")

@@ -159,3 +159,101 @@ class Predictor:
             lg = self.logits(b["image"])
             yield np.argmax(lg, -1), b["label"], b.get(
                 "valid", np.ones(len(lg), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Portable serialized artifacts (jax.export / StableHLO).
+#
+# Deployment story beyond the in-process ``Predictor``: bake the (merged)
+# weights into a single serialized StableHLO module that any JAX process can
+# load WITHOUT this package, the model code, or the checkpoint — e.g. a
+# serving fleet that only ships ``jax`` and the artifact file.  The export
+# forces the pure-XLA op set (no Pallas custom calls), so one artifact
+# lowers on every platform it was exported for (default: cpu + tpu).
+# The reference has no serving/export surface at all (its only inference
+# entry is ``--evaluate`` on the training CLI, vit_cp.py:109-114,168-173).
+
+def export_serialized(
+    params: Dict[str, Any],
+    cfg: ViTConfig,
+    *,
+    cara_params: Optional[Dict[str, Any]] = None,
+    cara_cfg: Optional[CaraConfig] = None,
+    merge: bool = True,
+    batch_size: int = 64,
+    dtype=jnp.bfloat16,
+    platforms=("cpu", "tpu"),
+) -> bytes:
+    """Serialize the eval forward as a self-contained StableHLO artifact.
+
+    The returned bytes deserialize with ``jax.export.deserialize`` (or
+    ``ExportedPredictor.from_file``) and call as
+    ``f(float32 images (batch_size, S, S, C)) -> float32 logits``.
+    Weights are embedded as module constants; compute runs in ``dtype``.
+    """
+    from jax import export as jexport
+
+    if merge and cara_params is not None:
+        params = merge_cara(params, cara_params, cfg, cara_cfg)
+        cara_params = cara_cfg = None
+    params = cast_floating(params, dtype)
+    if cara_params is not None:
+        cara_params = cast_floating(cara_params, dtype)
+
+    def fwd(x):
+        out = vit_forward(
+            params, x.astype(dtype), cfg, cara_params=cara_params,
+            cara_cfg=cara_cfg, train=False,
+            attn_impl="xla", dense_impl="xla")
+        return out.astype(jnp.float32)
+
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, cfg.image_size, cfg.image_size, cfg.in_chans),
+        jnp.float32)
+    exp = jexport.export(jax.jit(fwd), platforms=list(platforms))(spec)
+    return exp.serialize()
+
+
+class ExportedPredictor:
+    """Batched classifier over a serialized StableHLO artifact.
+
+    Mirrors ``Predictor.logits/predict`` (any N, internal padding to the
+    exported batch size) but needs only the artifact — no checkpoint, no
+    model config, no adapter math."""
+
+    def __init__(self, exported):
+        self._exp = exported
+        self._call = jax.jit(exported.call)
+        self.batch_size = int(exported.in_avals[0].shape[0])
+        self.image_size = int(exported.in_avals[0].shape[1])
+
+    @classmethod
+    def from_file(cls, path: str) -> "ExportedPredictor":
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            return cls(jexport.deserialize(bytearray(f.read())))
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "ExportedPredictor":
+        from jax import export as jexport
+
+        return cls(jexport.deserialize(bytearray(blob)))
+
+    def logits(self, images: np.ndarray) -> np.ndarray:
+        n = len(images)
+        bs = self.batch_size
+        outs = []
+        for start in range(0, n, bs):
+            chunk = np.asarray(images[start:start + bs], np.float32)
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            out = self._call(chunk)
+            outs.append(np.asarray(out[:bs - pad] if pad else out,
+                                   np.float32))
+        return np.concatenate(outs)
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        return np.argmax(self.logits(images), axis=-1)

@@ -41,3 +41,19 @@ def test_export_modes(tmp_path, monkeypatch):
                               cara_cfg=cara_cfg)
     got = vit_lib.vit_forward(merged_params, x, cfg)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-4)
+
+    # stablehlo export: self-contained artifact, padding path, logits parity
+    from cara_tpu.serving import ExportedPredictor
+
+    out_s = str(tmp_path / "model.stablehlo")
+    export_cli.main(["--ckpt", src, "--out", out_s, "--mode", "stablehlo",
+                     "--model", "vit_tiny_test", "--batch-size", "4",
+                     "--dtype", "float32", "--platforms", "cpu"])
+    ep = ExportedPredictor.from_file(out_s)
+    assert ep.batch_size == 4 and ep.image_size == cfg.image_size
+    imgs = np.asarray(jax.random.normal(jax.random.key(4), (6, 32, 32, 3)),
+                      np.float32)  # 6 = one full batch + a padded tail
+    ref = vit_lib.vit_forward(params, imgs, cfg, cara_params=cara_params,
+                              cara_cfg=cara_cfg)
+    np.testing.assert_allclose(ep.logits(imgs), np.asarray(ref), atol=2e-4)
+    assert ep.predict(imgs).shape == (6,)
