@@ -19,7 +19,17 @@ from cara_tpu.serving import Predictor
 def parse_args(argv=None):
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    p.add_argument("--ckpt", required=True, type=str)
+    p.add_argument("--ckpt", required=True, action="append",
+                   help="Checkpoint (.npz). Repeatable — with several, "
+                        "serves ALL of them over ONE shared frozen "
+                        "backbone (stacked ~100KB adapters, one compiled "
+                        "executable; route requests with POST "
+                        "/predict?task=<name>). 'name=path' names a "
+                        "task; default name = checkpoint meta dataset "
+                        "or the file stem")
+    p.add_argument("--backbone", default=None, type=str,
+                   help="Pretrained npz for the shared backbone when all "
+                        "--ckpt files are adapter-only")
     p.add_argument("--model", default="vit_base_patch16_224_in21k")
     p.add_argument("--num-classes", default=None, type=int)
     p.add_argument("--scale", default=None, type=float,
@@ -39,12 +49,46 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _task_name(spec: str) -> tuple:
+    """'name=path' -> (name, path); bare path -> (meta-or-stem, path)."""
+    import json
+    import os
+
+    import numpy as np
+
+    if "=" in spec:
+        return tuple(spec.split("=", 1))
+    name = None
+    try:
+        with np.load(spec) as z:
+            if "__meta__" in z.files:
+                name = json.loads(
+                    bytes(z["__meta__"].tolist()).decode()).get("dataset")
+    except Exception:
+        pass
+    return (name or os.path.splitext(os.path.basename(spec))[0], spec)
+
+
 def main(argv=None):
     args = parse_args(argv)
-    pred = Predictor.from_checkpoint_auto(
-        args.ckpt, args.model, num_classes=args.num_classes,
-        scale=args.scale, merge=not args.no_merge,
-        batch_size=args.max_batch, quantize=args.quantize)
+    if len(args.ckpt) > 1:
+        if args.quantize or args.no_merge:
+            raise SystemExit("--quantize/--no-merge are single-task "
+                             "options (multi-task serving runs the "
+                             "shared-backbone adapter path)")
+        from cara_tpu.serving import MultiTaskPredictor
+
+        ckpts = dict(_task_name(c) for c in args.ckpt)
+        pred = MultiTaskPredictor.from_checkpoints(
+            ckpts, args.model, backbone=args.backbone,
+            batch_size=args.max_batch)
+        print(f"multi-task: {len(ckpts)} adapters over one backbone "
+              f"({', '.join(ckpts)})", flush=True)
+    else:
+        pred = Predictor.from_checkpoint_auto(
+            args.ckpt[0], args.model, num_classes=args.num_classes,
+            scale=args.scale, merge=not args.no_merge,
+            batch_size=args.max_batch, quantize=args.quantize)
 
     from cara_tpu.server import InferenceServer
 

@@ -41,7 +41,6 @@ from typing import List, Optional
 import numpy as np
 
 from cara_tpu.data.vtab import normalize
-from cara_tpu.serving import Predictor
 
 
 def decode_image_bytes(data: bytes, image_size: int) -> np.ndarray:
@@ -155,19 +154,29 @@ class InferenceServer:
 
     Endpoints:
       ``POST /predict``  image bytes -> ``{"class", "classes", "scores",
-                         "batched_with", "latency_ms"}``
-      ``GET /healthz``   liveness + model info
-      ``GET /stats``     batcher counters (occupancy, latency)
+                         "batched_with", "latency_ms"}``; with a
+                         :class:`~cara_tpu.serving.MultiTaskPredictor`,
+                         ``POST /predict?task=<name>`` routes to that
+                         task's adapter (batches coalesce per task — one
+                         shared backbone, one executable for all tasks)
+      ``GET /healthz``   liveness + model info (+ served task names)
+      ``GET /stats``     batcher counters (occupancy, latency), per task
     """
 
-    def __init__(self, predictor: Predictor, *, host: str = "127.0.0.1",
+    def __init__(self, predictor, *, host: str = "127.0.0.1",
                  port: int = 0, max_wait_ms: float = 2.0, top: int = 5):
         self._pred = predictor
         self._top = top
-        self.batcher = MicroBatcher(
-            predictor.logits, predictor.batch_size, max_wait_ms)
+        tasks = list(getattr(predictor, "names", []) or [None])
+        self.batchers = {}
+        for t in tasks:
+            fn = (predictor.logits if t is None
+                  else (lambda imgs, _t=t: predictor.logits(imgs, _t)))
+            self.batchers[t] = MicroBatcher(
+                fn, predictor.batch_size, max_wait_ms)
+        self.batcher = next(iter(self.batchers.values()))  # default route
+        batchers = self.batchers
         image_size = predictor.cfg.image_size
-        batcher = self.batcher
 
         outer = self
 
@@ -187,19 +196,43 @@ class InferenceServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._json(200, {
+                    info = {
                         "status": "ok",
                         "image_size": image_size,
-                        "max_batch": batcher.max_batch})
+                        "max_batch": outer.batcher.max_batch}
+                    if None not in batchers:
+                        info["tasks"] = list(batchers)
+                    self._json(200, info)
                 elif self.path == "/stats":
-                    self._json(200, batcher.snapshot())
+                    if None in batchers:
+                        self._json(200, outer.batcher.snapshot())
+                    else:
+                        self._json(200, {t: b.snapshot()
+                                         for t, b in batchers.items()})
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/predict":
-                    self._json(404, {"error": f"no route {self.path}"})
+                from urllib.parse import parse_qs, urlparse
+
+                url = urlparse(self.path)
+                if url.path != "/predict":
+                    self._json(404, {"error": f"no route {url.path}"})
                     return
+                task = parse_qs(url.query).get("task", [None])[0]
+                if None in batchers:       # single-task predictor
+                    batcher = batchers[None]
+                elif task is None:
+                    self._json(400, {"error": "multi-task server: pass "
+                                     "?task=<name>",
+                                     "tasks": list(batchers)})
+                    return
+                elif task not in batchers:
+                    self._json(404, {"error": f"unknown task {task!r}",
+                                     "tasks": list(batchers)})
+                    return
+                else:
+                    batcher = batchers[task]
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     img = decode_image_bytes(self.rfile.read(n), image_size)
@@ -241,4 +274,5 @@ class InferenceServer:
         self._httpd.server_close()
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=5)
-        self.batcher.close()
+        for b in self.batchers.values():
+            b.close()

@@ -162,6 +162,156 @@ class Predictor:
 
 
 # ---------------------------------------------------------------------------
+# Multi-task serving: one backbone, N adapters, one executable.
+
+
+class MultiTaskPredictor:
+    """Serve N task adapters over ONE shared frozen backbone.
+
+    TPU-native economics: the ViT-B backbone is ~330 MB in HBM while a
+    CaRA adapter + head is ~100 KB-3 MB, so serving all 19 VTAB tasks as
+    merged models would cost 19x the backbone; this class keeps ONE
+    backbone resident plus T stacked adapters and selects the task with a
+    **traced** index operand — a single compiled executable serves every
+    task (same trick as the padded-head sweep: nothing re-specializes the
+    jit).  The reference has no serving surface at all (``--evaluate``
+    only, vit_cp.py:109-114); this is the deployment analog of
+    ``train/task_parallel.py``'s stacked-adapter training.
+
+    Constraints: all adapters must share the backbone geometry, CP rank
+    and CP order (they may differ in delta scale, head width and class
+    count — heads are zero-padded to the widest and logits sliced back).
+    """
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: ViTConfig,
+        tasks: "Dict[str, Dict[str, Any]]",
+        *,
+        batch_size: int = 64,
+        dtype=jnp.bfloat16,
+    ):
+        """``tasks``: ordered ``{name: {"cara": pytree, "head": {kernel,
+        bias}, "scale": float, "cp_order": int}}``."""
+        import dataclasses
+
+        if not tasks:
+            raise ValueError("no tasks given")
+        names = list(tasks)
+        ranks = {int(t["cara"]["R1"].shape[0]) for t in tasks.values()}
+        orders = {int(t.get("cp_order", 4)) for t in tasks.values()}
+        if len(ranks) != 1 or len(orders) != 1:
+            raise ValueError(
+                f"adapters must share CP rank/order to stack; got ranks="
+                f"{sorted(ranks)} orders={sorted(orders)}")
+        self._num_classes = {
+            n: int(t["head"]["kernel"].shape[-1]) for n, t in tasks.items()}
+        cmax = max(self._num_classes.values())
+
+        def pad_head(h):
+            k, b = np.asarray(h["kernel"]), np.asarray(h["bias"])
+            pk = np.zeros((k.shape[0], cmax), k.dtype)
+            pk[:, :k.shape[1]] = k
+            pb = np.zeros((cmax,), b.dtype)
+            pb[:b.shape[0]] = b
+            return pk, pb
+
+        heads = [pad_head(t["head"]) for t in tasks.values()]
+        hk = jnp.asarray(np.stack([h[0] for h in heads]), dtype)
+        hb = jnp.asarray(np.stack([h[1] for h in heads]), dtype)
+        stacked_cara = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack([jnp.asarray(x, dtype) for x in ls]),
+            *[t["cara"] for t in tasks.values()])
+        scales = jnp.asarray([float(t["scale"]) for t in tasks.values()],
+                             jnp.float32)
+        base = {k: v for k, v in params.items() if k != "head"}
+        base = cast_floating(base, dtype)
+        cfg = dataclasses.replace(cfg, num_classes=cmax)
+        cara_cfg = CaraConfig(rank=ranks.pop(), scale=1.0,
+                              cp_order=orders.pop())
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.names = names
+        self._tid = {n: i for i, n in enumerate(names)}
+        self._dtype = dtype
+
+        def fwd(x, tid):
+            cara = jax.tree_util.tree_map(lambda a: a[tid], stacked_cara)
+            p = dict(base, head={"kernel": hk[tid], "bias": hb[tid]})
+            return vit_forward(
+                p, x.astype(dtype), cfg, cara_params=cara,
+                cara_cfg=cara_cfg, train=False,
+                scale_override=scales[tid]).astype(jnp.float32)
+
+        self._fwd = jax.jit(fwd)
+
+    @classmethod
+    def from_checkpoints(cls, ckpts: "Dict[str, str]", model,
+                         backbone: Optional[str] = None, **kw):
+        """``ckpts``: {task_name: path} of full and/or adapter-only
+        ``.npz`` checkpoints.  ``model``: registry name or a ViTConfig.
+        The shared backbone comes from ``backbone`` (npz) or the first
+        full checkpoint; every checkpoint must record its delta scale
+        (per-task scales span 0.1-100)."""
+        from cara_tpu.config import get_model_config
+        from cara_tpu.models import npz as npz_lib
+        from cara_tpu.train.checkpoint import (
+            is_adapter_checkpoint, load_adapter, load_model)
+
+        params = None
+        tasks: Dict[str, Dict[str, Any]] = {}
+        for name, path in ckpts.items():
+            if is_adapter_checkpoint(path):
+                cara, head, meta = load_adapter(path)
+            else:
+                full, cara, meta = load_model(path)
+                head = full.get("head")
+                if params is None:
+                    params = full
+            if cara is None or head is None:
+                raise ValueError(f"{path}: need an adapter + head for "
+                                 f"task {name!r}")
+            if "scale" not in meta:
+                raise ValueError(f"{path}: checkpoint records no delta "
+                                 "scale — re-export with meta or use "
+                                 "single-task Predictor(scale=...)")
+            tasks[name] = {"cara": cara, "head": head,
+                           "scale": float(meta["scale"]),
+                           "cp_order": int(meta.get("cp_order", 4))}
+        cfg = (model if isinstance(model, ViTConfig)
+               else get_model_config(model, num_classes=0))
+        if params is None:
+            if backbone is None:
+                raise ValueError(
+                    "all checkpoints are adapter-only; pass backbone= "
+                    "(the pretrained npz) for the shared frozen weights")
+            params = npz_lib.load_npz_backbone(backbone, cfg, jnp.float32)
+            params = npz_lib.maybe_resize_pos_embed(params, cfg)
+        return cls(params, cfg, tasks, **kw)
+
+    def logits(self, images: np.ndarray, task: str) -> np.ndarray:
+        """(N, S, S, C) -> (N, num_classes[task]); any N."""
+        tid = jnp.int32(self._tid[task])
+        n = len(images)
+        bs = self.batch_size
+        outs = []
+        for start in range(0, n, bs):
+            chunk = images[start:start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            out = self._fwd(jnp.asarray(chunk, self._dtype), tid)
+            outs.append(np.asarray(out[:bs - pad] if pad else out,
+                                   np.float32))
+        return np.concatenate(outs)[:, :self._num_classes[task]]
+
+    def predict(self, images: np.ndarray, task: str) -> np.ndarray:
+        return np.argmax(self.logits(images, task), axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Portable serialized artifacts (jax.export / StableHLO).
 #
 # Deployment story beyond the in-process ``Predictor``: bake the (merged)

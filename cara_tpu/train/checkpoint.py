@@ -100,6 +100,14 @@ def save_adapter(
     np.savez(path, **flat)
 
 
+def is_adapter_checkpoint(path: str) -> bool:
+    """True for adapter-only artifacts (a ``cara/`` subtree but no
+    ``params/`` backbone)."""
+    with np.load(path) as z:
+        return (any(k.startswith("cara/") for k in z.files)
+                and not any(k.startswith("params/") for k in z.files))
+
+
 def load_adapter(path: str) -> Tuple[Dict, Optional[Dict], Dict]:
     z = np.load(path)
     flat = {k: z[k] for k in z.files if k != "__meta__"}

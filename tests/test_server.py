@@ -108,6 +108,54 @@ def test_deterministic_vs_predictor(server):
         assert status == 200 and body["class"] == direct
 
 
+def test_multitask_server_routing():
+    """Multi-task server: ?task= routes to the right adapter, missing /
+    unknown task are 400/404, healthz lists tasks, stats are per-task."""
+    from cara_tpu.serving import MultiTaskPredictor
+
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=6, seed=0)
+    import jax
+
+    cara2 = dict(model.cara_params)
+    cara2["A2"] = 0.05 * jax.random.normal(
+        jax.random.key(9), cara2["A2"].shape)
+    head_in = model.params["head"]["kernel"].shape[0]
+    head2 = {"kernel": 0.1 * np.random.RandomState(0)
+             .randn(head_in, 3).astype(np.float32),
+             "bias": np.zeros(3, np.float32)}
+    mp = MultiTaskPredictor(
+        model.params, model.cfg,
+        {"a": {"cara": model.cara_params, "head": model.params["head"],
+               "scale": 1.0},
+         "b": {"cara": cara2, "head": head2, "scale": 2.0}},
+        batch_size=4, dtype=np.float32)
+    srv = InferenceServer(mp, port=0, max_wait_ms=1.0, top=2).start()
+    try:
+        status, body = _get(srv.port, "/healthz")
+        assert status == 200 and body["tasks"] == ["a", "b"]
+        png = _png_bytes(7)
+        status, body = _post(srv.port, png)           # no task
+        assert status == 400 and body["tasks"] == ["a", "b"]
+        status, body = _post(srv.port, png, "/predict?task=zzz")
+        assert status == 404
+        status, ba = _post(srv.port, png, "/predict?task=a")
+        status2, bb = _post(srv.port, png, "/predict?task=b")
+        assert status == 200 and status2 == 200
+        assert 0 <= ba["class"] < 6 and 0 <= bb["class"] < 3
+        # parity with direct MultiTaskPredictor calls
+        from cara_tpu.server import decode_image_bytes
+
+        img = decode_image_bytes(png, model.cfg.image_size)
+        assert ba["class"] == int(mp.predict(img[None], "a")[0])
+        assert bb["class"] == int(mp.predict(img[None], "b")[0])
+        status, stats = _get(srv.port, "/stats")
+        assert set(stats) == {"a", "b"}
+        assert stats["a"]["requests"] == 1 and stats["b"]["requests"] == 1
+    finally:
+        srv.close()
+
+
 def test_batcher_error_resolves_futures():
     def boom(xs):
         raise RuntimeError("device on fire")

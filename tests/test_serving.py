@@ -51,6 +51,55 @@ def test_from_checkpoint(setup, tmp_path):
     np.testing.assert_allclose(pred.logits(imgs), ref.logits(imgs), atol=2e-4)
 
 
+def test_multitask_matches_single(setup, tmp_path):
+    """One backbone + stacked adapters with a traced task id reproduces
+    each per-task Predictor exactly (incl. per-task scale + ragged class
+    counts via head padding)."""
+    import dataclasses
+
+    from cara_tpu.serving import MultiTaskPredictor
+
+    cfg, cara_cfg, params, cara_params = setup
+    cara2 = cara_lib.init_cara_params(jax.random.key(5), cfg, cara_cfg)
+    cara2["A2"] = 0.03 * jax.random.normal(
+        jax.random.key(6), cara2["A2"].shape)
+    head2 = {"kernel": 0.1 * jax.random.normal(jax.random.key(7), (64, 4)),
+             "bias": 0.1 * jax.random.normal(jax.random.key(8), (4,))}
+    scale2 = 0.25
+    tasks = {
+        "a": {"cara": cara_params, "head": params["head"],
+              "scale": cara_cfg.scale, "cp_order": 4},
+        "b": {"cara": cara2, "head": head2, "scale": scale2, "cp_order": 4},
+    }
+    mp = MultiTaskPredictor(params, cfg, tasks, batch_size=4,
+                            dtype=np.float32)
+    imgs = np.random.RandomState(2).randn(6, 16, 16, 3).astype(np.float32)
+
+    ref_a = Predictor(params, cfg, cara_params=cara_params,
+                      cara_cfg=cara_cfg, merge=False, batch_size=4,
+                      dtype=np.float32)
+    cfg_b = dataclasses.replace(cfg, num_classes=4)
+    ref_b = Predictor({**params, "head": head2}, cfg_b, cara_params=cara2,
+                      cara_cfg=dataclasses.replace(cara_cfg, scale=scale2),
+                      merge=False, batch_size=4, dtype=np.float32)
+    la, lb = mp.logits(imgs, "a"), mp.logits(imgs, "b")
+    assert la.shape == (6, 6) and lb.shape == (6, 4)
+    np.testing.assert_allclose(la, ref_a.logits(imgs), atol=2e-4)
+    np.testing.assert_allclose(lb, ref_b.logits(imgs), atol=2e-4)
+
+    # from_checkpoints: full ckpt for "a", adapter-only for "b".
+    pa = str(tmp_path / "a.npz")
+    pb = str(tmp_path / "b_adapter.npz")
+    ckpt_lib.save_model(pa, params, cara_params,
+                        {"scale": cara_cfg.scale, "cp_order": 4})
+    ckpt_lib.save_adapter(pb, cara2, head2,
+                          {"scale": scale2, "cp_order": 4})
+    mp2 = MultiTaskPredictor.from_checkpoints(
+        {"a": pa, "b": pb}, cfg, batch_size=4, dtype=np.float32)
+    np.testing.assert_allclose(mp2.logits(imgs, "b"), lb, atol=1e-5)
+    assert mp2.predict(imgs, "a").shape == (6,)
+
+
 def test_predict_iter(setup):
     import jax.numpy as jnp
     from cara_tpu.data.vtab import synthetic_source, BatchLoader
