@@ -146,6 +146,13 @@ MODEL_REGISTRY = {
     ),
     "vit_small_patch16_224_in21k": ViTConfig(
         embed_dim=384, depth=12, num_heads=6, repr_size=384),
+    # High-resolution fine-tune from the same ViT-B_16.npz (pos-embed is
+    # bicubic-resized 14x14 -> 24x24 on load, npz.maybe_resize_pos_embed);
+    # 577 tokens — past the full-score VMEM cap, so the blockwise
+    # online-softmax attention path auto-engages.
+    "vit_base_patch16_384_in21k": ViTConfig(image_size=384),
+    "vit_base_patch16_384": ViTConfig(
+        image_size=384, repr_size=None, num_classes=1000),
     "vit_base_patch32_224_in21k": ViTConfig(patch_size=32),
     "vit_tiny_patch16_224_in21k": ViTConfig(
         embed_dim=192, depth=12, num_heads=3, repr_size=192),

@@ -203,3 +203,17 @@ def test_activation_dropout_is_live(tiny):
     # And train mode without an rng must refuse, not silently no-op.
     with pytest.raises(ValueError, match="requires an rng"):
         vit_lib.vit_forward(params, x, cfg_d, train=True)
+
+
+def test_registry_384_resolution_entries():
+    """384-res fine-tune entries: 24x24 grid + cls = 577 tokens; the CaRA
+    factor shapes are resolution-independent (geometry-derived, not
+    sequence-derived), so the same adapter rank table applies."""
+    from cara_tpu.config import get_model_config
+
+    cfg = get_model_config("vit_base_patch16_384_in21k")
+    assert cfg.image_size == 384 and cfg.grid_size == 24
+    assert cfg.seq_len == 577
+    cp = cara_lib.init_cara_params(jax.random.key(0), cfg, CaraConfig(rank=2))
+    assert cp["A1"].shape == (36, 2) and cp["P1"].shape == (108, 2)
+    assert get_model_config("vit_base_patch16_384").num_classes == 1000
