@@ -31,15 +31,17 @@ from cara_tpu.train import steps as steps_lib  # noqa: E402
 
 BS = int(os.environ.get("CARA_PROBE_BS", "64"))
 WD_IMPL = os.environ.get("CARA_PROBE_WD", "element")
+MODEL = os.environ.get("CARA_PROBE_MODEL", "vit_base_patch16_224_in21k")
 
 
 def build(delta_impl="factorized"):
     model = api.build_model(
-        "vit_base_patch16_224_in21k", rank=8, num_classes=100, seed=0,
+        MODEL, rank=8, num_classes=100, seed=0,
         delta_impl=delta_impl, weight_dropout_impl=WD_IMPL)
+    s = model.cfg.image_size
     p = steps_lib.cast_floating(model.params, jnp.bfloat16)
     c = steps_lib.cast_floating(model.cara_params, jnp.bfloat16)
-    x = jax.random.normal(jax.random.key(1), (BS, 224, 224, 3), jnp.bfloat16)
+    x = jax.random.normal(jax.random.key(1), (BS, s, s, 3), jnp.bfloat16)
     y = jax.random.randint(jax.random.key(2), (BS,), 0, 100)
     return model, p, c, x, y
 
