@@ -3,13 +3,22 @@
 
 PY ?= python
 
-.PHONY: test test-fast lint native bench clean hooks
+.PHONY: test test-fast test-smoke lint native bench clean hooks
 
 test:
 	$(PY) -m pytest tests/ -x -q
 
 test-fast:
 	$(PY) -m pytest tests/ -x -q -k "not e2e"
+
+# Commit-gate subset (~2 min on one CPU): core math, init-scheme,
+# io/checkpoint, merge exactness, padded-class masking, and the linter's
+# own tests.  The full suite (28 min on this host: megakernel parity,
+# multihost, CLI e2e) runs in CI / `make test`.
+test-smoke:
+	$(PY) -m pytest tests/test_cp_math.py tests/test_init_stats.py \
+		tests/test_io.py tests/test_merge.py tests/test_lint.py \
+		tests/test_pad_classes.py -x -q
 
 lint:
 	$(PY) -m compileall -q cara_tpu tests benchmarks tools bench.py __graft_entry__.py
