@@ -116,6 +116,72 @@ def test_gradients_match_torch(impl):
             rtol=1e-8, atol=1e-13, err_msg=f"head grad {name} ({impl})")
 
 
+@pytest.mark.parametrize("order,impl", [
+    (5, "factorized"), (3, "factorized"), (2, "materialized"),
+])
+def test_gradients_match_torch_other_cp_orders(order, impl):
+    """fp64 gradient parity for the dim_experiment CP-order ablations
+    (``dim_experiment.py:264-346``) — every factor of each order's QKV
+    tensorisation plus the shared P-side and head."""
+    import dataclasses
+
+    import optax
+
+    cfg = ViTConfig(
+        image_size=16, patch_size=8, embed_dim=48, depth=2, num_heads=4,
+        repr_size=40, num_classes=9, drop_path_rate=0.0, mlp_ratio=4)
+    cara_cfg = CaraConfig(rank=5, scale=1.7, l_mu=1.2, l_std=0.1,
+                          weight_dropout=0.0, cp_order=order,
+                          delta_impl=impl)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    k = jax.random.key(2)
+    zero_factor = "A3" if order == 5 else "A2"
+    for name in (zero_factor, "P2", "bias1", "bias2", "bias3"):
+        k, sub = jax.random.split(k)
+        cara[name] = 0.1 * jax.random.normal(sub, cara[name].shape)
+    to64 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: np.asarray(a, np.float64), t)
+    params, cara = to64(jax.device_get(params)), to64(jax.device_get(cara))
+    rng = np.random.RandomState(5)
+    x = rng.randn(4, 16, 16, 3)
+    y = rng.randint(0, 9, size=(4,))
+
+    tparams = to_torch_tree(params)
+    tcara = to_torch_tree(cara, requires_grad=True)
+    for leaf in tparams["head"].values():
+        leaf.requires_grad_(True)
+    loss_t = _torch_loss(tparams, tcara, torch.tensor(x, dtype=torch.float64),
+                         torch.tensor(y), cfg, cara_cfg)
+    loss_t.backward()
+
+    with jax.enable_x64():
+        def loss_fn(trainable):
+            p = dict(params)
+            p["head"] = trainable["head"]
+            logits = vit_lib.vit_forward(
+                p, jnp.asarray(x), cfg, cara_params=trainable["cara"],
+                cara_cfg=cara_cfg, train=False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.asarray(y)).mean()
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(
+            {"cara": cara, "head": params["head"]})
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-12)
+    for name in sorted(tcara):
+        np.testing.assert_allclose(
+            np.asarray(grads["cara"][name]), tcara[name].grad.numpy(),
+            rtol=1e-8, atol=1e-13,
+            err_msg=f"cara grad {name} (order {order}, {impl})")
+    for name in ("kernel", "bias"):
+        np.testing.assert_allclose(
+            np.asarray(grads["head"][name]),
+            tparams["head"][name].grad.numpy(),
+            rtol=1e-8, atol=1e-13, err_msg=f"head grad {name}")
+
+
 def test_adamw_training_dynamics_match_torch():
     from cara_tpu.train import schedule as sched_lib
     from cara_tpu.train import steps as steps_lib

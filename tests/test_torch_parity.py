@@ -71,10 +71,31 @@ def torch_reference_logits(tparams, tcara, x, cfg, cara_cfg):
         return th.nn.functional.layer_norm(
             v, (e,), t(scale), t(bias), eps=cfg.layernorm_eps)
 
-    A1, A2, A3, A4 = (t(cara[k]) for k in ("A1", "A2", "A3", "A4"))
     P1, P2, P3 = (t(cara[k]) for k in ("P1", "P2", "P3"))
     R1, R2 = t(cara["R1"]), t(cara["R2"])
     b1, b2, b3 = t(cara["bias1"]), t(cara["bias2"]), t(cara["bias3"])
+
+    def qkv_T(li):
+        """This layer's materialized (3, E, E) QKV delta tensor, per CP
+        order (inferred from which A-factors exist): order 4 =
+        ``cara.py:26-32``; orders 5/3/2 = ``dim_experiment.py:264-295``."""
+        A1 = t(cara["A1"])
+        if "A5" in cara:   # order 5: (L, 3, E, H, Dh), 1 A1 row per layer
+            T = th.einsum("r,lr,kr,er,hr,dr->lkehd", R1, A1[li:li + 1],
+                          t(cara["A2"]), t(cara["A3"]), t(cara["A4"]),
+                          t(cara["A5"]))[0]
+            return T.reshape(3, e, e)
+        f1 = A1[3 * li:3 * li + 3]
+        if "A4" in cara:   # order 4 (published method)
+            T = th.einsum("r,kr,er,hr,dr->kehd", R1, f1, t(cara["A2"]),
+                          t(cara["A3"]), t(cara["A4"]))
+            return T.reshape(3, e, e)
+        if "A3" in cara:   # order 3: (3L, E, E)
+            return th.einsum("r,kr,er,fr->kef", R1, f1, t(cara["A2"]),
+                             t(cara["A3"]))
+        # order 2: (3L, E*E)
+        return th.einsum("r,kr,mr->km", R1, f1,
+                         t(cara["A2"])).reshape(3, e, e)
 
     L = cfg.depth
     bp = params["blocks"]
@@ -82,10 +103,8 @@ def torch_reference_logits(tparams, tcara, x, cfg, cara_cfg):
     for li in range(L):
         hin = ln(x, bp["ln1_scale"][li], bp["ln1_bias"][li])
         qkv = hin @ t(bp["qkv"]["kernel"][li]) + t(bp["qkv"]["bias"][li])
-        # 4-way CP delta, materialized exactly like cara.py:26-35.
-        f1 = A1[3 * li:3 * li + 3]
-        T = th.einsum("r,kr,er,hr,dr->kehd", R1, f1, A2, A3, A4)
-        T = T.reshape(3, e, e)
+        # CP delta, materialized exactly like cara.py:26-35 (order per qkv_T).
+        T = qkv_T(li)
         delta = th.einsum("bne,keo->bnko", hin, T)     # (B,N,3,E)
         qkv = qkv.reshape(b, n, 3, h, d) + delta.reshape(b, n, 3, h, d) * s
         q, k, v = (qkv[:, :, i].transpose(1, 2) for i in range(3))
@@ -147,3 +166,39 @@ def test_forward_matches_torch_reference_math():
             cara_params=cara,
             cara_cfg=dataclasses.replace(cara_cfg, delta_impl=impl))
         np.testing.assert_allclose(np.asarray(got), want, atol=5e-4), impl
+
+
+@pytest.mark.parametrize("order,impl", [
+    (5, "factorized"), (5, "materialized"),
+    (3, "factorized"), (3, "materialized"),
+    (2, "materialized"),   # order 2 has no rank-space contraction
+])
+def test_forward_matches_torch_other_cp_orders(order, impl):
+    """dim_experiment's order-2/3/5 tensorisations vs the torch replica
+    (reference: ``dim_experiment.py:264-295`` factor tables + private
+    forwards)."""
+    import dataclasses
+
+    cfg = ViTConfig(
+        image_size=16, patch_size=8, embed_dim=48, depth=3, num_heads=4,
+        repr_size=40, num_classes=9, drop_path_rate=0.0, mlp_ratio=4)
+    cara_cfg = CaraConfig(rank=5, scale=1.7, l_mu=1.2, l_std=0.1,
+                          cp_order=order, delta_impl=impl)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    # Non-trivial values in every zero-initialized leaf (the zeroed
+    # "embed/contract" factor differs per order: A3 at order 5, A2 else).
+    k = jax.random.key(2)
+    zero_factor = "A3" if order == 5 else "A2"
+    for name in (zero_factor, "P2", "bias1", "bias2", "bias3"):
+        k, sub = jax.random.split(k)
+        cara[name] = 0.1 * jax.random.normal(sub, cara[name].shape)
+
+    x_np = np.asarray(
+        jax.random.normal(jax.random.key(3), (2, 16, 16, 3)), np.float64)
+    want = torch_reference_forward(
+        jax.device_get(params), jax.device_get(cara), x_np, cfg, cara_cfg)
+    got = vit_lib.vit_forward(
+        params, jnp.asarray(x_np, jnp.float32), cfg,
+        cara_params=cara, cara_cfg=cara_cfg)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
