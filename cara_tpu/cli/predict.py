@@ -23,7 +23,11 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("images", nargs="+", help="Image files (jpeg/png)")
-    p.add_argument("--ckpt", required=True, type=str)
+    p.add_argument("--ckpt", default=None, type=str)
+    p.add_argument("--exported", default=None, type=str,
+                   help="Serialized StableHLO artifact (export --mode "
+                        "stablehlo) instead of --ckpt: weights embedded, "
+                        "no model config needed")
     p.add_argument("--model", default="vit_base_patch16_224_in21k")
     p.add_argument("--num-classes", default=None, type=int,
                    help="Override (default: inferred from the checkpoint)")
@@ -39,14 +43,22 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    try:
-        pred = Predictor.from_checkpoint_auto(
-            args.ckpt, args.model, num_classes=args.num_classes,
-            scale=args.scale, merge=not args.no_merge,
-            batch_size=args.batch_size)
-    except ValueError as exc:  # e.g. missing delta scale
-        raise SystemExit(str(exc))
-    cfg = pred.cfg
+    if (args.ckpt is None) == (args.exported is None):
+        raise SystemExit("pass exactly one of --ckpt / --exported")
+    if args.exported:
+        from cara_tpu.serving import ExportedPredictor
+
+        pred = ExportedPredictor.from_file(args.exported)
+        image_size = pred.image_size
+    else:
+        try:
+            pred = Predictor.from_checkpoint_auto(
+                args.ckpt, args.model, num_classes=args.num_classes,
+                scale=args.scale, merge=not args.no_merge,
+                batch_size=args.batch_size)
+        except ValueError as exc:  # e.g. missing delta scale
+            raise SystemExit(str(exc))
+        image_size = pred.cfg.image_size
 
     # Decode with the data pipeline (native loader if available).
     from cara_tpu.data.vtab import _load_image_pil, normalize
@@ -54,11 +66,11 @@ def main(argv=None):
     try:
         from cara_tpu.data.native import NativeBatchDecoder
 
-        dec = NativeBatchDecoder(cfg.image_size)
+        dec = NativeBatchDecoder(image_size)
         imgs = dec.decode_batch(list(args.images))
     except Exception:
         imgs = np.stack([
-            normalize(_load_image_pil(p, cfg.image_size))
+            normalize(_load_image_pil(p, image_size))
             for p in args.images])
 
     logits = pred.logits(imgs)

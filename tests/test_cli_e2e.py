@@ -149,6 +149,17 @@ def test_predict_cli(tmp_path):
     assert len(results) == 3
     assert all(len(r["classes"]) == 2 for r in results)
 
+    # Same images through a serialized StableHLO artifact: identical top-1.
+    from cara_tpu.cli import export as export_cli
+
+    hlo = str(tmp_path / "m.hlo")
+    export_cli.main(["--ckpt", ckpts[0], "--out", hlo, "--mode", "stablehlo",
+                     "--model", "vit_tiny_test", "--batch-size", "2",
+                     "--dtype", "float32", "--platforms", "cpu"])
+    results2 = predict_cli.main(paths + ["--exported", hlo, "--top", "2"])
+    assert [r["classes"][0] for r in results2] == \
+        [r["classes"][0] for r in results]
+
 
 def test_vit_cp_fused_tp_mesh(tmp_path):
     """--mesh 4,2 with fused impls drives the fused-TP path through the
