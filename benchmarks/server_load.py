@@ -42,7 +42,7 @@ def make_jpegs(n: int, size: int) -> list:
 
 
 def run_level(port: int, bodies: list, concurrency: int,
-              seconds: float) -> dict:
+              seconds: float, paths=("/predict",)) -> dict:
     stop = time.perf_counter() + seconds
     lats, lock = [], threading.Lock()
 
@@ -51,10 +51,11 @@ def run_level(port: int, bodies: list, concurrency: int,
         local = []
         while time.perf_counter() < stop:
             body = bodies[i % len(bodies)]
+            path = paths[i % len(paths)]
             i += concurrency
             t0 = time.perf_counter()
             req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/predict", data=body,
+                f"http://127.0.0.1:{port}{path}", data=body,
                 method="POST")
             with urllib.request.urlopen(req, timeout=60) as r:
                 json.loads(r.read())
@@ -91,27 +92,54 @@ def main():
     p.add_argument("--seconds", default=10.0, type=float)
     p.add_argument("--images", default=64, type=int,
                    help="distinct pre-encoded JPEG bodies")
+    p.add_argument("--tasks", default=1, type=int,
+                   help=">1: serve N adapters over one shared backbone "
+                        "(MultiTaskPredictor); clients round-robin "
+                        "?task=tI. Measures the per-task batching "
+                        "dilution of multi-task serving under load")
     args = p.parse_args()
 
+    import jax
+
     from cara_tpu import api
-    from cara_tpu.serving import Predictor
+    from cara_tpu.serving import MultiTaskPredictor, Predictor
     from cara_tpu.server import InferenceServer
 
     model = api.build_model(args.model, rank=args.rank, scale=1.0,
                             num_classes=100, seed=0)
-    pred = Predictor(model.params, model.cfg, cara_params=model.cara_params,
-                     cara_cfg=model.cara_cfg, merge=True,
-                     batch_size=args.max_batch)
+    if args.tasks > 1:
+        from cara_tpu.models import cara as cara_lib
+
+        tasks = {}
+        for i in range(args.tasks):
+            cara_i = (model.cara_params if i == 0 else
+                      cara_lib.init_cara_params(
+                          jax.random.key(100 + i), model.cfg,
+                          model.cara_cfg))
+            tasks[f"t{i}"] = {"cara": cara_i, "head": model.params["head"],
+                              "scale": 1.0}
+        pred = MultiTaskPredictor(model.params, model.cfg, tasks,
+                                  batch_size=args.max_batch)
+        paths = tuple(f"/predict?task=t{i}" for i in range(args.tasks))
+    else:
+        pred = Predictor(model.params, model.cfg,
+                         cara_params=model.cara_params,
+                         cara_cfg=model.cara_cfg, merge=True,
+                         batch_size=args.max_batch)
+        paths = ("/predict",)
     srv = InferenceServer(pred, port=0, max_wait_ms=args.max_wait_ms).start()
     bodies = make_jpegs(args.images, model.cfg.image_size)
 
     # Warm the compiled batch path before measuring.
-    run_level(srv.port, bodies, min(4, args.concurrency[-1]), 2.0)
+    run_level(srv.port, bodies, min(4, args.concurrency[-1]), 2.0, paths)
 
     try:
         for c in args.concurrency:
-            row = run_level(srv.port, bodies, c, args.seconds)
-            row["batcher"] = srv.batcher.snapshot()
+            row = run_level(srv.port, bodies, c, args.seconds, paths)
+            row["tasks"] = args.tasks
+            row["batcher"] = (srv.batcher.snapshot() if args.tasks == 1 else
+                              {t: b.snapshot()
+                               for t, b in srv.batchers.items()})
             print(json.dumps(row), flush=True)
     finally:
         srv.close()
