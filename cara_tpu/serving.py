@@ -191,9 +191,12 @@ class MultiTaskPredictor:
         *,
         batch_size: int = 64,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         """``tasks``: ordered ``{name: {"cara": pytree, "head": {kernel,
-        bias}, "scale": float, "cp_order": int}}``."""
+        bias}, "scale": float, "cp_order": int}}``.  ``mesh``: optional
+        device mesh — backbone + stacked adapters replicate, request
+        batches shard over the ``data`` axis (same as ``Predictor``)."""
         import dataclasses
 
         if not tasks:
@@ -235,6 +238,13 @@ class MultiTaskPredictor:
         self.names = names
         self._tid = {n: i for i, n in enumerate(names)}
         self._dtype = dtype
+        self._mesh = mesh
+        if mesh is not None:
+            from cara_tpu.parallel import mesh as mesh_lib
+
+            base, stacked_cara, hk, hb, scales = (
+                mesh_lib.put_replicated(mesh, t)
+                for t in (base, stacked_cara, hk, hb, scales))
 
         def fwd(x, tid):
             cara = jax.tree_util.tree_map(lambda a: a[tid], stacked_cara)
@@ -302,7 +312,12 @@ class MultiTaskPredictor:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            out = self._fwd(jnp.asarray(chunk, self._dtype), tid)
+            x = jnp.asarray(chunk, self._dtype)
+            if self._mesh is not None:
+                from cara_tpu.parallel import mesh as mesh_lib
+
+                x = mesh_lib.put_batch(self._mesh, x)
+            out = self._fwd(x, tid)
             outs.append(np.asarray(out[:bs - pad] if pad else out,
                                    np.float32))
         return np.concatenate(outs)[:, :self._num_classes[task]]

@@ -99,6 +99,14 @@ def test_multitask_matches_single(setup, tmp_path):
     np.testing.assert_allclose(mp2.logits(imgs, "b"), lb, atol=1e-5)
     assert mp2.predict(imgs, "a").shape == (6,)
 
+    # Data-sharded over an 8-virtual-device mesh: identical logits.
+    from cara_tpu.parallel.mesh import make_mesh
+
+    mp3 = MultiTaskPredictor(params, cfg, tasks, batch_size=8,
+                             dtype=np.float32, mesh=make_mesh())
+    np.testing.assert_allclose(mp3.logits(imgs, "a"), la, atol=1e-5)
+    np.testing.assert_allclose(mp3.logits(imgs, "b"), lb, atol=1e-5)
+
 
 def test_predict_iter(setup):
     import jax.numpy as jnp
