@@ -144,6 +144,28 @@ def flops_per_image(cfg, train: bool) -> float:
 V5E_PEAK_BF16 = 197e12  # nominal per-chip bf16 peak
 
 
+def _arm_watchdog(seconds: float) -> None:
+    """Hard-exit with an error JSON line if the bench wedges.
+
+    The TPU here rides a remote tunnel that can hang indefinitely (device
+    dispatch never returns, so no Python-level timeout fires).  A wedged
+    bench must still emit its one-line artifact rather than hang the
+    driver.  Tune via CARA_BENCH_TIMEOUT (seconds; 0 disables)."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "bench watchdog", "value": 0, "unit": "error",
+            "vs_baseline": 0,
+            "error": f"bench did not complete within {seconds:.0f}s — "
+                     "accelerator/tunnel unresponsive"}), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="vit_base_patch16_224_in21k")
@@ -168,6 +190,10 @@ def main():
                         "serving forward")
     p.add_argument("--skip-reference", action="store_true")
     args = p.parse_args()
+
+    timeout = float(os.environ.get("CARA_BENCH_TIMEOUT", "1800"))
+    if timeout > 0:
+        _arm_watchdog(timeout)
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
     if args.mode == "train":
