@@ -97,6 +97,12 @@ def main(argv=None):
     print(f"serving on http://{args.host}:{srv.port}  "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)",
           flush=True)
+    import signal
+
+    def _term(signum, frame):  # k8s/systemd stop -> same path as Ctrl-C
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
