@@ -18,6 +18,8 @@ import numpy as np
 
 from cara_tpu.serving import Predictor
 
+_MODEL_DEFAULT = "vit_base_patch16_224_in21k"
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(
@@ -28,7 +30,7 @@ def parse_args(argv=None):
                    help="Serialized StableHLO artifact (export --mode "
                         "stablehlo) instead of --ckpt: weights embedded, "
                         "no model config needed")
-    p.add_argument("--model", default="vit_base_patch16_224_in21k")
+    p.add_argument("--model", default=_MODEL_DEFAULT)
     p.add_argument("--num-classes", default=None, type=int,
                    help="Override (default: inferred from the checkpoint)")
     p.add_argument("--batch-size", default=64, type=int)
@@ -45,6 +47,14 @@ def main(argv=None):
     args = parse_args(argv)
     if (args.ckpt is None) == (args.exported is None):
         raise SystemExit("pass exactly one of --ckpt / --exported")
+    if args.exported and (
+            args.model != _MODEL_DEFAULT or args.num_classes is not None
+            or args.scale is not None or args.no_merge
+            or args.batch_size != 64):
+        raise SystemExit(
+            "--model/--num-classes/--scale/--no-merge/--batch-size have no "
+            "effect with --exported: the artifact bakes in the merged "
+            "weights, head and batch size at export time")
     if args.exported:
         from cara_tpu.serving import ExportedPredictor
 

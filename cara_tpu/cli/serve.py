@@ -50,13 +50,16 @@ def parse_args(argv=None):
 
 
 def _task_name(spec: str) -> tuple:
-    """'name=path' -> (name, path); bare path -> (meta-or-stem, path)."""
+    """'name=path' -> (name, path); bare path -> (meta-or-stem, path).
+
+    A bare path that happens to contain '=' (e.g. runs/lr=1e-3/best.npz)
+    is recognized by existing on disk and never split."""
     import json
     import os
 
     import numpy as np
 
-    if "=" in spec:
+    if "=" in spec and not os.path.exists(spec):
         return tuple(spec.split("=", 1))
     name = None
     try:
@@ -76,9 +79,20 @@ def main(argv=None):
             raise SystemExit("--quantize/--no-merge are single-task "
                              "options (multi-task serving runs the "
                              "shared-backbone adapter path)")
+        if args.scale is not None or args.num_classes is not None:
+            raise SystemExit("--scale/--num-classes are single-task "
+                             "options; per-task scale/head come from each "
+                             "checkpoint's meta in multi-task mode")
         from cara_tpu.serving import MultiTaskPredictor
 
-        ckpts = dict(_task_name(c) for c in args.ckpt)
+        named = [_task_name(c) for c in args.ckpt]
+        ckpts = dict(named)
+        if len(ckpts) != len(named):
+            dupes = sorted({n for n, _ in named
+                            if sum(1 for m, _ in named if m == n) > 1})
+            raise SystemExit(
+                f"duplicate task name(s) {dupes} — disambiguate with "
+                "explicit name=path specs")
         pred = MultiTaskPredictor.from_checkpoints(
             ckpts, args.model, backbone=args.backbone,
             batch_size=args.max_batch)

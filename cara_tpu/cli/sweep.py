@@ -115,8 +115,8 @@ def run_task(task: str, args, results: dict,
     # — reuse the jitted step functions across tasks keyed on it.
     train_step = eval_step = None
     if args.pad_classes and step_cache is not None:
-        key = (hp.weight_dropout,)
-        if key not in step_cache:
+        cache_key = (hp.weight_dropout,)
+        if cache_key not in step_cache:
             mesh = common.resolve_mesh(args.mesh)
             cd = common.resolve_dtype(args.dtype)
             ts = jax.jit(
@@ -130,8 +130,8 @@ def run_task(task: str, args, results: dict,
                 steps_lib.make_eval_step(
                     model.cfg, model.cara_cfg, compute_dtype=cd, mesh=mesh,
                     attn_impl=args.attn_impl, dense_impl=args.dense_impl))
-            step_cache[key] = (ts, es)
-        train_step, eval_step = step_cache[key]
+            step_cache[cache_key] = (ts, es)
+        train_step, eval_step = step_cache[cache_key]
     frozen, state = steps_lib.init_train_state(
         tx, model.params, model.cara_params)
     keeper = ckpt_lib.BestCheckpointKeeper(args.out_dir, task, seed)

@@ -23,6 +23,26 @@ from cara_tpu.models.vit import vit_forward
 from cara_tpu.train.steps import cast_floating
 
 
+def _batched_apply(call, images, batch_size: int) -> np.ndarray:
+    """Shared any-N inference loop: chunk to ``batch_size``, zero-pad the
+    tail, run ``call`` on each full chunk, strip pad rows, concatenate.
+    Every predictor's ``logits`` routes through here."""
+    n = len(images)
+    if n == 0:
+        raise ValueError("no images given")
+    outs = []
+    for start in range(0, n, batch_size):
+        chunk = np.asarray(images[start:start + batch_size])
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        out = call(chunk)
+        outs.append(np.asarray(out[:batch_size - pad] if pad else out,
+                               np.float32))
+    return np.concatenate(outs)
+
+
 class Predictor:
     """Batched image classifier over a merged (or adapter) CaRA model."""
 
@@ -130,24 +150,15 @@ class Predictor:
 
     def logits(self, images: np.ndarray) -> np.ndarray:
         """(N, H, W, C) -> (N, num_classes); any N (internally padded)."""
-        n = len(images)
-        bs = self.batch_size
-        outs = []
-        for start in range(0, n, bs):
-            chunk = images[start:start + bs]
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        def call(chunk):
             x = jnp.asarray(chunk, self._dtype)
             if self._mesh is not None:
                 from cara_tpu.parallel import mesh as mesh_lib
 
                 x = mesh_lib.put_batch(self._mesh, x)
-            out = self._fwd(self._params, self._cara, x)
-            outs.append(np.asarray(out[:bs - pad] if pad else out,
-                                   np.float32))
-        return np.concatenate(outs)
+            return self._fwd(self._params, self._cara, x)
+
+        return _batched_apply(call, images, self.batch_size)
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         return np.argmax(self.logits(images), axis=-1)
@@ -270,6 +281,7 @@ class MultiTaskPredictor:
             is_adapter_checkpoint, load_adapter, load_model)
 
         params = None
+        model_names = {}
         tasks: Dict[str, Dict[str, Any]] = {}
         for name, path in ckpts.items():
             if is_adapter_checkpoint(path):
@@ -279,6 +291,8 @@ class MultiTaskPredictor:
                 head = full.get("head")
                 if params is None:
                     params = full
+            if meta.get("model"):
+                model_names[name] = meta["model"]
             if cara is None or head is None:
                 raise ValueError(f"{path}: need an adapter + head for "
                                  f"task {name!r}")
@@ -289,6 +303,17 @@ class MultiTaskPredictor:
             tasks[name] = {"cara": cara, "head": head,
                            "scale": float(meta["scale"]),
                            "cp_order": int(meta.get("cp_order", 4))}
+        # All tasks ride ONE backbone (taken from the first full
+        # checkpoint / the npz) — a mismatched-backbone checkpoint would
+        # serve shape-compatible but silently wrong logits, so any
+        # recorded model name must agree with the requested one.
+        want = model if isinstance(model, str) else None
+        distinct = set(model_names.values()) | ({want} if want else set())
+        if len(distinct) > 1:
+            raise ValueError(
+                f"checkpoints disagree on the backbone model: {model_names}"
+                + (f" vs requested {want!r}" if want else "")
+                + " — multi-task serving shares ONE backbone")
         cfg = (model if isinstance(model, ViTConfig)
                else get_model_config(model, num_classes=0))
         if params is None:
@@ -303,24 +328,17 @@ class MultiTaskPredictor:
     def logits(self, images: np.ndarray, task: str) -> np.ndarray:
         """(N, S, S, C) -> (N, num_classes[task]); any N."""
         tid = jnp.int32(self._tid[task])
-        n = len(images)
-        bs = self.batch_size
-        outs = []
-        for start in range(0, n, bs):
-            chunk = images[start:start + bs]
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+
+        def call(chunk):
             x = jnp.asarray(chunk, self._dtype)
             if self._mesh is not None:
                 from cara_tpu.parallel import mesh as mesh_lib
 
                 x = mesh_lib.put_batch(self._mesh, x)
-            out = self._fwd(x, tid)
-            outs.append(np.asarray(out[:bs - pad] if pad else out,
-                                   np.float32))
-        return np.concatenate(outs)[:, :self._num_classes[task]]
+            return self._fwd(x, tid)
+
+        out = _batched_apply(call, images, self.batch_size)
+        return out[:, :self._num_classes[task]]
 
     def predict(self, images: np.ndarray, task: str) -> np.ndarray:
         return np.argmax(self.logits(images, task), axis=-1)
@@ -406,19 +424,9 @@ class ExportedPredictor:
         return cls(jexport.deserialize(bytearray(blob)))
 
     def logits(self, images: np.ndarray) -> np.ndarray:
-        n = len(images)
-        bs = self.batch_size
-        outs = []
-        for start in range(0, n, bs):
-            chunk = np.asarray(images[start:start + bs], np.float32)
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            out = self._call(chunk)
-            outs.append(np.asarray(out[:bs - pad] if pad else out,
-                                   np.float32))
-        return np.concatenate(outs)
+        return _batched_apply(
+            lambda chunk: self._call(chunk.astype(np.float32)),
+            images, self.batch_size)
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         return np.argmax(self.logits(images), axis=-1)

@@ -190,6 +190,24 @@ def test_task_parallel_sweep_cli_e2e(tmp_path):
     assert on_disk["__summary__"]["tasks"] == 3
 
 
+def test_sequential_padded_sweep_cli_e2e(tmp_path):
+    """Sequential (no --task-parallel) --pad-classes sweep: the shared
+    step cache must not clobber the per-task results key (regression:
+    the cache key once rebound `key`, storing every task under a tuple
+    and crashing the results json dump)."""
+    from cara_tpu.cli import sweep as sweep_cli
+
+    results = sweep_cli.main([
+        "--synthetic", "--tasks", "patch_camelyon,kitti",
+        "--pad-classes", "8", "--model", "vit_tiny_test", "--dim", "4",
+        "--epochs", "2", "--batch-size", "8", "--eval-batch-size", "8",
+        "--synthetic-size", "16", "--dtype", "float32",
+        "--backbone", str(tmp_path / "none.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000"])
+    assert set(results) == {"patch_camelyon", "kitti", "__summary__"}
+    assert results["__summary__"]["tasks"] == 2
+
+
 def test_multi_seed_sweep_cli_e2e(tmp_path):
     """--seeds multiplies the task axis; same-task-different-seed combos
     share one task-parallel group (unique result keys, per-task best in
