@@ -155,3 +155,43 @@ def test_weight_dropout_mask_stats():
     assert abs(float(arr.mean()) - 1.0) < 0.05
     assert cp_ops.weight_dropout_mask(None, (4,), 0.1) is None
     assert cp_ops.weight_dropout_mask(jax.random.key(0), (4,), 0.0) is None
+
+
+def test_random_geometries_factorized_matches_materialized():
+    """Geometry-robustness sweep: the delta math must agree across
+    arbitrary (depth, heads, head_dim, mlp_ratio) combos — the factor
+    shapes are derived from geometry (models/cara.py), never hard-coded
+    to ViT-B (the reference hard-codes 768/12/36/108, cara.py:112-125)."""
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        heads = int(rng.choice([2, 3, 5, 8]))
+        head_dim = int(rng.choice([4, 8, 16]))
+        depth = int(rng.randint(1, 4))
+        mlp_ratio = int(rng.choice([2, 3, 4]))
+        order = int(rng.choice([3, 4, 5]))
+        model = ViTConfig(
+            image_size=16, patch_size=8, embed_dim=heads * head_dim,
+            depth=depth, num_heads=heads, mlp_ratio=mlp_ratio,
+            repr_size=None, num_classes=3)
+        cara = CaraConfig(rank=int(rng.randint(2, 7)), cp_order=order,
+                          l_mu=1.1, l_std=0.2)
+        params = cara_lib.init_cara_params(
+            jax.random.key(trial), model, cara)
+        zero_name = {5: "A3", 4: "A2", 3: "A2"}[order]
+        params[zero_name] = jax.random.normal(
+            jax.random.key(100 + trial), params[zero_name].shape)
+        params["P2"] = jax.random.normal(
+            jax.random.key(200 + trial), params["P2"].shape)
+        rows = cara_lib.qkv_rows_per_layer(order)
+        for li in range(depth):
+            f1 = params["A1"][li * rows:(li + 1) * rows]
+            x = jax.random.normal(
+                jax.random.key(300 + li), (2, 5, model.embed_dim))
+            m = cara_lib.qkv_delta(x, params, f1, model, cara,
+                                   materialized=True)
+            f = cara_lib.qkv_delta(x, params, f1, model, cara,
+                                   materialized=False)
+            np.testing.assert_allclose(
+                np.asarray(m), np.asarray(f), atol=1e-5,
+                err_msg=f"trial {trial} layer {li} order {order} "
+                        f"h{heads} d{head_dim} mr{mlp_ratio}")
