@@ -190,6 +190,31 @@ def test_task_parallel_sweep_cli_e2e(tmp_path):
     assert on_disk["__summary__"]["tasks"] == 3
 
 
+def test_resume_sweep_filters_seed_combos(tmp_path):
+    """--resume-sweep resumes at (task, seed) granularity: combos already
+    in the results file are skipped, missing ones run."""
+    import json
+
+    from cara_tpu.cli import sweep as sweep_cli
+
+    done = {"patch_camelyon@s3": {"top1": 0.5, "seed": 3,
+                                  "images_per_sec": 1.0, "minutes": 0.1,
+                                  "ckpt": None}}
+    with open(tmp_path / "vtab_results.json", "w") as f:
+        json.dump(done, f)
+    results = sweep_cli.main([
+        "--synthetic", "--tasks", "patch_camelyon", "--seeds", "3,4",
+        "--resume-sweep", "--model", "vit_tiny_test", "--dim", "4",
+        "--epochs", "2", "--batch-size", "8", "--eval-batch-size", "8",
+        "--synthetic-size", "16", "--dtype", "float32",
+        "--backbone", str(tmp_path / "none.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000"])
+    assert results["patch_camelyon@s3"]["top1"] == 0.5  # untouched
+    assert "patch_camelyon@s4" in results                # freshly run
+    assert results["__summary__"]["tasks"] == 2
+    assert set(results["__summary__"]["best_per_task"]) == {"patch_camelyon"}
+
+
 def test_sequential_padded_sweep_cli_e2e(tmp_path):
     """Sequential (no --task-parallel) --pad-classes sweep: the shared
     step cache must not clobber the per-task results key (regression:
