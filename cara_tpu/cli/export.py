@@ -56,7 +56,24 @@ def parse_args(argv=None):
 
 def main(argv=None) -> str:
     args = parse_args(argv)
-    params, cara_params, meta = ckpt_lib.load_model(args.ckpt)
+    from cara_tpu.models import torch_import
+
+    if torch_import.is_torch_checkpoint(args.ckpt):
+        # Reference-released .pt (full timm state dict + CP_*): convert in
+        # memory, then export like any native checkpoint.  Torch artifacts
+        # record no scale — --scale (or the task table via vit_cp) is
+        # required for merged/adapter modes.
+        if args.model is None:
+            raise SystemExit(
+                ".pt import needs --model (torch checkpoints record no "
+                "model name)")
+        params, cara_params, info = torch_import.load_torch_checkpoint(
+            args.ckpt, get_model_config(args.model))
+        meta = {"model": args.model}
+        if cara_params is not None:
+            meta["cp_order"] = info["cp_order"]
+    else:
+        params, cara_params, meta = ckpt_lib.load_model(args.ckpt)
     if cara_params is None and args.mode not in ("full", "stablehlo"):
         raise SystemExit("checkpoint has no adapter subtree")
     if args.scale is not None:

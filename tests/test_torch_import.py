@@ -231,3 +231,37 @@ def test_evaluate_cli_accepts_pt(tmp_path):
     assert 0.0 <= acc <= 1.0
     acc_merged = cli.main(args + ["--merged-eval"])
     assert acc_merged == pytest.approx(acc, abs=1e-6)
+
+
+def test_export_cli_accepts_pt(tmp_path):
+    """export --ckpt <file>.pt converts the released torch artifact in
+    memory, then exports adapter/merged like any native checkpoint (the
+    torch artifact records no scale, so --scale is required)."""
+    from cara_tpu.cli import export as export_cli
+    from cara_tpu.config import get_model_config
+    from cara_tpu.train import checkpoint as ckpt_lib
+
+    cfg = get_model_config("vit_tiny_test", num_classes=10,
+                           drop_path_rate=0.0)
+    sd = _make_timm_state_dict(cfg, CaraConfig(rank=4), seed=5,
+                               num_classes=10)
+    pt = str(tmp_path / "vit_svhn_ref.pt")
+    torch.save(sd, pt)
+
+    with pytest.raises(SystemExit, match="scale"):
+        export_cli.main(["--ckpt", pt, "--out", str(tmp_path / "x.npz"),
+                         "--mode", "adapter", "--model", "vit_tiny_test"])
+
+    out_a = str(tmp_path / "adapter.npz")
+    export_cli.main(["--ckpt", pt, "--out", out_a, "--mode", "adapter",
+                     "--model", "vit_tiny_test", "--scale", "2.0"])
+    cara, head, meta = ckpt_lib.load_adapter(out_a)
+    assert meta["scale"] == 2.0 and head is not None
+    assert cara["R1"].shape == (4,)
+
+    out_m = str(tmp_path / "merged.npz")
+    export_cli.main(["--ckpt", pt, "--out", out_m, "--mode", "merged",
+                     "--model", "vit_tiny_test", "--scale", "2.0"])
+    merged, none_cara, meta = ckpt_lib.load_model(out_m)
+    assert none_cara is None and meta["merged"]
+    assert merged["head"]["kernel"].shape == (64, 10)
