@@ -33,7 +33,9 @@ def parse_args(argv=None):
                    choices=["merged", "adapter", "full", "stablehlo"])
     p.add_argument("--batch-size", default=64, type=int,
                    help="stablehlo only: exported (static) batch size — "
-                        "ExportedPredictor pads any request up to it")
+                        "ExportedPredictor pads any request up to it; 0 "
+                        "exports a symbolic batch dim (any N, no padding, "
+                        "per-size compile at call time)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="stablehlo only: on-device compute dtype (the "

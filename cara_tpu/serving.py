@@ -373,6 +373,10 @@ def export_serialized(
     ``ExportedPredictor.from_file``) and call as
     ``f(float32 images (batch_size, S, S, C)) -> float32 logits``.
     Weights are embedded as module constants; compute runs in ``dtype``.
+    ``batch_size=0`` exports a SYMBOLIC batch dimension — one artifact
+    serves any request size with no padding (each distinct size still
+    compiles once at call time; fixed-size padding remains the right
+    choice for latency-critical TPU serving).
     """
     from jax import export as jexport
 
@@ -390,9 +394,10 @@ def export_serialized(
             attn_impl="xla", dense_impl="xla")
         return out.astype(jnp.float32)
 
+    bdim = (jexport.symbolic_shape("b")[0] if batch_size == 0
+            else batch_size)
     spec = jax.ShapeDtypeStruct(
-        (batch_size, cfg.image_size, cfg.image_size, cfg.in_chans),
-        jnp.float32)
+        (bdim, cfg.image_size, cfg.image_size, cfg.in_chans), jnp.float32)
     exp = jexport.export(jax.jit(fwd), platforms=list(platforms))(spec)
     return exp.serialize()
 
@@ -407,7 +412,9 @@ class ExportedPredictor:
     def __init__(self, exported):
         self._exp = exported
         self._call = jax.jit(exported.call)
-        self.batch_size = int(exported.in_avals[0].shape[0])
+        dim0 = exported.in_avals[0].shape[0]
+        # None = symbolic batch (batch_size=0 export): any N, no padding.
+        self.batch_size = int(dim0) if isinstance(dim0, int) else None
         self.image_size = int(exported.in_avals[0].shape[1])
 
     @classmethod
@@ -424,6 +431,9 @@ class ExportedPredictor:
         return cls(jexport.deserialize(bytearray(blob)))
 
     def logits(self, images: np.ndarray) -> np.ndarray:
+        if self.batch_size is None:  # symbolic batch: one direct call
+            return np.asarray(
+                self._call(np.asarray(images, np.float32)), np.float32)
         return _batched_apply(
             lambda chunk: self._call(chunk.astype(np.float32)),
             images, self.batch_size)

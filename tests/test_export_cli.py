@@ -57,3 +57,14 @@ def test_export_modes(tmp_path, monkeypatch):
                               cara_cfg=cara_cfg)
     np.testing.assert_allclose(ep.logits(imgs), np.asarray(ref), atol=2e-4)
     assert ep.predict(imgs).shape == (6,)
+
+    # symbolic-batch export (--batch-size 0): any N, no padding
+    out_p = str(tmp_path / "model_poly.stablehlo")
+    export_cli.main(["--ckpt", src, "--out", out_p, "--mode", "stablehlo",
+                     "--model", "vit_tiny_test", "--batch-size", "0",
+                     "--dtype", "float32", "--platforms", "cpu"])
+    epp = ExportedPredictor.from_file(out_p)
+    assert epp.batch_size is None
+    np.testing.assert_allclose(epp.logits(imgs), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(epp.logits(imgs[:1]), np.asarray(ref)[:1],
+                               atol=2e-4)
