@@ -144,6 +144,10 @@ def flops_per_image(cfg, train: bool) -> float:
 V5E_PEAK_BF16 = 197e12  # nominal per-chip bf16 peak
 
 
+_LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_last_good.json")
+
+
 def _arm_watchdog(seconds: float) -> None:
     """Hard-exit with an error JSON line if the bench wedges.
 
@@ -154,11 +158,17 @@ def _arm_watchdog(seconds: float) -> None:
     import threading
 
     def fire():
-        print(json.dumps({
+        rec = {
             "metric": "bench watchdog", "value": 0, "unit": "error",
             "vs_baseline": 0,
             "error": f"bench did not complete within {seconds:.0f}s — "
-                     "accelerator/tunnel unresponsive"}), flush=True)
+                     "accelerator/tunnel unresponsive"}
+        try:  # breadcrumb: the most recent SUCCESSFUL run on this host
+            with open(_LAST_GOOD_PATH) as f:
+                rec["last_good_run"] = json.load(f)
+        except Exception:
+            pass
+        print(json.dumps(rec), flush=True)
         os._exit(2)
 
     t = threading.Timer(seconds, fire)
@@ -220,7 +230,7 @@ def main():
     cfg = get_model_config(args.model, num_classes=100)
     mfu = imgs * flops_per_image(cfg, args.mode == "train") / V5E_PEAK_BF16
 
-    print(json.dumps({
+    record = {
         "metric": metric,
         "value": round(imgs, 1),
         "unit": "images/sec/chip",
@@ -247,7 +257,15 @@ def main():
             "cotangent dT = x^T g (benchmarks/RESULTS.md round-2 profile); "
             "remaining MFU gap vs nominal peak is small-K attention GEMMs "
             "(K=Dh=64) and VPU work, not HBM slack."),
-    }))
+    }
+    print(json.dumps(record))
+    try:  # watchdog breadcrumb for future wedged runs (clearly labeled)
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime()),
+                       "record": record}, f)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
