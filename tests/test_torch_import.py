@@ -265,3 +265,15 @@ def test_export_cli_accepts_pt(tmp_path):
     merged, none_cara, meta = ckpt_lib.load_model(out_m)
     assert none_cara is None and meta["merged"]
     assert merged["head"]["kernel"].shape == (64, 10)
+
+    # .pt straight to a deployment artifact.
+    from cara_tpu.serving import ExportedPredictor
+
+    out_h = str(tmp_path / "ref.hlo")
+    export_cli.main(["--ckpt", pt, "--out", out_h, "--mode", "stablehlo",
+                     "--model", "vit_tiny_test", "--scale", "2.0",
+                     "--batch-size", "2", "--dtype", "float32",
+                     "--platforms", "cpu"])
+    ep = ExportedPredictor.from_file(out_h)
+    assert ep.predict(np.random.RandomState(0).rand(
+        3, cfg.image_size, cfg.image_size, 3).astype("f4")).shape == (3,)
