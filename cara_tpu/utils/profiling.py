@@ -3,7 +3,8 @@
 * :class:`StepTimer` — wall-clock per-step timing and images/sec (the
   BASELINE.json north-star metric).
 * :func:`trace` — ``jax.profiler`` trace context behind a flag, producing a
-  TensorBoard-loadable xplane dump.
+  TensorBoard-loadable xplane dump (``tools/trace_report.py`` summarizes it
+  as per-op time tables without TensorBoard).
 * :func:`annotate` — named trace spans for the step phases.
 """
 
