@@ -61,7 +61,8 @@ def measure_inference(model_name: str, rank: int, batch_size: int,
     for _ in range(steps):
         out = fwd(params, cara, x)
     jax.device_get(out)
-    return batch_size * steps / (time.perf_counter() - t0)
+    imgs = batch_size * steps / (time.perf_counter() - t0)
+    return imgs, _hlo_flops(fwd, params, cara, x)
 
 
 def measure_train_step(model_name: str, rank: int, batch_size: int,
@@ -102,7 +103,8 @@ def measure_train_step(model_name: str, rank: int, batch_size: int,
         state, metrics = train_step(state, frozen, batch, rng)
     float(metrics["loss"])  # device->host fetch = hard sync
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    return (batch_size * steps / dt,
+            _hlo_flops(train_step, state, frozen, batch, rng))
 
 
 def reference_baseline(batch_size: int) -> dict:
@@ -142,6 +144,23 @@ def flops_per_image(cfg, train: bool) -> float:
 
 
 V5E_PEAK_BF16 = 197e12  # nominal per-chip bf16 peak
+
+
+def _hlo_flops(jitted, *args):
+    """Measured-HLO FLOPs per executable call via XLA cost analysis.
+
+    Complements the analytic matmul-only estimate (VERDICT round-2 item 5):
+    the compiler's own count includes every op it actually emitted.  Returns
+    None when the backend does not implement cost_analysis.
+    """
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returned [dict]
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 _LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -207,14 +226,14 @@ def main():
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
     if args.mode == "train":
-        imgs = measure_train_step(
+        imgs, hlo_flops = measure_train_step(
             args.model, args.rank, args.batch_size, args.steps, dtype,
             args.delta_impl, False if args.no_remat else "auto",
             args.weight_dropout_impl)
         metric = (f"VTAB-1k fine-tune images/sec/chip "
                   f"({args.model}, rank {args.rank})")
     else:
-        imgs = measure_inference(
+        imgs, hlo_flops = measure_inference(
             args.model, args.rank, args.batch_size, args.steps, dtype,
             merged=args.mode == "merged")
         metric = (f"{args.mode} inference images/sec/chip "
@@ -235,10 +254,14 @@ def main():
         "value": round(imgs, 1),
         "unit": "images/sec/chip",
         "mfu_vs_v5e_peak_analytic": round(mfu, 3),
+        "mfu_vs_v5e_peak_measured_hlo": (
+            round(imgs * hlo_flops / args.batch_size / V5E_PEAK_BF16, 3)
+            if hlo_flops else None),
         "mfu_note": (
-            "MFU uses an ANALYTIC dense-FLOP estimate (matmul terms only, "
-            "train ~= 3x fwd) against the nominal 197 TFLOP/s bf16 peak — "
-            "an estimate, not measured-HLO FLOPs."),
+            "analytic = matmul-only dense-FLOP estimate (train ~= 3x fwd); "
+            "measured_hlo = XLA cost_analysis() of the compiled executable "
+            "(every emitted op; None if the backend lacks cost analysis). "
+            "Both against the nominal 197 TFLOP/s bf16 peak."),
         "vs_baseline": vs,
         "baseline_hardware": ref.get("hardware", "n/a"),
         "device": str(jax.devices()[0]),
