@@ -67,6 +67,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="Dense+CP-delta implementation (auto = xla; fused = "
                         "Pallas cp_dense kernel)")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--memory-report", action="store_true",
+                   help="print the compiled train step's HBM breakdown "
+                        "(arguments/outputs/temps, MiB) once at startup")
     p.add_argument("--profile-dir", default=None, type=str,
                    help="Write a jax.profiler trace here")
     p.add_argument("--out-dir", default=".", type=str)

@@ -102,6 +102,7 @@ def main(argv=None) -> float:
     fit_cfg = loop_lib.FitConfig(
         epochs=args.epochs, eval_every=10, eval_start=1,
         log_every=args.log_every, profile_dir=args.profile_dir,
+        memory_report=args.memory_report,
         resume_dir=args.resume_dir,
         resume_every_steps=args.resume_every_steps)
     state, fit_cfg = loop_lib.maybe_resume(args.resume_dir, state, fit_cfg)

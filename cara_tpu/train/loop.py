@@ -35,6 +35,7 @@ class FitConfig:
     log_every: int = 10          # steps between metric log lines
     lambda_telemetry: bool = False
     profile_dir: Optional[str] = None
+    memory_report: bool = False  # log compiled-step HBM breakdown once
     resume_dir: Optional[str] = None
     resume_every_steps: int = 0  # 0 = disabled
     prefetch_depth: int = 2
@@ -153,9 +154,19 @@ def fit(
     imgs_per_sec = 0.0
     bs = train_loader.batch_size
 
+    mem_reported = not fit_cfg.memory_report
     with trace(fit_cfg.profile_dir):
         for epoch in range(fit_cfg.start_epoch, fit_cfg.epochs):
             for batch in prefetch(train_loader, put, fit_cfg.prefetch_depth):
+                if not mem_reported:
+                    # Lower/compile with the loop's own arguments (jit-cache
+                    # hit for the real step) and log the HBM breakdown once.
+                    from cara_tpu.utils.profiling import memory_report
+                    rec = memory_report(
+                        train_step, state, frozen_compute, batch, rng)
+                    import json as _json
+                    print(_json.dumps({"train_step_memory": rec}), flush=True)
+                    mem_reported = True
                 state, metrics = train_step(state, frozen_compute, batch, rng)
                 step = int(state.step)
                 if step % fit_cfg.log_every == 0:

@@ -71,3 +71,36 @@ def trace(log_dir: Optional[str]):
 def annotate(name: str):
     """Named span inside a trace (shows up in the profiler timeline)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def memory_report(jitted, *args) -> Optional[dict]:
+    """Device-memory footprint of a jitted function's compiled executable.
+
+    Uses XLA's ``memory_analysis`` on the compiled artifact — arguments,
+    outputs, temporaries (activations / workspace) and generated code, in
+    MiB.  Lowering with the same arguments the caller is about to use hits
+    the jit cache, so this costs no extra compile.  Returns ``None`` when
+    the backend does not implement memory analysis.
+    """
+    try:
+        mem = jitted.lower(*args).compile().memory_analysis()
+    except Exception:
+        return None
+    if mem is None:
+        return None
+    out = {}
+    for field in ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes", "alias_size_in_bytes",
+                  "generated_code_size_in_bytes"):
+        val = getattr(mem, field, None)
+        if val is not None:
+            out[field.replace("_size_in_bytes", "_mib")] = round(
+                val / 2**20, 2)
+    if out:
+        # Peak live HBM ~= arguments + outputs + temps + code, minus the
+        # donated (aliased) buffers counted in both arguments and outputs.
+        out["total_mib"] = round(
+            out.get("argument_mib", 0.0) + out.get("output_mib", 0.0)
+            + out.get("temp_mib", 0.0) + out.get("generated_code_mib", 0.0)
+            - out.get("alias_mib", 0.0), 2)
+    return out or None

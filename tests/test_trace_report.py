@@ -90,6 +90,22 @@ def test_cli_json_and_text(trace_dir, capsys):
     assert "busy" in out and "total ms" in out
 
 
+def test_memory_report_of_jitted_fn():
+    from cara_tpu.utils.profiling import memory_report
+
+    @jax.jit
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((128, 128), jnp.float32)
+    rec = memory_report(f, x)
+    # XLA:CPU implements memory_analysis; on exotic backends None is legal.
+    if rec is not None:
+        assert rec["argument_mib"] >= 0.06  # 128*128*4 = 64 KiB
+        assert rec["total_mib"] >= rec["output_mib"]
+        assert set(rec) >= {"argument_mib", "output_mib", "total_mib"}
+
+
 def test_cli_empty_dir(tmp_path, capsys):
     rc = trace_report.main([str(tmp_path)])
     assert rc == 1
