@@ -74,11 +74,30 @@ def run_level(port: int, bodies: list, concurrency: int,
     lats.sort()
 
     def pct(p):
+        if not lats:  # zero completions inside the window (e.g. cold compile)
+            return None
         return round(lats[min(len(lats) - 1, int(p * len(lats)))], 2)
 
     return {"concurrency": concurrency, "requests": len(lats),
             "req_per_s": round(len(lats) / wall, 1),
             "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
+
+
+def warm(port: int, bodies: list, paths) -> None:
+    """One BLOCKING request per task path before any timed window — the
+    first request compiles the batch executable (minutes on a tunneled
+    chip), which previously starved the fixed-length warmup of
+    completions entirely."""
+    for path in paths:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=bodies[0], method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=1800) as r:
+                json.loads(r.read())
+        except urllib.error.HTTPError as e:  # surface the server's error body
+            raise RuntimeError(
+                f"warmup {path} -> HTTP {e.code}: "
+                f"{e.read().decode(errors='replace')[:2000]}") from e
 
 
 def main():
@@ -130,7 +149,9 @@ def main():
     srv = InferenceServer(pred, port=0, max_wait_ms=args.max_wait_ms).start()
     bodies = make_jpegs(args.images, model.cfg.image_size)
 
-    # Warm the compiled batch path before measuring.
+    # Warm the compiled batch path before measuring: first one blocking
+    # request per task (absorbs compile), then a short concurrent shakeout.
+    warm(srv.port, bodies, paths)
     run_level(srv.port, bodies, min(4, args.concurrency[-1]), 2.0, paths)
 
     try:

@@ -14,7 +14,10 @@ Eval cadence flavors (SURVEY.md section 2.2):
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import signal
+import threading
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -40,6 +43,43 @@ class FitConfig:
     resume_every_steps: int = 0  # 0 = disabled
     prefetch_depth: int = 2
     start_epoch: int = 0         # set by auto-resume
+
+
+class _PreemptFlag:
+    """Set asynchronously by the signal handler, read at step boundaries."""
+
+    def __init__(self):
+        self.fired = False
+        self.signum: Optional[int] = None
+
+
+@contextlib.contextmanager
+def preemption_watcher(enabled: bool = True):
+    """Catch SIGTERM and flip a flag instead of dying mid-step.
+
+    Spot/preemptible TPU VMs deliver SIGTERM ~30 s before reclaim; ``fit``
+    polls the flag at every step boundary, saves a resume checkpoint (when
+    ``FitConfig.resume_dir`` is set), and returns cleanly so the relaunched
+    job continues via ``maybe_resume``.  The reference has no analog — its
+    only resilience artifact is best-checkpoint rotation
+    (``vit_cp.py:63-66``); a preempted reference run loses all optimizer
+    state.  Handlers are restored on exit; outside the main thread (e.g.
+    ``fit`` driven from a server worker) the watcher degrades to a no-op
+    because CPython only allows signal registration on the main thread.
+    """
+    flag = _PreemptFlag()
+    if not enabled or threading.current_thread() is not threading.main_thread():
+        yield flag
+        return
+
+    def _handler(signum, frame):
+        flag.fired, flag.signum = True, signum
+
+    prev = signal.signal(signal.SIGTERM, _handler)
+    try:
+        yield flag
+    finally:
+        signal.signal(signal.SIGTERM, prev)
 
 
 def maybe_resume(resume_dir: Optional[str], state, fit_cfg: FitConfig):
@@ -155,7 +195,7 @@ def fit(
     bs = train_loader.batch_size
 
     mem_reported = not fit_cfg.memory_report
-    with trace(fit_cfg.profile_dir):
+    with trace(fit_cfg.profile_dir), preemption_watcher() as preempt:
         for epoch in range(fit_cfg.start_epoch, fit_cfg.epochs):
             for batch in prefetch(train_loader, put, fit_cfg.prefetch_depth):
                 if not mem_reported:
@@ -188,6 +228,20 @@ def fit(
                     ckpt_lib.save_train_state(
                         fit_cfg.resume_dir, step, state, {"epoch": epoch})
                 last_metrics = metrics
+                if preempt.fired:
+                    # SIGTERM mid-epoch: persist the resumable state NOW
+                    # (the periodic cadence may be far away or disabled) and
+                    # unwind within the spot-VM grace window.
+                    if fit_cfg.resume_dir:
+                        ckpt_lib.save_train_state(
+                            fit_cfg.resume_dir, step, state, {"epoch": epoch})
+                    logger.log(
+                        {"preempted": True, "epoch": epoch,
+                         "resume_saved": bool(fit_cfg.resume_dir)},
+                        step=step)
+                    break
+            if preempt.fired:
+                break
 
             if (epoch % fit_cfg.eval_every == 0 and epoch != 0
                     and epoch >= fit_cfg.eval_start):
@@ -216,22 +270,28 @@ def fit(
         now = _time.perf_counter()
         imgs_per_sec = (step - sync_step) * bs / (now - sync_t)
 
-    # Final evaluation on a fresh pass (vit_cp.py:189-196).
-    params_now = steps_lib.merge_params(frozen_compute, state.trainable)
-    final_acc = evaluate(
-        eval_step, params_now, state.trainable["cara"], eval_loader, mesh)
-    if final_acc > best_acc:
-        best_acc = final_acc
-        if keeper is not None:
-            keeper.update(
-                final_acc,
-                jax.device_get(steps_lib.merge_params(frozen, state.trainable)),
-                jax.device_get(state.trainable["cara"]), meta=meta)
+    # Final evaluation on a fresh pass (vit_cp.py:189-196) — skipped when
+    # preempted: the SIGTERM grace window is for the state save, not an
+    # eval epoch; the relaunched run re-evaluates on its own cadence.
+    final_acc = None
+    if not preempt.fired:
+        params_now = steps_lib.merge_params(frozen_compute, state.trainable)
+        final_acc = evaluate(
+            eval_step, params_now, state.trainable["cara"], eval_loader, mesh)
+        if final_acc > best_acc:
+            best_acc = final_acc
+            if keeper is not None:
+                keeper.update(
+                    final_acc,
+                    jax.device_get(
+                        steps_lib.merge_params(frozen, state.trainable)),
+                    jax.device_get(state.trainable["cara"]), meta=meta)
     return {
         "best_acc": best_acc,
         "final_acc": final_acc,
         "state": state,
         "frozen": frozen,
         "images_per_sec": imgs_per_sec,
+        "preempted": preempt.fired,
         "last_loss": float(last_metrics["loss"]) if last_metrics else None,
     }

@@ -75,6 +75,8 @@ class MetricLogger:
 
 
 def _to_scalar(v):
+    if isinstance(v, bool):  # float(True) == 1.0 would mangle JSON booleans
+        return v
     try:
         return float(v)
     except (TypeError, ValueError):
