@@ -44,11 +44,11 @@ def make_jpegs(n: int, size: int) -> list:
 def run_level(port: int, bodies: list, concurrency: int,
               seconds: float, paths=("/predict",)) -> dict:
     stop = time.perf_counter() + seconds
-    lats, lock = [], threading.Lock()
+    lats, errors, lock = [], [0], threading.Lock()
 
     def client(cid: int):
         i = cid
-        local = []
+        local, errs = [], 0
         while time.perf_counter() < stop:
             body = bodies[i % len(bodies)]
             path = paths[i % len(paths)]
@@ -57,11 +57,18 @@ def run_level(port: int, bodies: list, concurrency: int,
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}{path}", data=body,
                 method="POST")
-            with urllib.request.urlopen(req, timeout=60) as r:
-                json.loads(r.read())
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    json.loads(r.read())
+            except Exception:
+                # Keep-alive resets under load etc.: count, don't lose the
+                # thread (a dead client silently drops its samples).
+                errs += 1
+                continue
             local.append((time.perf_counter() - t0) * 1e3)
         with lock:
             lats.extend(local)
+            errors[0] += errs
 
     threads = [threading.Thread(target=client, args=(c,))
                for c in range(concurrency)]
@@ -79,6 +86,7 @@ def run_level(port: int, bodies: list, concurrency: int,
         return round(lats[min(len(lats) - 1, int(p * len(lats)))], 2)
 
     return {"concurrency": concurrency, "requests": len(lats),
+            "errors": errors[0],
             "req_per_s": round(len(lats) / wall, 1),
             "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
 
@@ -119,6 +127,10 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from cara_tpu.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from cara_tpu import api
     from cara_tpu.serving import MultiTaskPredictor, Predictor

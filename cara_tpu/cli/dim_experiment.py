@@ -85,6 +85,12 @@ def main(argv=None) -> float:
         attn_impl=args.attn_impl, dense_impl=args.dense_impl,
         ckpt_meta={"model": args.model, "dataset": args.dataset})
 
+    if result.get("preempted"):
+        hint = (f"relaunch with --resume-dir {args.resume_dir} to continue"
+                if args.resume_dir else
+                "no --resume-dir was set; optimizer state was NOT saved")
+        print(f"Preempted (SIGTERM) at step {int(result['state'].step)} — "
+              f"{hint}")
     print(f"Accuracy: {result['best_acc']}")
     logger.finish()
     return result["best_acc"]

@@ -7,6 +7,8 @@ device-resident, and serve ``POST /predict`` requests coalesced into
 fixed-shape padded batches (see :mod:`cara_tpu.server`).
 
 Run: ``python -m cara_tpu.cli.serve --ckpt vit_cifar_*.npz --port 8000``
+or serve a self-contained StableHLO artifact (no checkpoint/model code):
+``python -m cara_tpu.cli.serve --exported model.stablehlo``.
 """
 
 from __future__ import annotations
@@ -19,7 +21,11 @@ from cara_tpu.serving import Predictor
 def parse_args(argv=None):
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    p.add_argument("--ckpt", required=True, action="append",
+    p.add_argument("--exported", default=None, type=str,
+                   help="Serve a serialized StableHLO artifact (export "
+                        "--mode stablehlo) instead of a checkpoint — no "
+                        "model code or weights needed beyond the file")
+    p.add_argument("--ckpt", action="append", default=None,
                    help="Checkpoint (.npz). Repeatable — with several, "
                         "serves ALL of them over ONE shared frozen "
                         "backbone (stacked ~100KB adapters, one compiled "
@@ -42,6 +48,17 @@ def parse_args(argv=None):
                    help="How long the first request in a batch waits for "
                         "co-riders (0 = serve singles immediately)")
     p.add_argument("--top", default=5, type=int)
+    p.add_argument("--request-timeout", default=120.0, type=float,
+                   help="per-request inference wait cap (seconds)")
+    p.add_argument("--buckets", default="auto",
+                   help="batch buckets: 'auto' (powers of 4 up to "
+                        "--max-batch), 'none' (one full-size executable), "
+                        "or CSV sizes e.g. 1,8,64 — short batches run the "
+                        "smallest executable that fits instead of padding "
+                        "to --max-batch")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the pre-serve compile of the batch "
+                        "executable (first request pays it instead)")
     p.add_argument("--no-merge", action="store_true",
                    help="Keep the adapter path instead of folding weights")
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
@@ -72,9 +89,29 @@ def _task_name(spec: str) -> tuple:
     return (name or os.path.splitext(os.path.basename(spec))[0], spec)
 
 
+def _parse_buckets(spec: str):
+    if spec == "auto":
+        return "auto"
+    if spec == "none":
+        return None
+    return [int(x) for x in spec.split(",")]
+
+
 def main(argv=None):
     args = parse_args(argv)
-    if len(args.ckpt) > 1:
+    if bool(args.exported) == bool(args.ckpt):
+        raise SystemExit("pass exactly one of --ckpt / --exported")
+    if args.exported:
+        from cara_tpu.serving import ExportedPredictor
+
+        pred = ExportedPredictor.from_file(
+            args.exported, max_batch=args.max_batch,
+            buckets=_parse_buckets(args.buckets))
+        if pred.batch_size is not None and pred.batch_size != args.max_batch:
+            print(f"note: artifact was exported at batch "
+                  f"{pred.batch_size}; --max-batch {args.max_batch} "
+                  f"ignored (fixed-shape executable)", flush=True)
+    elif len(args.ckpt) > 1:
         if args.quantize or args.no_merge:
             raise SystemExit("--quantize/--no-merge are single-task "
                              "options (multi-task serving runs the "
@@ -95,28 +132,38 @@ def main(argv=None):
                 "explicit name=path specs")
         pred = MultiTaskPredictor.from_checkpoints(
             ckpts, args.model, backbone=args.backbone,
-            batch_size=args.max_batch)
+            batch_size=args.max_batch, buckets=_parse_buckets(args.buckets))
         print(f"multi-task: {len(ckpts)} adapters over one backbone "
               f"({', '.join(ckpts)})", flush=True)
     else:
         pred = Predictor.from_checkpoint_auto(
             args.ckpt[0], args.model, num_classes=args.num_classes,
             scale=args.scale, merge=not args.no_merge,
-            batch_size=args.max_batch, quantize=args.quantize)
+            batch_size=args.max_batch, quantize=args.quantize,
+            buckets=_parse_buckets(args.buckets))
 
     from cara_tpu.server import InferenceServer
 
     srv = InferenceServer(pred, host=args.host, port=args.port,
-                          max_wait_ms=args.max_wait_ms, top=args.top)
+                          max_wait_ms=args.max_wait_ms, top=args.top,
+                          request_timeout_s=args.request_timeout)
+    if not args.no_warmup and hasattr(pred, "warmup"):
+        # Compile BEFORE announcing the port: a readiness probe that sees
+        # the address must get an answer within its own timeout, not a
+        # multi-minute cold jit.
+        print("warming up (compiling the serving executable)...", flush=True)
+        pred.warmup()
     print(f"serving on http://{args.host}:{srv.port}  "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)",
           flush=True)
     import signal
+    import threading
 
     def _term(signum, frame):  # k8s/systemd stop -> same path as Ctrl-C
         raise KeyboardInterrupt
 
-    signal.signal(signal.SIGTERM, _term)
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, _term)  # registration is main-thread-only
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -152,6 +152,10 @@ def run_task(task: str, args, results: dict,
         dense_impl=args.dense_impl,
         ckpt_meta={"model": args.model, "dataset": task,
                    "num_classes_real": num_real})
+    if out.get("preempted"):
+        # The interrupted combo must NOT land in results — --resume-sweep
+        # keys on results entries, so recording it would skip it forever.
+        raise loop_lib.Preempted(key)
     results[key] = {
         "top1": out["best_acc"],
         "seed": seed,
@@ -334,8 +338,19 @@ def main(argv=None):
     else:
         for task, seed, key in combos:
             print(f"=== {key} ===")
-            acc = run_task(task, args, results, step_cache,
-                           seed=seed, key=key)
+            try:
+                acc = run_task(task, args, results, step_cache,
+                               seed=seed, key=key)
+            except loop_lib.Preempted:
+                # SIGTERM (spot-VM reclaim): persist completed combos only
+                # and stop — the relaunch picks this combo back up.
+                with open(os.path.join(args.out_dir, args.results),
+                          "w") as f:
+                    json.dump(results, f, indent=1)
+                print(f"sweep preempted during {key}; {len(results)} "
+                      f"completed run(s) saved — relaunch with "
+                      f"--resume-sweep to continue")
+                return results
             print(f"{key}: top-1 {acc:.4f}")
             with open(os.path.join(args.out_dir, args.results), "w") as f:
                 json.dump(results, f, indent=1)

@@ -164,19 +164,30 @@ class InferenceServer:
     """
 
     def __init__(self, predictor, *, host: str = "127.0.0.1",
-                 port: int = 0, max_wait_ms: float = 2.0, top: int = 5):
+                 port: int = 0, max_wait_ms: float = 2.0, top: int = 5,
+                 request_timeout_s: float = 120.0):
         self._pred = predictor
         self._top = top
+        self._timeout = request_timeout_s
         tasks = list(getattr(predictor, "names", []) or [None])
+        # ExportedPredictor carries image_size/max_batch directly (no model
+        # config exists for a deserialized artifact); Predictor carries cfg.
+        max_batch = (getattr(predictor, "max_batch", None)
+                     or predictor.batch_size)
+        if max_batch is None:
+            raise ValueError(
+                "predictor has no batch bound (symbolic-batch artifact "
+                "with exact-N calls); construct ExportedPredictor with "
+                "max_batch= to serve it")
         self.batchers = {}
         for t in tasks:
             fn = (predictor.logits if t is None
                   else (lambda imgs, _t=t: predictor.logits(imgs, _t)))
-            self.batchers[t] = MicroBatcher(
-                fn, predictor.batch_size, max_wait_ms)
+            self.batchers[t] = MicroBatcher(fn, max_batch, max_wait_ms)
         self.batcher = next(iter(self.batchers.values()))  # default route
         batchers = self.batchers
-        image_size = predictor.cfg.image_size
+        image_size = (getattr(predictor, "image_size", None)
+                      or predictor.cfg.image_size)
 
         outer = self
 
@@ -240,9 +251,19 @@ class InferenceServer:
                     self._json(400, {"error": f"bad image: {exc}"})
                     return
                 try:
-                    row, req = batcher.submit(img).result(timeout=60)
+                    row, req = batcher.submit(img).result(
+                        timeout=outer._timeout)
+                except TimeoutError:
+                    # A bare TimeoutError stringifies to "" — say what
+                    # actually happened (typically a cold jit compile
+                    # exceeding the wait; start(warmup=True) avoids it).
+                    self._json(503, {"error": (
+                        f"inference timed out after {outer._timeout:.0f}s "
+                        "(cold compile in progress? warm the server or "
+                        "raise request_timeout_s)")})
+                    return
                 except Exception as exc:
-                    self._json(500, {"error": str(exc)})
+                    self._json(500, {"error": str(exc) or repr(exc)})
                     return
                 k = min(outer._top, row.shape[-1])
                 classes = np.argsort(-row)[:k]
@@ -259,8 +280,16 @@ class InferenceServer:
         self.port = self._httpd.server_address[1]
         self._serve_thread: Optional[threading.Thread] = None
 
-    def start(self):
-        """Serve in a background thread (returns immediately)."""
+    def start(self, warmup: bool = True):
+        """Serve in a background thread.
+
+        ``warmup=True`` (default) compiles the predictor's executable
+        BEFORE accepting traffic — on a cold accelerator the first jit can
+        take minutes, which would otherwise burn the first requests'
+        timeout budget (k8s readiness sees the port open only once the
+        model can actually answer)."""
+        if warmup and hasattr(self._pred, "warmup"):
+            self._pred.warmup()
         self._serve_thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
         self._serve_thread.start()

@@ -11,7 +11,7 @@ over a device mesh.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Iterable, Optional, Sequence
 
 import numpy as np
 import jax
@@ -23,24 +23,57 @@ from cara_tpu.models.vit import vit_forward
 from cara_tpu.train.steps import cast_floating
 
 
-def _batched_apply(call, images, batch_size: int) -> np.ndarray:
+def _batched_apply(call, images, batch_size: int,
+                   buckets: Optional[Sequence[int]] = None) -> np.ndarray:
     """Shared any-N inference loop: chunk to ``batch_size``, zero-pad the
-    tail, run ``call`` on each full chunk, strip pad rows, concatenate.
-    Every predictor's ``logits`` routes through here."""
+    tail, run ``call`` on each chunk, strip pad rows, concatenate.
+    Every predictor's ``logits`` routes through here.
+
+    ``buckets`` (sorted, all <= batch_size) pads a short tail to the
+    SMALLEST bucket that fits instead of always the full ``batch_size``:
+    a 1-image request on a 64-bucket executable pays 64x the H2D bytes
+    and ~30x the device time it needs (measured: 0.77 ms at bs1 vs
+    24.75 ms at bs64) — serving loads are mostly short batches, so the
+    micro-batcher's occupancy, not the configured maximum, should pick
+    the executable.  One executable compiles per distinct bucket."""
     n = len(images)
     if n == 0:
         raise ValueError("no images given")
+    sizes = sorted(set(buckets or ())) or [batch_size]
     outs = []
     for start in range(0, n, batch_size):
         chunk = np.asarray(images[start:start + batch_size])
-        pad = batch_size - len(chunk)
+        rows = len(chunk)
+        size = next((b for b in sizes if b >= rows), batch_size)
+        pad = size - rows
         if pad:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
         out = call(chunk)
-        outs.append(np.asarray(out[:batch_size - pad] if pad else out,
-                               np.float32))
+        outs.append(np.asarray(out[:rows] if pad else out, np.float32))
     return np.concatenate(outs)
+
+
+def _resolve_buckets(buckets, batch_size: int, mesh) -> tuple:
+    """'auto' -> powers of 4 up to batch_size (1, 4, 16, ..., batch_size):
+    at most ~4x padding waste, log4(bs) executables.  None -> the single
+    full-size bucket (old behavior).  A mesh forces single-bucket: short
+    buckets need not divide the data axis."""
+    if mesh is not None or buckets is None:
+        return (batch_size,)
+    if buckets == "auto":
+        out = []
+        b = 1
+        while b < batch_size:
+            out.append(b)
+            b *= 4
+        return tuple(out) + (batch_size,)
+    out = tuple(sorted(set(int(b) for b in buckets)))
+    if not out or out[-1] > batch_size or out[0] < 1:
+        raise ValueError(
+            f"buckets {buckets!r} must be within [1, batch_size="
+            f"{batch_size}]")
+    return out if out[-1] == batch_size else out + (batch_size,)
 
 
 class Predictor:
@@ -58,6 +91,7 @@ class Predictor:
         dtype=jnp.bfloat16,
         mesh=None,
         quantize: Optional[str] = None,
+        buckets="auto",
     ):
         if merge and cara_params is not None:
             params = merge_cara(params, cara_params, cfg, cara_cfg)
@@ -74,6 +108,7 @@ class Predictor:
             params = quantize_block_weights(params)
         self.cfg = cfg
         self.batch_size = batch_size
+        self.buckets = _resolve_buckets(buckets, batch_size, mesh)
         self._dtype = dtype
         self._mesh = mesh
         params = cast_floating(params, dtype)
@@ -158,7 +193,15 @@ class Predictor:
                 x = mesh_lib.put_batch(self._mesh, x)
             return self._fwd(self._params, self._cara, x)
 
-        return _batched_apply(call, images, self.batch_size)
+        return _batched_apply(call, images, self.batch_size, self.buckets)
+
+    def warmup(self) -> None:
+        """Compile-and-run EVERY bucket executable on zero images so no
+        real request ever pays jit compile (minutes on a cold tunneled
+        chip — long enough to blow client/server timeouts)."""
+        s = self.cfg.image_size
+        for b in self.buckets:
+            self.logits(np.zeros((b, s, s, 3), np.float32))
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         return np.argmax(self.logits(images), axis=-1)
@@ -203,6 +246,7 @@ class MultiTaskPredictor:
         batch_size: int = 64,
         dtype=jnp.bfloat16,
         mesh=None,
+        buckets="auto",
     ):
         """``tasks``: ordered ``{name: {"cara": pytree, "head": {kernel,
         bias}, "scale": float, "cp_order": int}}``.  ``mesh``: optional
@@ -246,6 +290,7 @@ class MultiTaskPredictor:
                               cp_order=orders.pop())
         self.cfg = cfg
         self.batch_size = batch_size
+        self.buckets = _resolve_buckets(buckets, batch_size, mesh)
         self.names = names
         self._tid = {n: i for i, n in enumerate(names)}
         self._dtype = dtype
@@ -337,8 +382,15 @@ class MultiTaskPredictor:
                 x = mesh_lib.put_batch(self._mesh, x)
             return self._fwd(x, tid)
 
-        out = _batched_apply(call, images, self.batch_size)
+        out = _batched_apply(call, images, self.batch_size, self.buckets)
         return out[:, :self._num_classes[task]]
+
+    def warmup(self) -> None:
+        """Compile every bucket through the shared executable (the task id
+        is a traced operand, so warming ANY task warms ALL of them)."""
+        s = self.cfg.image_size
+        for b in self.buckets:
+            self.logits(np.zeros((b, s, s, 3), np.float32), self.names[0])
 
     def predict(self, images: np.ndarray, task: str) -> np.ndarray:
         return np.argmax(self.logits(images, task), axis=-1)
@@ -409,34 +461,56 @@ class ExportedPredictor:
     exported batch size) but needs only the artifact — no checkpoint, no
     model config, no adapter math."""
 
-    def __init__(self, exported):
+    def __init__(self, exported, *, max_batch: Optional[int] = None,
+                 buckets="auto"):
+        """``max_batch``: for SYMBOLIC-batch artifacts only — chunk/pad
+        incoming batches to power-of-4 buckets up to ``max_batch`` so a
+        server's ragged micro-batches compile a bounded executable set
+        (each distinct concrete N still jit-compiles the deserialized
+        module once).  ``None`` (library default) calls with the exact N
+        given — no padding, one compile per distinct N."""
         self._exp = exported
         self._call = jax.jit(exported.call)
         dim0 = exported.in_avals[0].shape[0]
         # None = symbolic batch (batch_size=0 export): any N, no padding.
         self.batch_size = int(dim0) if isinstance(dim0, int) else None
         self.image_size = int(exported.in_avals[0].shape[1])
+        if self.batch_size is not None:
+            self.max_batch = self.batch_size
+            self._buckets: Optional[tuple] = (self.batch_size,)
+        elif max_batch:
+            self.max_batch = int(max_batch)
+            self._buckets = _resolve_buckets(buckets, self.max_batch, None)
+        else:
+            self.max_batch = None
+            self._buckets = None
 
     @classmethod
-    def from_file(cls, path: str) -> "ExportedPredictor":
+    def from_file(cls, path: str, **kw) -> "ExportedPredictor":
         from jax import export as jexport
 
         with open(path, "rb") as f:
-            return cls(jexport.deserialize(bytearray(f.read())))
+            return cls(jexport.deserialize(bytearray(f.read())), **kw)
 
     @classmethod
-    def from_bytes(cls, blob: bytes) -> "ExportedPredictor":
+    def from_bytes(cls, blob: bytes, **kw) -> "ExportedPredictor":
         from jax import export as jexport
 
-        return cls(jexport.deserialize(bytearray(blob)))
+        return cls(jexport.deserialize(bytearray(blob)), **kw)
+
+    def warmup(self) -> None:
+        s = self.image_size
+        for b in self._buckets or (1,):
+            self.logits(np.zeros((b, s, s, 3), np.float32))
 
     def logits(self, images: np.ndarray) -> np.ndarray:
-        if self.batch_size is None:  # symbolic batch: one direct call
+        if self.batch_size is None and self._buckets is None:
+            # symbolic batch, exact N: one direct call
             return np.asarray(
                 self._call(np.asarray(images, np.float32)), np.float32)
         return _batched_apply(
             lambda chunk: self._call(chunk.astype(np.float32)),
-            images, self.batch_size)
+            images, self.batch_size or self.max_batch, self._buckets)
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         return np.argmax(self.logits(images), axis=-1)

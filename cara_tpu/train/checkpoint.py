@@ -149,8 +149,15 @@ class BestCheckpointKeeper:
 # --- mid-training resume (orbax) ------------------------------------------
 
 
-def save_train_state(ckpt_dir: str, step: int, state, extra=None) -> None:
-    """Orbax save of the resumable state (trainable + optimizer + step)."""
+def save_train_state(ckpt_dir: str, step: int, state, extra=None,
+                     keep_last: int = 3) -> None:
+    """Orbax save of the resumable state (trainable + optimizer + step).
+
+    Keeps only the newest ``keep_last`` snapshots: a 100-epoch run saving
+    every N steps would otherwise accumulate hundreds of step dirs, and
+    resume only ever reads the newest one (``latest_step``).  Older dirs
+    are pruned AFTER the new save lands, so a crash mid-save never leaves
+    the directory empty.  ``keep_last=0`` disables pruning."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
@@ -159,6 +166,16 @@ def save_train_state(ckpt_dir: str, step: int, state, extra=None) -> None:
     if extra is not None:
         with open(os.path.join(path, "extra.json"), "w") as f:
             json.dump(extra, f)
+    if keep_last > 0:
+        import shutil
+
+        steps = sorted(
+            int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
+            if d.startswith("step_") and d.split("_")[1].isdigit())
+        for old in steps[:-keep_last]:
+            shutil.rmtree(
+                os.path.join(ckpt_dir, f"step_{old:08d}"),
+                ignore_errors=True)
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

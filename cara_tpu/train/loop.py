@@ -45,6 +45,12 @@ class FitConfig:
     start_epoch: int = 0         # set by auto-resume
 
 
+class Preempted(RuntimeError):
+    """Raised by multi-run drivers (sweep) when ``fit`` returned early on
+    SIGTERM — the interrupted run must NOT be recorded as complete, and no
+    further runs may start inside the reclaim grace window."""
+
+
 class _PreemptFlag:
     """Set asynchronously by the signal handler, read at step boundaries."""
 

@@ -239,6 +239,10 @@ def fit_tasks(
     Mirrors ``loop.fit`` (eval every ``eval_every`` epochs skipping epoch 0,
     per-task best-checkpoint rotation, final re-eval) with every quantity
     vectorized over the task axis.  Returns {task: {"best_acc", ...}}.
+    Unlike ``loop.fit`` there is no SIGTERM watcher here: a preempted
+    task-parallel sweep dies with the default handler and recovers at
+    GROUP granularity via ``sweep --resume-sweep`` (the whole group is
+    one training run — there is no per-task partial state to save).
     ``train_step``/``eval_step`` may be passed in to share one compiled
     executable across task groups (only the weight-dropout rate
     specializes).

@@ -167,6 +167,33 @@ def test_train_state_resume(tiny_cfg, tmp_path):
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
 
 
+def test_train_state_retention(tiny_cfg, tmp_path):
+    """save_train_state keeps only the newest ``keep_last`` snapshots (a
+    100-epoch cadence would otherwise accumulate hundreds of step dirs);
+    the newest one must still restore."""
+    cara_cfg = CaraConfig(rank=4, weight_dropout=0.0)
+    params = vit_lib.init_vit_params(jax.random.key(0), tiny_cfg)
+    cara_params = cara_lib.init_cara_params(
+        jax.random.key(1), tiny_cfg, cara_cfg)
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=5)
+    _, state = steps_lib.init_train_state(tx, params, cara_params)
+    d = str(tmp_path / "ck")
+    for s in (1, 2, 3, 4, 5):
+        ckpt_lib.save_train_state(d, s, state, keep_last=3)
+    kept = sorted(x for x in os.listdir(d) if x.startswith("step_"))
+    assert kept == ["step_00000003", "step_00000004", "step_00000005"]
+    assert ckpt_lib.latest_step(d) == 5
+    _, template = steps_lib.init_train_state(tx, params, cara_params)
+    restored, _ = ckpt_lib.restore_train_state(d, 5, template)
+    np.testing.assert_allclose(
+        np.asarray(state.trainable["cara"]["A2"]),
+        np.asarray(restored.trainable["cara"]["A2"]))
+    # keep_last=0 disables pruning.
+    for s in (6, 7, 8, 9):
+        ckpt_lib.save_train_state(d, s, state, keep_last=0)
+    assert len([x for x in os.listdir(d) if x.startswith("step_")]) == 7
+
+
 # --- data pipeline ---------------------------------------------------------
 
 

@@ -90,3 +90,51 @@ def test_no_resume_dir_still_exits_cleanly(tmp_path, monkeypatch):
     out = buf.getvalue()
     assert "optimizer state was NOT saved" in out, out
     assert not os.path.isdir(str(tmp_path / "resume"))
+
+
+def test_sweep_preemption_stops_and_resumes(tmp_path, monkeypatch):
+    """SIGTERM mid-sweep: the interrupted combo must NOT be recorded (else
+    --resume-sweep would skip it forever), completed combos are persisted,
+    and the relaunch finishes only the missing ones."""
+    import json
+
+    from cara_tpu.cli import sweep as sweep_cli
+
+    args = [
+        "--synthetic", "--tasks", "patch_camelyon,kitti",
+        "--model", "vit_tiny_test", "--dim", "4", "--epochs", "1",
+        "--batch-size", "8", "--eval-batch-size", "8",
+        "--synthetic-size", "32", "--dtype", "float32",
+        "--backbone", str(tmp_path / "none.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000"]
+
+    # With epochs=1 the prefetch generators are created in order:
+    # #1 task-1 train, #2 task-1 final eval, #3 task-2 train.  Fire the
+    # signal as the first task-2 train batch is handed out — task 1 must
+    # survive in results, task 2 must not.
+    real_prefetch = loop_lib.prefetch
+    created = {"n": 0}
+
+    def prefetch_and_preempt(iterator, put_fn, depth=2):
+        created["n"] += 1
+        mine = created["n"]
+        for i, b in enumerate(real_prefetch(iterator, put_fn, depth)):
+            if mine == 3 and i == 0:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    monkeypatch.setattr(loop_lib, "prefetch", prefetch_and_preempt)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        partial = sweep_cli.main(args)
+    assert "sweep preempted during kitti" in buf.getvalue()
+    assert set(partial) == {"patch_camelyon"}
+    with open(tmp_path / "vtab_results.json") as f:
+        saved = json.load(f)
+    assert set(saved) == {"patch_camelyon"}  # no partial kitti, no summary
+
+    # Relaunch: only kitti left to run; summary covers both.
+    monkeypatch.setattr(loop_lib, "prefetch", real_prefetch)
+    results = sweep_cli.main(args + ["--resume-sweep"])
+    assert set(results) == {"patch_camelyon", "kitti", "__summary__"}
+    assert results["__summary__"]["tasks"] == 2

@@ -171,3 +171,46 @@ def test_batcher_error_resolves_futures():
             fut2.result(timeout=10)
     finally:
         mb.close()
+
+
+def test_serve_exported_artifact(tmp_path):
+    """A serialized StableHLO artifact serves over HTTP end-to-end:
+    export -> ExportedPredictor(max_batch=, buckets) -> InferenceServer.
+    Covers both fixed-batch and symbolic-batch artifacts."""
+    from cara_tpu.serving import ExportedPredictor, export_serialized
+
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=10, seed=0)
+    blob = export_serialized(
+        model.params, model.cfg, cara_params=model.cara_params,
+        cara_cfg=model.cara_cfg, batch_size=0, dtype=np.float32,
+        platforms=("cpu",))
+    path = str(tmp_path / "m.stablehlo")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    # Symbolic artifact + max_batch -> bounded bucket set, servable.
+    ep = ExportedPredictor.from_file(path, max_batch=8)
+    assert ep.batch_size is None and ep.max_batch == 8
+    assert ep._buckets == (1, 4, 8)
+    srv = InferenceServer(ep, port=0, max_wait_ms=1.0).start()
+    try:
+        status, body = _post(srv.port, _png_bytes(0))
+        assert status == 200 and 0 <= body["class"] < 10
+        status, health = _get(srv.port, "/healthz")
+        assert health["max_batch"] == 8
+    finally:
+        srv.close()
+
+    # Exact-N library default (no max_batch) refuses to serve (no batch
+    # bound for the micro-batcher) but still predicts directly.
+    ep2 = ExportedPredictor.from_file(path)
+    assert ep2.predict(np.zeros((3, 32, 32, 3), np.float32)).shape == (3,)
+    with pytest.raises(ValueError, match="batch bound"):
+        InferenceServer(ep2, port=0)
+
+    # CLI path: serve --exported builds the same servable predictor.
+    from cara_tpu.cli import serve as serve_cli
+
+    with pytest.raises(SystemExit, match="exactly one"):
+        serve_cli.main(["--exported", path, "--ckpt", "x.npz"])

@@ -123,3 +123,57 @@ def test_predict_iter(setup):
         total += float(valid.sum())
     assert total == 10.0
     assert 0.0 <= correct <= 10.0
+
+
+def test_bucketed_logits_match_full_bucket(setup):
+    """'auto' buckets (powers of 4 up to batch_size) give the SAME logits
+    as the single full-size bucket for every ragged N — the executable
+    size is a performance choice, never a math choice."""
+    cfg, cara_cfg, params, cara_params = setup
+    full = Predictor(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+                     batch_size=16, dtype=np.float32, buckets=None)
+    auto = Predictor(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+                     batch_size=16, dtype=np.float32)
+    assert full.buckets == (16,)
+    assert auto.buckets == (1, 4, 16)
+    for n in (1, 2, 4, 5, 16, 17, 35):
+        imgs = np.random.RandomState(n).randn(
+            n, 16, 16, 3).astype(np.float32)
+        np.testing.assert_allclose(
+            auto.logits(imgs), full.logits(imgs), atol=1e-5, err_msg=str(n))
+    # Explicit CSV buckets; batch_size is always appended.
+    csv = Predictor(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
+                    batch_size=16, dtype=np.float32, buckets=[1, 8])
+    assert csv.buckets == (1, 8, 16)
+    imgs = np.random.RandomState(9).randn(6, 16, 16, 3).astype(np.float32)
+    np.testing.assert_allclose(csv.logits(imgs), full.logits(imgs), atol=1e-5)
+    with pytest.raises(ValueError, match="buckets"):
+        Predictor(params, cfg, batch_size=16, dtype=np.float32,
+                  buckets=[32])
+    # A mesh forces single-bucket (short buckets need not divide the
+    # data axis).
+    from cara_tpu.parallel.mesh import make_mesh
+
+    meshed = Predictor(params, cfg, cara_params=cara_params,
+                       cara_cfg=cara_cfg, batch_size=16, dtype=np.float32,
+                       mesh=make_mesh())
+    assert meshed.buckets == (16,)
+
+
+def test_multitask_bucketed(setup):
+    from cara_tpu.serving import MultiTaskPredictor
+
+    cfg, cara_cfg, params, cara_params = setup
+    tasks = {"a": {"cara": cara_params, "head": params["head"],
+                   "scale": cara_cfg.scale, "cp_order": 4}}
+    full = MultiTaskPredictor(params, cfg, tasks, batch_size=16,
+                              dtype=np.float32, buckets=None)
+    auto = MultiTaskPredictor(params, cfg, tasks, batch_size=16,
+                              dtype=np.float32)
+    assert auto.buckets == (1, 4, 16)
+    auto.warmup()  # compiles every bucket without error
+    for n in (1, 3, 17):
+        imgs = np.random.RandomState(n).randn(
+            n, 16, 16, 3).astype(np.float32)
+        np.testing.assert_allclose(
+            auto.logits(imgs, "a"), full.logits(imgs, "a"), atol=1e-5)
