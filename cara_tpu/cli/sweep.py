@@ -48,6 +48,19 @@ def parse_args(argv=None):
                         "adds per-task best) — the paper's per-task seed "
                         "tuning as one sweep. Default: each task's "
                         "reference seed (vtab_config)")
+    p.add_argument("--lrs", default=None, type=str,
+                   help="Comma-separated learning rates: grid axis "
+                        "multiplying tasks x seeds (keys gain @lr<v>; "
+                        "summary picks per-task best across the whole "
+                        "grid). Each lr compiles its own step pair (the "
+                        "schedule is baked into the executable). "
+                        "Default: --lr")
+    p.add_argument("--scales", default=None, type=str,
+                   help="Comma-separated delta scales overriding the "
+                        "per-task config scale: grid axis like --lrs "
+                        "(keys gain @sc<v>). With --pad-classes the scale "
+                        "is a traced operand, so this axis adds ZERO "
+                        "recompiles")
     p.add_argument("--task-parallel", default=0, type=int,
                    help="Train N tasks SIMULTANEOUSLY on an N-device (task,) "
                         "mesh — one task per device, stacked adapters, "
@@ -87,16 +100,19 @@ class _TaskOperandLoader:
 
 def run_task(task: str, args, results: dict,
              step_cache: dict = None, *, seed: int = None,
-             key: str = None) -> float:
+             key: str = None, lr: float = None,
+             scale: float = None) -> float:
     hp = get_task_hparams(task)
     if seed is None:
         seed = args.seed if args.seed is not None else hp.seed
+    eff_lr = args.lr if lr is None else lr
+    eff_scale = hp.scale if scale is None else scale
     key = key or task
     num_real = vtab_lib.get_classes_num(task)
     num_classes = max(args.pad_classes, num_real) if args.pad_classes \
         else num_real
     model = api.build_model(
-        args.model, rank=args.dim, scale=hp.scale, l_mu=hp.init_mean,
+        args.model, rank=args.dim, scale=eff_scale, l_mu=hp.init_mean,
         l_std=hp.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, delta_impl=args.delta_impl,
         weight_dropout=hp.weight_dropout)
@@ -106,16 +122,17 @@ def run_task(task: str, args, results: dict,
         image_size=model.cfg.image_size, seed=seed,
         synthetic=args.synthetic, synthetic_size=args.synthetic_size)
     if args.pad_classes:
-        train_loader = _TaskOperandLoader(train_loader, num_real, hp.scale)
-        eval_loader = _TaskOperandLoader(eval_loader, num_real, hp.scale)
+        train_loader = _TaskOperandLoader(train_loader, num_real, eff_scale)
+        eval_loader = _TaskOperandLoader(eval_loader, num_real, eff_scale)
     tx = steps_lib.make_optimizer(
-        args.lr, train_loader.steps_per_epoch(), total_epochs=args.epochs)
+        eff_lr, train_loader.steps_per_epoch(), total_epochs=args.epochs)
     # Compile sharing: with padded heads + batch-operand class count/scale,
-    # the ONLY per-task jit specialization left is the weight-dropout rate
-    # — reuse the jitted step functions across tasks keyed on it.
+    # the only per-task jit specializations left are the weight-dropout
+    # rate and the lr (its schedule is baked into the optimizer) — reuse
+    # the jitted step functions across tasks keyed on them.
     train_step = eval_step = None
     if args.pad_classes and step_cache is not None:
-        cache_key = (hp.weight_dropout,)
+        cache_key = (hp.weight_dropout, eff_lr)
         if cache_key not in step_cache:
             mesh = common.resolve_mesh(args.mesh)
             cd = common.resolve_dtype(args.dtype)
@@ -159,6 +176,8 @@ def run_task(task: str, args, results: dict,
     results[key] = {
         "top1": out["best_acc"],
         "seed": seed,
+        "lr": eff_lr,
+        "scale": eff_scale,
         "images_per_sec": out["images_per_sec"],
         "minutes": round((time.time() - t0) / 60, 2),
         "ckpt": keeper.best_path,
@@ -167,9 +186,11 @@ def run_task(task: str, args, results: dict,
 
 
 def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
-    """Train a group of (task, seed, key) combos simultaneously on a
-    (task,) mesh — one combo per device (multi-seed sweeps parallelize the
-    same way as multi-task ones: the seed is just another traced operand).
+    """Train a group of (task, seed, lr, scale, key) combos simultaneously
+    on a (task,) mesh — one combo per device (multi-seed and multi-scale
+    sweeps parallelize the same way as multi-task ones: seed and scale are
+    traced operands; the lr is uniform within a group by construction —
+    ``main`` groups combos by (weight-dropout, lr)).
 
     The frozen backbone is shared across the group (identical by
     construction when ``--backbone`` points at the pretrained npz — the
@@ -186,12 +207,15 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
 
     t = len(combos)
     group = [c[0] for c in combos]
-    keys = [c[2] or c[0] for c in combos]
+    keys = [c[4] or c[0] for c in combos]
     mesh = tp_lib.make_task_mesh(t)
     hps = [get_task_hparams(task) for task in group]
     seeds = [c[1] if c[1] is not None
              else (args.seed if args.seed is not None else hp.seed)
              for c, hp in zip(combos, hps)]
+    eff_lr = args.lr if combos[0][2] is None else combos[0][2]
+    eff_scales = [c[3] if c[3] is not None else hp.scale
+                  for c, hp in zip(combos, hps)]
     num_real = [vtab_lib.get_classes_num(task) for task in group]
     if max(num_real) > args.pad_classes:
         raise ValueError(
@@ -210,8 +234,8 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
     trainables, metas, train_ls, eval_ls = [], [], [], []
     for i, (task, hp, seed) in enumerate(zip(group, hps, seeds)):
         cara_cfg_i = dataclasses.replace(
-            cara_cfg, scale=hp.scale, l_mu=hp.init_mean, l_std=hp.init_std,
-            weight_dropout=hp.weight_dropout)
+            cara_cfg, scale=eff_scales[i], l_mu=hp.init_mean,
+            l_std=hp.init_std, weight_dropout=hp.weight_dropout)
         if i == 0:
             trainable = {"cara": model.cara_params,
                          "head": model.params["head"]}
@@ -235,19 +259,19 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
         train_ls.append(tr)
         eval_ls.append(ev)
 
-    scales = [hp.scale for hp in hps]
     train_loader = tp_lib.StackedLoader(
-        train_ls, num_real, scales, pad_tail=False)
+        train_ls, num_real, eff_scales, pad_tail=False)
     eval_loader = tp_lib.StackedLoader(
-        eval_ls, num_real, scales, pad_tail=True)
+        eval_ls, num_real, eff_scales, pad_tail=True)
     tx = steps_lib.make_optimizer(
-        args.lr, train_ls[0].steps_per_epoch(), total_epochs=args.epochs)
+        eff_lr, train_ls[0].steps_per_epoch(), total_epochs=args.epochs)
     states = [steps_lib.init_train_state(tx, dict(frozen, head=tr["head"]),
                                          tr["cara"])[1]
               for tr in trainables]
-    # One compiled pair per (group size, weight-dropout rate) — all VTAB
-    # tasks share rate 0.1, so typically exactly one compile per group size.
-    key = ("tp", t, hps[0].weight_dropout)
+    # One compiled pair per (group size, weight-dropout rate, lr) — all
+    # VTAB tasks share rate 0.1, so typically one compile per group size
+    # per lr value.
+    key = ("tp", t, hps[0].weight_dropout, eff_lr)
     if key not in step_cache:
         cd = common.resolve_dtype(args.dtype)
         step_cache[key] = (
@@ -280,6 +304,8 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
         results[key] = {
             "top1": out[key]["best_acc"],
             "seed": seeds[i],
+            "lr": eff_lr,
+            "scale": eff_scales[i],
             "images_per_sec": out[key]["images_per_sec"],
             "minutes": minutes,
             "ckpt": keepers[i].best_path,
@@ -294,22 +320,40 @@ def main(argv=None):
              else args.tasks.split(","))
     seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
              else [None])
+    lrs = ([float(v) for v in args.lrs.split(",")] if args.lrs else [None])
+    scales = ([float(v) for v in args.scales.split(",")] if args.scales
+              else [None])
     multi_seed = len(seeds) > 1 or args.seeds is not None
+    multi_axis = multi_seed or len(lrs) > 1 or len(scales) > 1 \
+        or args.lrs is not None or args.scales is not None
 
-    def combo_key(task, seed):
-        return f"{task}@s{seed}" if multi_seed and seed is not None else task
+    def fmt(v: float) -> str:
+        return f"{v:g}"
 
-    # (task, seed, results-key) work list — the seed axis multiplies the
-    # task axis (the paper tunes per-task seeds; one sweep reproduces it).
-    combos = [(t, s, combo_key(t, s)) for t in tasks for s in seeds]
+    def combo_key(task, seed, lr, scale):
+        key = task
+        if multi_seed and seed is not None:
+            key += f"@s{seed}"
+        if lr is not None and (len(lrs) > 1 or args.lrs is not None):
+            key += f"@lr{fmt(lr)}"
+        if scale is not None and (len(scales) > 1
+                                  or args.scales is not None):
+            key += f"@sc{fmt(scale)}"
+        return key
+
+    # (task, seed, lr, scale, results-key) work list — the seed/lr/scale
+    # axes multiply the task axis (the paper's per-task hyperparameter
+    # search as one sweep; per-task best lands in the summary).
+    combos = [(t, s, lr, sc, combo_key(t, s, lr, sc))
+              for t in tasks for s in seeds for lr in lrs for sc in scales]
     results: dict = {}
     results_path = os.path.join(args.out_dir, args.results)
     if args.resume_sweep and os.path.exists(results_path):
         with open(results_path) as f:
             results = {k: v for k, v in json.load(f).items()
                        if not k.startswith("__")}
-        done = [c for c in combos if c[2] in results]
-        combos = [c for c in combos if c[2] not in results]
+        done = [c for c in combos if c[4] in results]
+        combos = [c for c in combos if c[4] not in results]
         if done:
             print(f"resume: {len(done)} run(s) already in "
                   f"{results_path}, {len(combos)} to go")
@@ -321,26 +365,29 @@ def main(argv=None):
         import collections
 
         n = min(args.task_parallel, len(jax.devices()))
-        # Group by weight-dropout rate (the one remaining jit
-        # specialization — uniform 0.1 across VTAB), then chunk to the
-        # mesh size; a short tail group compiles once at its own size.
+        # Group by (weight-dropout rate, lr) — the two remaining jit
+        # specializations (the rate is uniform 0.1 across VTAB; the lr
+        # schedule is baked into the optimizer) — then chunk to the mesh
+        # size; a short tail group compiles once at its own size.  Seeds
+        # and scales are traced operands and never split a group.
         by_rate = collections.defaultdict(list)
         for combo in combos:
-            by_rate[get_task_hparams(combo[0]).weight_dropout].append(combo)
+            by_rate[(get_task_hparams(combo[0]).weight_dropout,
+                     combo[2])].append(combo)
         for rate_combos in by_rate.values():
             for i in range(0, len(rate_combos), n):
                 group = rate_combos[i:i + n]
                 print(f"=== task-parallel x{len(group)}: "
-                      f"{','.join(c[2] for c in group)} ===")
+                      f"{','.join(c[4] for c in group)} ===")
                 run_task_group(group, args, results, step_cache)
                 with open(os.path.join(args.out_dir, args.results), "w") as f:
                     json.dump(results, f, indent=1)
     else:
-        for task, seed, key in combos:
+        for task, seed, lr, scale, key in combos:
             print(f"=== {key} ===")
             try:
                 acc = run_task(task, args, results, step_cache,
-                               seed=seed, key=key)
+                               seed=seed, key=key, lr=lr, scale=scale)
             except loop_lib.Preempted:
                 # SIGTERM (spot-VM reclaim): persist completed combos only
                 # and stop — the relaunch picks this combo back up.
@@ -359,13 +406,14 @@ def main(argv=None):
         print("no tasks to run")
         return results
     summary = {"mean_top1": sum(accs) / len(accs), "tasks": len(accs)}
-    if multi_seed:
-        # Per-task best across the seed axis (the paper's selection rule).
+    if multi_axis:
+        # Per-task best across every grid axis (the paper's selection rule).
         best: dict = {}
         for key, row in results.items():
-            task = key.split("@s")[0]
+            task = key.split("@")[0]
             if task not in best or row["top1"] > best[task]["top1"]:
-                best[task] = {"top1": row["top1"], "seed": row["seed"]}
+                best[task] = {k: row[k] for k in
+                              ("top1", "seed", "lr", "scale") if k in row}
         summary["best_per_task"] = best
         summary["mean_best_top1"] = (
             sum(v["top1"] for v in best.values()) / len(best))

@@ -67,22 +67,35 @@ class _Request:
 class MicroBatcher:
     """Coalesce concurrent single-image requests into device batches.
 
-    A daemon thread drains the queue: the first request opens a batch,
-    then up to ``max_batch - 1`` more are awaited for at most
-    ``max_wait_ms``; the stacked batch runs through ``logits_fn`` and each
-    row resolves its request's future.
+    Two-stage pipeline: a collector thread drains the queue (the first
+    request opens a batch, then up to ``max_batch - 1`` more are awaited
+    for at most ``max_wait_ms``) and DISPATCHES the stacked batch; a
+    resolver thread fetches device results and resolves each row's
+    future.  With ``dispatch_fn`` (``predictor.logits_async`` — returns a
+    zero-arg fetch) batch N's H2D+compute overlaps batch N-1's
+    D2H+resolve, since JAX execution is async until the result is read;
+    with only a sync ``logits_fn`` the compute simply runs in the
+    resolver stage (old serial behavior).  ``pipeline_depth`` bounds the
+    number of dispatched-but-unresolved batches (device memory in
+    flight).
     """
 
-    def __init__(self, logits_fn, max_batch: int, max_wait_ms: float = 2.0):
+    def __init__(self, logits_fn, max_batch: int, max_wait_ms: float = 2.0,
+                 dispatch_fn=None, pipeline_depth: int = 2):
         self._logits_fn = logits_fn
+        self._dispatch_fn = dispatch_fn
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._fetch_q: "queue.Queue" = queue.Queue(
+            maxsize=max(1, pipeline_depth - 1))
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "rows": 0,
                       "latency_ms_sum": 0.0, "latency_ms_max": 0.0}
         self._thread = threading.Thread(target=self._run, daemon=True)
+        self._resolver = threading.Thread(target=self._resolve, daemon=True)
         self._thread.start()
+        self._resolver.start()
 
     def submit(self, image: np.ndarray) -> Future:
         req = _Request(image)
@@ -92,6 +105,7 @@ class MicroBatcher:
     def close(self):
         self._q.put(None)
         self._thread.join(timeout=5)
+        self._resolver.join(timeout=5)
 
     def _collect(self) -> Optional[List[_Request]]:
         head = self._q.get()
@@ -114,14 +128,35 @@ class MicroBatcher:
         return batch
 
     def _run(self):
+        """Collector stage: form a batch, dispatch it, hand off to the
+        resolver.  Blocks on the bounded fetch queue for backpressure."""
         while True:
             batch = self._collect()
             if batch is None:
+                self._fetch_q.put(None)
                 return
+            imgs = np.stack([r.image for r in batch])
             try:
-                logits = self._logits_fn(
-                    np.stack([r.image for r in batch]))
+                if self._dispatch_fn is not None:
+                    fetch = self._dispatch_fn(imgs)
+                else:
+                    fetch = (lambda fn=self._logits_fn, x=imgs: fn(x))
             except Exception as exc:  # resolve waiters, keep serving
+                for r in batch:
+                    r.future.set_exception(exc)
+                continue
+            self._fetch_q.put((batch, fetch))
+
+    def _resolve(self):
+        """Resolver stage: block on the device result, resolve futures."""
+        while True:
+            item = self._fetch_q.get()
+            if item is None:
+                return
+            batch, fetch = item
+            try:
+                logits = fetch()
+            except Exception as exc:
                 for r in batch:
                     r.future.set_exception(exc)
                 continue
@@ -180,10 +215,17 @@ class InferenceServer:
                 "with exact-N calls); construct ExportedPredictor with "
                 "max_batch= to serve it")
         self.batchers = {}
+        has_async = hasattr(predictor, "logits_async")
         for t in tasks:
             fn = (predictor.logits if t is None
                   else (lambda imgs, _t=t: predictor.logits(imgs, _t)))
-            self.batchers[t] = MicroBatcher(fn, max_batch, max_wait_ms)
+            dfn = None
+            if has_async:  # dispatch/fetch split -> pipelined batches
+                dfn = (predictor.logits_async if t is None
+                       else (lambda imgs, _t=t:
+                             predictor.logits_async(imgs, _t)))
+            self.batchers[t] = MicroBatcher(fn, max_batch, max_wait_ms,
+                                            dispatch_fn=dfn)
         self.batcher = next(iter(self.batchers.values()))  # default route
         batchers = self.batchers
         image_size = (getattr(predictor, "image_size", None)

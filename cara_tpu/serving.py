@@ -23,6 +23,36 @@ from cara_tpu.models.vit import vit_forward
 from cara_tpu.train.steps import cast_floating
 
 
+def _dispatch_batched(call, images, batch_size: int,
+                      buckets: Optional[Sequence[int]] = None):
+    """Async core of :func:`_batched_apply`: dispatch every chunk through
+    ``call`` WITHOUT materializing, and return a zero-arg ``fetch`` that
+    blocks on the device and concatenates.  Dispatch-now/fetch-later lets
+    a serving pipeline overlap batch N's H2D+compute with batch N-1's
+    D2H+resolve (JAX execution is async until the result is read)."""
+    n = len(images)
+    if n == 0:
+        raise ValueError("no images given")
+    sizes = sorted(set(buckets or ())) or [batch_size]
+    pending = []
+    for start in range(0, n, batch_size):
+        chunk = np.asarray(images[start:start + batch_size])
+        rows = len(chunk)
+        size = next((b for b in sizes if b >= rows), batch_size)
+        pad = size - rows
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        pending.append((call(chunk), rows, pad))
+
+    def fetch() -> np.ndarray:
+        return np.concatenate([
+            np.asarray(out[:rows] if pad else out, np.float32)
+            for out, rows, pad in pending])
+
+    return fetch
+
+
 def _batched_apply(call, images, batch_size: int,
                    buckets: Optional[Sequence[int]] = None) -> np.ndarray:
     """Shared any-N inference loop: chunk to ``batch_size``, zero-pad the
@@ -36,22 +66,7 @@ def _batched_apply(call, images, batch_size: int,
     24.75 ms at bs64) — serving loads are mostly short batches, so the
     micro-batcher's occupancy, not the configured maximum, should pick
     the executable.  One executable compiles per distinct bucket."""
-    n = len(images)
-    if n == 0:
-        raise ValueError("no images given")
-    sizes = sorted(set(buckets or ())) or [batch_size]
-    outs = []
-    for start in range(0, n, batch_size):
-        chunk = np.asarray(images[start:start + batch_size])
-        rows = len(chunk)
-        size = next((b for b in sizes if b >= rows), batch_size)
-        pad = size - rows
-        if pad:
-            chunk = np.concatenate(
-                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-        out = call(chunk)
-        outs.append(np.asarray(out[:rows] if pad else out, np.float32))
-    return np.concatenate(outs)
+    return _dispatch_batched(call, images, batch_size, buckets)()
 
 
 def _resolve_buckets(buckets, batch_size: int, mesh) -> tuple:
@@ -194,6 +209,19 @@ class Predictor:
             return self._fwd(self._params, self._cara, x)
 
         return _batched_apply(call, images, self.batch_size, self.buckets)
+
+    def logits_async(self, images: np.ndarray):
+        """Dispatch only; returns a zero-arg fetch() that materializes.
+        Lets the server's micro-batcher pipeline device work."""
+        def call(chunk):
+            x = jnp.asarray(chunk, self._dtype)
+            if self._mesh is not None:
+                from cara_tpu.parallel import mesh as mesh_lib
+
+                x = mesh_lib.put_batch(self._mesh, x)
+            return self._fwd(self._params, self._cara, x)
+
+        return _dispatch_batched(call, images, self.batch_size, self.buckets)
 
     def warmup(self) -> None:
         """Compile-and-run EVERY bucket executable on zero images so no
@@ -385,6 +413,22 @@ class MultiTaskPredictor:
         out = _batched_apply(call, images, self.batch_size, self.buckets)
         return out[:, :self._num_classes[task]]
 
+    def logits_async(self, images: np.ndarray, task: str):
+        """Dispatch only; returns fetch() (see ``Predictor.logits_async``)."""
+        tid = jnp.int32(self._tid[task])
+
+        def call(chunk):
+            x = jnp.asarray(chunk, self._dtype)
+            if self._mesh is not None:
+                from cara_tpu.parallel import mesh as mesh_lib
+
+                x = mesh_lib.put_batch(self._mesh, x)
+            return self._fwd(x, tid)
+
+        fetch = _dispatch_batched(call, images, self.batch_size, self.buckets)
+        nc = self._num_classes[task]
+        return lambda: fetch()[:, :nc]
+
     def warmup(self) -> None:
         """Compile every bucket through the shared executable (the task id
         is a traced operand, so warming ANY task warms ALL of them)."""
@@ -509,6 +553,15 @@ class ExportedPredictor:
             return np.asarray(
                 self._call(np.asarray(images, np.float32)), np.float32)
         return _batched_apply(
+            lambda chunk: self._call(chunk.astype(np.float32)),
+            images, self.batch_size or self.max_batch, self._buckets)
+
+    def logits_async(self, images: np.ndarray):
+        """Dispatch only; returns fetch() (see ``Predictor.logits_async``)."""
+        if self.batch_size is None and self._buckets is None:
+            out = self._call(np.asarray(images, np.float32))
+            return lambda: np.asarray(out, np.float32)
+        return _dispatch_batched(
             lambda chunk: self._call(chunk.astype(np.float32)),
             images, self.batch_size or self.max_batch, self._buckets)
 

@@ -62,3 +62,45 @@ def test_sweep_two_tasks(tmp_path):
     with open(tmp_path / "vtab_results.json") as f:
         saved = json.load(f)
     assert saved["__summary__"]["tasks"] == 2
+
+
+def test_sweep_hparam_grid(tmp_path):
+    """--lrs/--scales multiply the task axis; per-task best across the
+    whole grid lands in the summary with its winning hyperparameters."""
+    results = sweep_cli.main([
+        "--synthetic", "--tasks", "patch_camelyon",
+        "--model", "vit_tiny_test", "--dim", "4", "--epochs", "1",
+        "--batch-size", "8", "--eval-batch-size", "8",
+        "--synthetic-size", "32", "--dtype", "float32",
+        "--backbone", str(tmp_path / "none.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000",
+        "--lrs", "0.001,0.0005", "--scales", "1,10"])
+    keys = {k for k in results if not k.startswith("__")}
+    assert keys == {
+        "patch_camelyon@lr0.001@sc1", "patch_camelyon@lr0.001@sc10",
+        "patch_camelyon@lr0.0005@sc1", "patch_camelyon@lr0.0005@sc10"}
+    row = results["patch_camelyon@lr0.0005@sc10"]
+    assert row["lr"] == 0.0005 and row["scale"] == 10.0
+    best = results["__summary__"]["best_per_task"]["patch_camelyon"]
+    assert best["lr"] in (0.001, 0.0005) and best["scale"] in (1.0, 10.0)
+    assert best["top1"] == max(
+        results[k]["top1"] for k in keys)
+
+
+def test_sweep_grid_task_parallel(tmp_path):
+    """Grid axes compose with --task-parallel: combos group by lr (one
+    compiled pair per lr), scale rides as a traced per-device operand."""
+    results = sweep_cli.main([
+        "--synthetic", "--tasks", "patch_camelyon",
+        "--model", "vit_tiny_test", "--dim", "4", "--epochs", "1",
+        "--batch-size", "8", "--eval-batch-size", "8",
+        "--synthetic-size", "32", "--dtype", "float32",
+        "--backbone", str(tmp_path / "none.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000",
+        "--pad-classes", "16", "--task-parallel", "2",
+        "--lrs", "0.001,0.0005", "--scales", "1,10"])
+    keys = {k for k in results if not k.startswith("__")}
+    assert len(keys) == 4
+    for k in keys:
+        assert results[k]["scale"] in (1.0, 10.0)
+    assert results["__summary__"]["tasks"] == 4

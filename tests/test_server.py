@@ -214,3 +214,44 @@ def test_serve_exported_artifact(tmp_path):
 
     with pytest.raises(SystemExit, match="exactly one"):
         serve_cli.main(["--exported", path, "--ckpt", "x.npz"])
+
+
+def test_microbatcher_pipeline_overlap():
+    """With a dispatch/fetch split, the collector dispatches batch N
+    while the resolver is still fetching batch N-1 (bounded by
+    pipeline_depth) — and every row still resolves to its own result."""
+    import threading
+    import time
+
+    lock = threading.Lock()
+    in_flight, max_in_flight = [], [0]
+
+    def dispatch(imgs):
+        ids = imgs[:, 0, 0, 0].copy()
+        with lock:
+            in_flight.append(1)
+            max_in_flight[0] = max(max_in_flight[0], len(in_flight))
+
+        def fetch():
+            time.sleep(0.05)  # simulated device latency
+            with lock:
+                in_flight.pop()
+            return np.stack([[i, -i] for i in ids])
+
+        return fetch
+
+    mb = MicroBatcher(lambda imgs: dispatch(imgs)(), max_batch=1,
+                      max_wait_ms=0.0, dispatch_fn=dispatch)
+    try:
+        imgs = [np.full((2, 2, 3), float(i), np.float32) for i in range(6)]
+        futs = [mb.submit(im) for im in imgs]
+        for i, f in enumerate(futs):
+            row, req = f.result(timeout=10)
+            np.testing.assert_allclose(row, [i, -i])
+        # Overlap happened, and stayed within the pipeline bound
+        # (1 fetching + 1 queued + 1 dispatched-awaiting-enqueue).
+        assert 2 <= max_in_flight[0] <= 3, max_in_flight[0]
+        snap = mb.snapshot()
+        assert snap["requests"] == 6 and snap["batches"] == 6
+    finally:
+        mb.close()
