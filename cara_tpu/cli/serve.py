@@ -47,6 +47,12 @@ def parse_args(argv=None):
     p.add_argument("--max-wait-ms", default=2.0, type=float,
                    help="How long the first request in a batch waits for "
                         "co-riders (0 = serve singles immediately)")
+    p.add_argument("--max-wait-cap-ms", default=None, type=float,
+                   help="Hard bound on adaptive batch collection: each "
+                        "co-rider arrival extends the wait by another "
+                        "--max-wait-ms up to this cap (default 4x "
+                        "--max-wait-ms; set equal to --max-wait-ms for a "
+                        "fixed deadline)")
     p.add_argument("--top", default=5, type=int)
     p.add_argument("--request-timeout", default=120.0, type=float,
                    help="per-request inference wait cap (seconds)")
@@ -146,7 +152,8 @@ def main(argv=None):
 
     srv = InferenceServer(pred, host=args.host, port=args.port,
                           max_wait_ms=args.max_wait_ms, top=args.top,
-                          request_timeout_s=args.request_timeout)
+                          request_timeout_s=args.request_timeout,
+                          max_wait_cap_ms=args.max_wait_cap_ms)
     if not args.no_warmup and hasattr(pred, "warmup"):
         # Compile BEFORE announcing the port: a readiness probe that sees
         # the address must get an answer within its own timeout, not a

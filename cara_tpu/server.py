@@ -78,14 +78,30 @@ class MicroBatcher:
     resolver stage (old serial behavior).  ``pipeline_depth`` bounds the
     number of dispatched-but-unresolved batches (device memory in
     flight).
+
+    ``max_wait_ms`` is ADAPTIVE by default (``max_wait_cap_ms`` > wait):
+    each co-rider arrival rolls the collection deadline forward by another
+    ``max_wait_ms`` (up to the hard ``max_wait_cap_ms`` bound), so a steady
+    request stream whose inter-arrival time is below ``max_wait_ms`` keeps
+    the batch open and fills toward a bucket boundary, while an isolated
+    request still dispatches after the base wait.  This raises batch
+    occupancy exactly in the regime the fixed deadline misses — moderate
+    load where arrivals trickle in but the queue never backs up — at a
+    worst-case latency cost bounded by the cap.  ``max_wait_cap_ms=None``
+    defaults to ``4 * max_wait_ms``; pass ``max_wait_cap_ms == max_wait_ms``
+    for the old fixed-deadline behavior.
     """
 
     def __init__(self, logits_fn, max_batch: int, max_wait_ms: float = 2.0,
-                 dispatch_fn=None, pipeline_depth: int = 2):
+                 dispatch_fn=None, pipeline_depth: int = 2,
+                 max_wait_cap_ms: Optional[float] = None):
         self._logits_fn = logits_fn
         self._dispatch_fn = dispatch_fn
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        if max_wait_cap_ms is None:
+            max_wait_cap_ms = 4.0 * max_wait_ms
+        self.max_wait_cap = max(max_wait_cap_ms / 1e3, self.max_wait)
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._fetch_q: "queue.Queue" = queue.Queue(
             maxsize=max(1, pipeline_depth - 1))
@@ -112,9 +128,11 @@ class MicroBatcher:
         if head is None:
             return None
         batch = [head]
-        deadline = time.perf_counter() + self.max_wait
+        now = time.perf_counter()
+        deadline = now + self.max_wait
+        hard_deadline = now + self.max_wait_cap
         while len(batch) < self.max_batch:
-            remaining = deadline - time.perf_counter()
+            remaining = min(deadline, hard_deadline) - time.perf_counter()
             if remaining <= 0:
                 break
             try:
@@ -125,6 +143,9 @@ class MicroBatcher:
                 self._q.put(None)  # re-post shutdown for the outer loop
                 break
             batch.append(nxt)
+            # Adaptive deadline: a co-rider arrival buys the batch another
+            # base-wait window (bounded by hard_deadline above).
+            deadline = time.perf_counter() + self.max_wait
         return batch
 
     def _run(self):
@@ -200,7 +221,8 @@ class InferenceServer:
 
     def __init__(self, predictor, *, host: str = "127.0.0.1",
                  port: int = 0, max_wait_ms: float = 2.0, top: int = 5,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0,
+                 max_wait_cap_ms: Optional[float] = None):
         self._pred = predictor
         self._top = top
         self._timeout = request_timeout_s
@@ -225,7 +247,8 @@ class InferenceServer:
                        else (lambda imgs, _t=t:
                              predictor.logits_async(imgs, _t)))
             self.batchers[t] = MicroBatcher(fn, max_batch, max_wait_ms,
-                                            dispatch_fn=dfn)
+                                            dispatch_fn=dfn,
+                                            max_wait_cap_ms=max_wait_cap_ms)
         self.batcher = next(iter(self.batchers.values()))  # default route
         batchers = self.batchers
         image_size = (getattr(predictor, "image_size", None)

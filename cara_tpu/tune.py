@@ -1,0 +1,133 @@
+"""On-device kernel-knob autotuning cache.
+
+The megakernel tile knobs (images per attention program ``attn_bb``,
+m-rows per MLP program ``mlp_bm`` — ``models/vit.py``) default to values
+swept by hand on one v5e chip.  Other TPU generations (v4's 128 MB VMEM
+vs v5e's, v6e's larger MXU throughput ratio) and other geometries may
+prefer different tiles.  The reference has no analog (its "kernels" are
+cuBLAS calls, SURVEY.md section 2 native-code note) — this is
+TPU-framework infrastructure: measure once per (device kind, geometry)
+on the actual chip, persist, and let the in-model heuristics consult the
+measurement before falling back to the hand-tuned default.
+
+Flow:
+
+* ``python -m cara_tpu.cli.tune --model ... --mode train-element`` sweeps
+  the knob grid by rebuilding the production train/eval step per config
+  on the live device and writes the winners here.
+* ``models/vit.py`` ``_mlp_bm``/``_attn_bb`` call :func:`lookup` when
+  their env override is ``auto``; a cache hit beats the heuristic, env
+  vars (``CARA_MLP_BM``/``CARA_ATTN_BB``) beat everything.
+
+Cache file: ``$CARA_TUNE_CACHE`` or ``~/.cache/cara_tpu/tune.json`` —
+a flat ``{"<knob>|<key>": {"value": int, "ms": float, ...}}`` dict.
+Lookups are trace-time only (knob functions run during jit tracing), so
+the one-time JSON read is never on a step's hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Dict, Optional
+
+_LOCK = threading.Lock()
+_CACHE: Optional[Dict[str, dict]] = None
+_CACHE_PATH: Optional[str] = None
+
+
+def cache_path() -> str:
+    return os.environ.get(
+        "CARA_TUNE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "cara_tpu",
+                     "tune.json"))
+
+
+def device_kind() -> str:
+    """Stable identifier for the tuning target, e.g. ``TPU v5 lite``.
+
+    Falls back to the backend name when no device enumerates (so lookups
+    on odd backends still key consistently instead of raising)."""
+    import jax
+
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:
+        return jax.default_backend()
+
+
+def mlp_key(use_elem: bool, n: Optional[int], e: Optional[int],
+            hidden: Optional[int], dev: Optional[str] = None) -> str:
+    dev = dev if dev is not None else device_kind()
+    return f"{dev}|n={n}|e={e}|h={hidden}|elem={bool(use_elem)}"
+
+
+def attn_key(npad: int, e: int, train: bool = True,
+             dev: Optional[str] = None) -> str:
+    # train and eval compile different kernels (the custom VJP's saved
+    # residuals change the VMEM budget), so their winners are cached
+    # separately.
+    dev = dev if dev is not None else device_kind()
+    return f"{dev}|npad={npad}|e={e}|train={bool(train)}"
+
+
+def _load() -> Dict[str, dict]:
+    global _CACHE, _CACHE_PATH
+    path = cache_path()
+    with _LOCK:
+        if _CACHE is not None and _CACHE_PATH == path:
+            return _CACHE
+        data: Dict[str, dict] = {}
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+            if isinstance(raw, dict):
+                data = {k: v for k, v in raw.items() if isinstance(v, dict)}
+        except (OSError, ValueError):
+            pass
+        _CACHE, _CACHE_PATH = data, path
+        return data
+
+
+def reset() -> None:
+    """Drop the in-memory cache (tests; or after an external write)."""
+    global _CACHE, _CACHE_PATH
+    with _LOCK:
+        _CACHE, _CACHE_PATH = None, None
+
+
+def lookup(knob: str, key: str) -> Optional[int]:
+    rec = _load().get(f"{knob}|{key}")
+    if rec is None:
+        return None
+    try:
+        return int(rec["value"])
+    except (KeyError, TypeError, ValueError):
+        return None
+
+
+def record(knob: str, key: str, value: int, extra: Optional[dict] = None
+           ) -> None:
+    """Persist a tuned winner (read-modify-write under the process lock;
+    last writer wins across processes — tuning runs are manual/serial)."""
+    path = cache_path()
+    with _LOCK:
+        data: Dict[str, dict] = {}
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            if not isinstance(data, dict):
+                data = {}
+        except (OSError, ValueError):
+            pass
+        rec = {"value": int(value)}
+        if extra:
+            rec.update(extra)
+        data[f"{knob}|{key}"] = rec
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    reset()

@@ -216,6 +216,76 @@ def test_serve_exported_artifact(tmp_path):
         serve_cli.main(["--exported", path, "--ckpt", "x.npz"])
 
 
+def test_microbatcher_adaptive_wait_coalesces_steady_stream():
+    """Adaptive deadline: a steady trickle (inter-arrival < max_wait but
+    slower than the fixed window could ever fill a batch) coalesces into
+    FEWER, fuller batches than the fixed deadline allows, while the hard
+    cap still bounds how long the first request can be held."""
+    import time
+
+    def logits(xs):
+        return np.zeros((len(xs), 2), np.float32)
+
+    n, gap_s = 10, 0.01
+    # Fixed deadline (cap == wait): the 30 ms window closes mid-stream.
+    fixed = MicroBatcher(logits, max_batch=64, max_wait_ms=30.0,
+                         max_wait_cap_ms=30.0)
+    # Adaptive (default cap 4x = 120 ms): each 10 ms arrival rolls the
+    # 30 ms deadline, so the whole stream rides one batch.
+    adaptive = MicroBatcher(logits, max_batch=64, max_wait_ms=30.0)
+    assert adaptive.max_wait_cap == pytest.approx(0.120)
+    try:
+        for mb in (fixed, adaptive):
+            futs = []
+            for _ in range(n):
+                futs.append(mb.submit(np.zeros((2, 2, 3), np.float32)))
+                time.sleep(gap_s)
+            for f in futs:
+                f.result(timeout=10)
+        f_snap, a_snap = fixed.snapshot(), adaptive.snapshot()
+        assert a_snap["requests"] == f_snap["requests"] == n
+        # The adaptive batcher forms strictly fewer, fuller batches.  With
+        # 10 ms gaps vs a 30 ms rolling window the expectation is ONE
+        # batch; allow 2 for scheduler jitter on a loaded CI host.
+        assert a_snap["batches"] <= 2, a_snap
+        assert a_snap["batches"] < f_snap["batches"], (a_snap, f_snap)
+        assert (a_snap["mean_batch_occupancy"]
+                > f_snap["mean_batch_occupancy"])
+    finally:
+        fixed.close()
+        adaptive.close()
+
+
+def test_microbatcher_adaptive_cap_bounds_latency():
+    """The hard cap closes a batch even under a never-ending stream, and
+    an isolated request still dispatches after ~the base wait."""
+    import time
+
+    def logits(xs):
+        return np.zeros((len(xs), 2), np.float32)
+
+    mb = MicroBatcher(logits, max_batch=64, max_wait_ms=20.0,
+                      max_wait_cap_ms=60.0)
+    try:
+        # Isolated request: resolves in ~max_wait, far below the cap.
+        t0 = time.perf_counter()
+        mb.submit(np.zeros((2, 2, 3), np.float32)).result(timeout=10)
+        assert time.perf_counter() - t0 < 1.0
+        # Saturating stream (5 ms gaps < 20 ms wait): the 60 ms cap must
+        # split it into >= 2 batches instead of holding the head forever.
+        futs = [mb.submit(np.zeros((2, 2, 3), np.float32))]
+        for _ in range(29):
+            time.sleep(0.005)
+            futs.append(mb.submit(np.zeros((2, 2, 3), np.float32)))
+        for f in futs:
+            f.result(timeout=10)
+        snap = mb.snapshot()
+        assert snap["batches"] >= 3  # 1 isolated + >=2 from the stream
+        assert snap["max_latency_ms"] < 5000
+    finally:
+        mb.close()
+
+
 def test_microbatcher_pipeline_overlap():
     """With a dispatch/fetch split, the collector dispatches batch N
     while the resolver is still fetching batch N-1 (bounded by
