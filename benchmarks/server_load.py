@@ -91,6 +91,57 @@ def run_level(port: int, bodies: list, concurrency: int,
             "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
 
 
+def run_open_loop(port: int, bodies: list, rate: float, seconds: float,
+                  paths=("/predict",)) -> dict:
+    """OPEN-loop load: fire one request every 1/rate seconds regardless of
+    completions (each request in its own thread), the arrival pattern that
+    exposes the adaptive batch window — closed-loop clients re-arrive only
+    on completion, so their queue always backs up during a device batch and
+    fixed vs adaptive deadlines converge."""
+    n = max(1, int(rate * seconds))
+    interval = 1.0 / rate
+    lats, errors, lock = [], [0], threading.Lock()
+
+    def one(i: int):
+        t0 = time.perf_counter()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{paths[i % len(paths)]}",
+            data=bodies[i % len(bodies)], method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                json.loads(r.read())
+        except Exception:
+            with lock:
+                errors[0] += 1
+            return
+        with lock:
+            lats.append((time.perf_counter() - t0) * 1e3)
+
+    threads = []
+    t_start = time.perf_counter()
+    for i in range(n):
+        target = t_start + i * interval
+        delay = target - time.perf_counter()
+        if delay > 0:
+            time.sleep(delay)
+        t = threading.Thread(target=one, args=(i,))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    lats.sort()
+
+    def pct(p):
+        if not lats:
+            return None
+        return round(lats[min(len(lats) - 1, int(p * len(lats)))], 2)
+
+    return {"rate": rate, "requests": len(lats), "errors": errors[0],
+            "req_per_s": round(len(lats) / wall, 1),
+            "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
+
+
 def warm(port: int, bodies: list, paths) -> None:
     """One BLOCKING request per task path before any timed window — the
     first request compiles the batch executable (minutes on a tunneled
@@ -114,8 +165,14 @@ def main():
     p.add_argument("--rank", default=8, type=int)
     p.add_argument("--max-batch", default=64, type=int)
     p.add_argument("--max-wait-ms", default=2.0, type=float)
-    p.add_argument("--concurrency", nargs="+", type=int,
+    p.add_argument("--concurrency", nargs="*", type=int,
                    default=[1, 4, 16, 64])
+    p.add_argument("--rate", nargs="*", type=float, default=None,
+                   help="OPEN-loop levels (requests/s): fire at a fixed "
+                        "arrival rate regardless of completions — the "
+                        "pattern that exercises the adaptive batch window")
+    p.add_argument("--max-wait-cap-ms", default=None, type=float,
+                   help="adaptive-wait hard cap (see serve CLI)")
     p.add_argument("--seconds", default=10.0, type=float)
     p.add_argument("--images", default=64, type=int,
                    help="distinct pre-encoded JPEG bodies")
@@ -158,7 +215,8 @@ def main():
                          cara_cfg=model.cara_cfg, merge=True,
                          batch_size=args.max_batch)
         paths = ("/predict",)
-    srv = InferenceServer(pred, port=0, max_wait_ms=args.max_wait_ms).start()
+    srv = InferenceServer(pred, port=0, max_wait_ms=args.max_wait_ms,
+                          max_wait_cap_ms=args.max_wait_cap_ms).start()
     bodies = make_jpegs(args.images, model.cfg.image_size)
 
     # Warm the compiled batch path before measuring: first one blocking
@@ -166,13 +224,29 @@ def main():
     warm(srv.port, bodies, paths)
     run_level(srv.port, bodies, min(4, args.concurrency[-1]), 2.0, paths)
 
+    def batcher_delta(before):
+        after = (srv.batcher.snapshot() if args.tasks == 1 else None)
+        if after is None:
+            return {t: b.snapshot() for t, b in srv.batchers.items()}
+        d = {k: after[k] - before.get(k, 0)
+             for k in ("requests", "batches", "rows")}
+        d["occupancy"] = round(d["rows"] / max(1, d["batches"]), 2)
+        return d
+
     try:
         for c in args.concurrency:
+            pre = srv.batcher.snapshot() if args.tasks == 1 else {}
             row = run_level(srv.port, bodies, c, args.seconds, paths)
             row["tasks"] = args.tasks
-            row["batcher"] = (srv.batcher.snapshot() if args.tasks == 1 else
-                              {t: b.snapshot()
-                               for t, b in srv.batchers.items()})
+            row["batcher"] = batcher_delta(pre)
+            print(json.dumps(row), flush=True)
+        for r in (args.rate or []):
+            pre = srv.batcher.snapshot() if args.tasks == 1 else {}
+            row = run_open_loop(srv.port, bodies, r, args.seconds, paths)
+            row["tasks"] = args.tasks
+            row["wait_ms"] = args.max_wait_ms
+            row["cap_ms"] = args.max_wait_cap_ms
+            row["batcher"] = batcher_delta(pre)
             print(json.dumps(row), flush=True)
     finally:
         srv.close()

@@ -180,16 +180,19 @@ def main(argv=None) -> dict:
     best_bb, bb_ms = sweep("attn_bb", bb_cands, best_bm)
     summary = {"best_mlp_bm": best_bm, "best_attn_bb": best_bb,
                "best_ms": bb_ms if bb_ms < float("inf") else bm_ms}
+    is_train = args.mode != "eval"
     if best_bm is not None and not args.no_write:
-        tune.record("mlp_bm", tune.mlp_key(use_elem, n, e, hidden), best_bm,
-                    {"ms": bm_ms, "mode": args.mode, "bs": args.batch_size,
-                     "model": args.model})
+        tune.record("mlp_bm",
+                    tune.mlp_key(use_elem, n, e, hidden, train=is_train,
+                                 b=args.batch_size),
+                    best_bm,
+                    {"ms": bm_ms, "mode": args.mode, "model": args.model})
     if best_bb is not None and not args.no_write:
         tune.record("attn_bb",
-                    tune.attn_key(npad, e, train=args.mode != "eval"),
+                    tune.attn_key(npad, e, train=is_train,
+                                  b=args.batch_size),
                     best_bb,
-                    {"ms": bb_ms, "mode": args.mode, "bs": args.batch_size,
-                     "model": args.model})
+                    {"ms": bb_ms, "mode": args.mode, "model": args.model})
     if not args.no_write:
         summary["cache"] = tune.cache_path()
     emit({"summary": summary})

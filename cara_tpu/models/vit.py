@@ -72,7 +72,8 @@ _MLP_BM = os.environ.get("CARA_MLP_BM", "auto")
 _ATTN_BB = os.environ.get("CARA_ATTN_BB", "auto")
 
 
-def _mlp_bm(use_elem: bool, n=None, e=None, hidden=None) -> int:
+def _mlp_bm(use_elem: bool, n=None, e=None, hidden=None,
+            train: bool = True, b=None) -> int:
     """m-rows per MLP-megakernel program.  Resolution order: env override
     (``CARA_MLP_BM``) > a measured winner from the autotune cache
     (``cara_tpu.tune`` — written by ``cli/tune.py`` on the live chip) >
@@ -81,13 +82,13 @@ def _mlp_bm(use_elem: bool, n=None, e=None, hidden=None) -> int:
         return int(_MLP_BM)
     from cara_tpu import tune
 
-    v = tune.lookup("mlp_bm", tune.mlp_key(use_elem, n, e, hidden))
+    v = tune.lookup("mlp_bm", tune.mlp_key(use_elem, n, e, hidden, train, b))
     if v is not None:
         return v
     return 512 if use_elem else 256
 
 
-def _attn_bb(npad: int, e: int, train: bool = True) -> int:
+def _attn_bb(npad: int, e: int, train: bool = True, b=None) -> int:
     """Images per attention-megakernel program: 4 at the ViT-B tile size,
     scaled down for larger (NP, E) so the backward's resident qkv scratch +
     dT accumulators stay inside VMEM (CLIP ViT-L/14 at bb=4 measured 155M
@@ -96,7 +97,7 @@ def _attn_bb(npad: int, e: int, train: bool = True) -> int:
         return int(_ATTN_BB)
     from cara_tpu import tune
 
-    v = tune.lookup("attn_bb", tune.attn_key(npad, e, train))
+    v = tune.lookup("attn_bb", tune.attn_key(npad, e, train, b))
     if v is not None:
         return v
     return max(1, (4 * 256 * 2304) // (npad * 3 * e))
@@ -429,7 +430,7 @@ def _block(
                 wp, bpj,
                 zp, jnp.zeros((1, e), x.dtype), jnp.zeros((e,), x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
-                hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None), None,
+                hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None, b), None,
                 cfg.layernorm_eps)[:, :n, :]
         else:
             if use_elem:
@@ -470,11 +471,11 @@ def _block(
                 x = cp_attn_block_wd(
                     *args, _wd_seed(k_wd_qkv) + off, _wd_seed(k_wd_proj) + off,
                     hh, d ** -0.5, n, 1.0, cara_cfg.weight_dropout,
-                    _attn_bb(npad, e, key is not None), None,
+                    _attn_bb(npad, e, key is not None, b), None,
                     cfg.layernorm_eps)[:, :n, :]
             else:
                 x = cp_attn_block(
-                    *args, hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None), None,
+                    *args, hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None, b), None,
                     cfg.layernorm_eps)[:, :n, :]
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)
@@ -638,7 +639,7 @@ def _block(
             jnp.zeros((hid, 1), x.dtype), jnp.zeros((1, e), x.dtype),
             jnp.zeros((e,), x.dtype),
             bp["ln2_scale"], bp["ln2_bias"], dpm, 1.0,
-            _mlp_bm(False, x.shape[1], e, hid), None, cfg.activation,
+            _mlp_bm(False, x.shape[1], e, hid, key is not None, b), None, cfg.activation,
             cfg.layernorm_eps)
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)
@@ -692,12 +693,14 @@ def _block(
             x = cp_mlp_block_wd(
                 *args, _wd_seed(k_wd_up) + off, _wd_seed(k_wd_down) + off,
                 1.0, cara_cfg.weight_dropout,
-                _mlp_bm(True, x.shape[1], e, bp["fc1"]["kernel"].shape[-1]),
+                _mlp_bm(True, x.shape[1], e, bp["fc1"]["kernel"].shape[-1],
+                        key is not None, b),
                 None, cfg.activation, cfg.layernorm_eps)
         else:
             x = cp_mlp_block(
                 *args, 1.0,
-                _mlp_bm(False, x.shape[1], e, bp["fc1"]["kernel"].shape[-1]),
+                _mlp_bm(False, x.shape[1], e, bp["fc1"]["kernel"].shape[-1],
+                        key is not None, b),
                 None, cfg.activation, cfg.layernorm_eps)
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)

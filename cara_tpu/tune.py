@@ -58,18 +58,25 @@ def device_kind() -> str:
 
 
 def mlp_key(use_elem: bool, n: Optional[int], e: Optional[int],
-            hidden: Optional[int], dev: Optional[str] = None) -> str:
+            hidden: Optional[int], train: bool = True,
+            b: Optional[int] = None, dev: Optional[str] = None) -> str:
+    # train and eval compile different kernels (the VJP's saved residuals
+    # change the VMEM budget, and the rank-dropout TRAIN path prefers a
+    # different tile than eval), and the optimal tile shifts with the
+    # trace-time batch, so winners are cached per (mode, batch) as well as
+    # geometry.  Under data-parallel shard_map the per-shard batch differs
+    # from the tuned global one — such lookups miss and fall back to the
+    # heuristic (tune at your per-trace batch to cover them).
     dev = dev if dev is not None else device_kind()
-    return f"{dev}|n={n}|e={e}|h={hidden}|elem={bool(use_elem)}"
+    return (f"{dev}|n={n}|e={e}|h={hidden}|elem={bool(use_elem)}"
+            f"|train={bool(train)}|b={b}")
 
 
 def attn_key(npad: int, e: int, train: bool = True,
-             dev: Optional[str] = None) -> str:
-    # train and eval compile different kernels (the custom VJP's saved
-    # residuals change the VMEM budget), so their winners are cached
-    # separately.
+             b: Optional[int] = None, dev: Optional[str] = None) -> str:
+    # See mlp_key: separate winners per (mode, batch) and geometry.
     dev = dev if dev is not None else device_kind()
-    return f"{dev}|npad={npad}|e={e}|train={bool(train)}"
+    return f"{dev}|npad={npad}|e={e}|train={bool(train)}|b={b}"
 
 
 def _load() -> Dict[str, dict]:

@@ -187,10 +187,9 @@ def test_gradients_match_torch_other_cp_orders(order, impl):
 def test_full_training_run_learns_and_matches_torch():
     """A complete (tiny) LEARNING run agrees across frameworks.
 
-    The 6-step dynamics test above validates optimizer mechanics; this one
-    validates an actual descent trajectory: 30 AdamW steps on a *learnable*
-    synthetic task (class-conditional mean shift, the same signal family as
-    ``data/vtab.py synthetic_source``), through the production
+    Beyond single-batch gradient parity, this validates an actual descent
+    trajectory: 50 AdamW steps on a *learnable* synthetic task
+    (class-conditional templates), through the production
     ``make_train_step`` vs the torch replica of the reference protocol
     (``vit_cp.py:185-188``).  Asserts (a) per-step loss parity, (b) both
     stacks actually learn (loss drops well below ln(num_classes), held-out

@@ -49,19 +49,22 @@ def test_model_knobs_resolution_order(tmp_cache, monkeypatch):
 
     dev = tune.device_kind()
     # Heuristic when cache is empty.
-    assert vit_lib._mlp_bm(True, 197, 768, 3072) == 512
-    assert vit_lib._mlp_bm(False, 197, 768, 3072) == 256
-    assert vit_lib._attn_bb(256, 768) == 4
+    assert vit_lib._mlp_bm(True, 197, 768, 3072, b=64) == 512
+    assert vit_lib._mlp_bm(False, 197, 768, 3072, b=64) == 256
+    assert vit_lib._attn_bb(256, 768, b=64) == 4
     # Cache hit beats the heuristic.
-    tune.record("mlp_bm", tune.mlp_key(True, 197, 768, 3072, dev=dev), 1024)
-    tune.record("attn_bb", tune.attn_key(256, 768, dev=dev), 2)
-    assert vit_lib._mlp_bm(True, 197, 768, 3072) == 1024
-    assert vit_lib._mlp_bm(False, 197, 768, 3072) == 256  # other key: miss
-    assert vit_lib._attn_bb(256, 768) == 2
+    tune.record("mlp_bm",
+                tune.mlp_key(True, 197, 768, 3072, b=64, dev=dev), 1024)
+    tune.record("attn_bb", tune.attn_key(256, 768, b=64, dev=dev), 2)
+    assert vit_lib._mlp_bm(True, 197, 768, 3072, b=64) == 1024
+    assert vit_lib._mlp_bm(False, 197, 768, 3072, b=64) == 256  # impl: miss
+    assert vit_lib._attn_bb(256, 768, b=64) == 2
     # train and eval kernels are tuned separately (different VJP/VMEM
-    # budgets): the train winner must not leak into the eval path.
-    assert vit_lib._attn_bb(256, 768, train=False) == 4
-    assert vit_lib._attn_bb(640, 1024) == max(
+    # budgets), and winners are per tuned batch: neither may leak.
+    assert vit_lib._attn_bb(256, 768, train=False, b=64) == 4
+    assert vit_lib._mlp_bm(True, 197, 768, 3072, train=False, b=64) == 512
+    assert vit_lib._attn_bb(256, 768, b=128) == 4   # other batch: miss
+    assert vit_lib._attn_bb(640, 1024, b=64) == max(
         1, (4 * 256 * 2304) // (640 * 3 * 1024))  # other geometry: miss
     # Env override beats the cache.
     monkeypatch.setattr(vit_lib, "_MLP_BM", "128")
