@@ -174,6 +174,11 @@ def main(argv=None) -> dict:
 
     mlp_cands = [int(v) for v in args.mlp_bms.split(",") if v]
     bb_cands = [int(v) for v in args.attn_bbs.split(",") if v]
+    if args.mode == "train-rank":
+        # The attention megakernel is OFF on the rank-dropout train path
+        # (_attn_mega_on) — sweeping attn_bb there would record a
+        # noise-selected winner for a knob that never engages.
+        bb_cands = []
     # Pass 1: mlp_bm at the default attn_bb.  Pass 2: attn_bb at the
     # winning mlp_bm (the kernels are independent; see module docstring).
     best_bm, bm_ms = sweep("mlp_bm", mlp_cands, None)
@@ -190,7 +195,7 @@ def main(argv=None) -> dict:
     if best_bb is not None and not args.no_write:
         tune.record("attn_bb",
                     tune.attn_key(npad, e, train=is_train,
-                                  b=args.batch_size),
+                                  b=args.batch_size, elem=use_elem),
                     best_bb,
                     {"ms": bb_ms, "mode": args.mode, "model": args.model})
     if not args.no_write:

@@ -88,7 +88,8 @@ def _mlp_bm(use_elem: bool, n=None, e=None, hidden=None,
     return 512 if use_elem else 256
 
 
-def _attn_bb(npad: int, e: int, train: bool = True, b=None) -> int:
+def _attn_bb(npad: int, e: int, train: bool = True, b=None,
+             elem: bool = True) -> int:
     """Images per attention-megakernel program: 4 at the ViT-B tile size,
     scaled down for larger (NP, E) so the backward's resident qkv scratch +
     dT accumulators stay inside VMEM (CLIP ViT-L/14 at bb=4 measured 155M
@@ -97,7 +98,7 @@ def _attn_bb(npad: int, e: int, train: bool = True, b=None) -> int:
         return int(_ATTN_BB)
     from cara_tpu import tune
 
-    v = tune.lookup("attn_bb", tune.attn_key(npad, e, train, b))
+    v = tune.lookup("attn_bb", tune.attn_key(npad, e, train, b, elem))
     if v is not None:
         return v
     return max(1, (4 * 256 * 2304) // (npad * 3 * e))
@@ -430,7 +431,7 @@ def _block(
                 wp, bpj,
                 zp, jnp.zeros((1, e), x.dtype), jnp.zeros((e,), x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
-                hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None, b), None,
+                hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None, b, use_elem), None,
                 cfg.layernorm_eps)[:, :n, :]
         else:
             if use_elem:
@@ -471,11 +472,11 @@ def _block(
                 x = cp_attn_block_wd(
                     *args, _wd_seed(k_wd_qkv) + off, _wd_seed(k_wd_proj) + off,
                     hh, d ** -0.5, n, 1.0, cara_cfg.weight_dropout,
-                    _attn_bb(npad, e, key is not None, b), None,
+                    _attn_bb(npad, e, key is not None, b, use_elem), None,
                     cfg.layernorm_eps)[:, :n, :]
             else:
                 x = cp_attn_block(
-                    *args, hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None, b), None,
+                    *args, hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None, b, use_elem), None,
                     cfg.layernorm_eps)[:, :n, :]
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)

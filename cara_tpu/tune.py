@@ -73,10 +73,14 @@ def mlp_key(use_elem: bool, n: Optional[int], e: Optional[int],
 
 
 def attn_key(npad: int, e: int, train: bool = True,
-             b: Optional[int] = None, dev: Optional[str] = None) -> str:
+             b: Optional[int] = None, elem: bool = True,
+             dev: Optional[str] = None) -> str:
     # See mlp_key: separate winners per (mode, batch) and geometry.
+    # ``elem`` distinguishes the element-weight-dropout train kernel from
+    # the plain one (it is always False at eval — use_elem is train-gated).
     dev = dev if dev is not None else device_kind()
-    return f"{dev}|npad={npad}|e={e}|train={bool(train)}|b={b}"
+    return (f"{dev}|npad={npad}|e={e}|train={bool(train)}|b={b}"
+            f"|elem={bool(elem)}")
 
 
 def _load() -> Dict[str, dict]:

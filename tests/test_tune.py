@@ -64,6 +64,9 @@ def test_model_knobs_resolution_order(tmp_cache, monkeypatch):
     assert vit_lib._attn_bb(256, 768, train=False, b=64) == 4
     assert vit_lib._mlp_bm(True, 197, 768, 3072, train=False, b=64) == 512
     assert vit_lib._attn_bb(256, 768, b=128) == 4   # other batch: miss
+    # The element-dropout train kernel and the plain one are distinct
+    # compiles: a rank/plain lookup must not see the elem winner.
+    assert vit_lib._attn_bb(256, 768, b=64, elem=False) == 4
     assert vit_lib._attn_bb(640, 1024, b=64) == max(
         1, (4 * 256 * 2304) // (640 * 3 * 1024))  # other geometry: miss
     # Env override beats the cache.
