@@ -222,7 +222,8 @@ def main():
     # Warm the compiled batch path before measuring: first one blocking
     # request per task (absorbs compile), then a short concurrent shakeout.
     warm(srv.port, bodies, paths)
-    run_level(srv.port, bodies, min(4, args.concurrency[-1]), 2.0, paths)
+    shake = min(4, args.concurrency[-1]) if args.concurrency else 4
+    run_level(srv.port, bodies, shake, 2.0, paths)
 
     def batcher_delta(before):
         after = (srv.batcher.snapshot() if args.tasks == 1 else None)
