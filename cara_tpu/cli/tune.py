@@ -53,6 +53,9 @@ def _parse_args(argv=None):
                    help="measure and report only; do not persist winners")
     p.add_argument("--out", default=".tune_results.jsonl",
                    help="append per-candidate measurements here")
+    p.add_argument("--freeze-defaults", action="store_true",
+                   help="snapshot the merged cache into the package's "
+                        "shipped tune_defaults.json and exit (no sweep)")
     return p.parse_args(argv)
 
 
@@ -138,6 +141,10 @@ def main(argv=None) -> dict:
     from cara_tpu.utils.jit_cache import enable_compilation_cache
 
     args = _parse_args(argv)
+    if args.freeze_defaults:
+        out = tune.freeze_defaults()
+        print({"frozen": out}, flush=True)
+        return {"frozen": out}
     enable_compilation_cache()
     cfg = get_model_config(args.model, num_classes=args.num_classes)
     n, e, hidden = cfg.seq_len, cfg.embed_dim, cfg.hidden_dim

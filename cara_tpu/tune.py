@@ -23,6 +23,14 @@ Cache file: ``$CARA_TUNE_CACHE`` or ``~/.cache/cara_tpu/tune.json`` —
 a flat ``{"<knob>|<key>": {"value": int, "ms": float, ...}}`` dict.
 Lookups are trace-time only (knob functions run during jit tracing), so
 the one-time JSON read is never on a step's hot path.
+
+Shipped defaults: the package also carries ``tune_defaults.json`` — a
+snapshot of winners measured on known hardware (currently one v5e chip),
+so a fresh environment starts from measured tiles instead of the
+heuristics.  Precedence: env override > the user's local cache > shipped
+defaults > heuristic.  ``freeze_defaults()`` (or
+``cli/tune.py --freeze-defaults``) re-snapshots the merged cache into
+the package file after new sweeps.
 """
 
 from __future__ import annotations
@@ -34,7 +42,7 @@ from typing import Dict, Optional
 
 _LOCK = threading.Lock()
 _CACHE: Optional[Dict[str, dict]] = None
-_CACHE_PATH: Optional[str] = None
+_CACHE_PATH: Optional[tuple] = None
 
 
 def cache_path() -> str:
@@ -42,6 +50,15 @@ def cache_path() -> str:
         "CARA_TUNE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "cara_tpu",
                      "tune.json"))
+
+
+def defaults_path() -> str:
+    """Packaged winners snapshot (see module docstring).  Set
+    ``CARA_TUNE_DEFAULTS`` to another file, or to the empty string / "0"
+    to disable shipped defaults entirely."""
+    return os.environ.get(
+        "CARA_TUNE_DEFAULTS",
+        os.path.join(os.path.dirname(__file__), "tune_defaults.json"))
 
 
 def device_kind() -> str:
@@ -83,21 +100,29 @@ def attn_key(npad: int, e: int, train: bool = True,
             f"|elem={bool(elem)}")
 
 
+def _read(path: str) -> Dict[str, dict]:
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+        if isinstance(raw, dict):
+            return {k: v for k, v in raw.items() if isinstance(v, dict)}
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
 def _load() -> Dict[str, dict]:
     global _CACHE, _CACHE_PATH
     path = cache_path()
+    dpath = defaults_path()
+    key = (path, dpath)
     with _LOCK:
-        if _CACHE is not None and _CACHE_PATH == path:
+        if _CACHE is not None and _CACHE_PATH == key:
             return _CACHE
-        data: Dict[str, dict] = {}
-        try:
-            with open(path) as f:
-                raw = json.load(f)
-            if isinstance(raw, dict):
-                data = {k: v for k, v in raw.items() if isinstance(v, dict)}
-        except (OSError, ValueError):
-            pass
-        _CACHE, _CACHE_PATH = data, path
+        # Shipped defaults first; the user's local measurements override.
+        data = _read(dpath) if dpath not in ("", "0") else {}
+        data.update(_read(path))
+        _CACHE, _CACHE_PATH = data, key
         return data
 
 
@@ -142,3 +167,20 @@ def record(knob: str, key: str, value: int, extra: Optional[dict] = None
             json.dump(data, f, indent=1, sort_keys=True)
         os.replace(tmp, path)
     reset()
+
+
+def freeze_defaults(out: Optional[str] = None) -> str:
+    """Snapshot the merged view (shipped defaults + local cache) into the
+    package defaults file, making locally measured winners part of the
+    framework for environments without this host's ``~/.cache``."""
+    out = out or defaults_path()
+    if out in ("", "0"):
+        raise ValueError("shipped defaults are disabled "
+                         "(CARA_TUNE_DEFAULTS=%r)" % out)
+    data = dict(_load())
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, out)
+    reset()
+    return out

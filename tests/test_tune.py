@@ -17,6 +17,7 @@ from cara_tpu import tune
 def tmp_cache(tmp_path, monkeypatch):
     path = tmp_path / "tune.json"
     monkeypatch.setenv("CARA_TUNE_CACHE", str(path))
+    monkeypatch.setenv("CARA_TUNE_DEFAULTS", "")  # isolate from shipped
     tune.reset()
     yield path
     tune.reset()
@@ -109,6 +110,59 @@ def test_tune_cli_two_pass_selection(tmp_cache, monkeypatch, tmp_path):
     recs = [json.loads(ln) for ln in out.read_text().splitlines()]
     assert any("error" in r and r.get("attn_bb") == 8 for r in recs)
     assert recs[-1]["summary"]["best_ms"] == 75.0
+
+
+def test_shipped_defaults_precedence(tmp_cache, tmp_path, monkeypatch):
+    """Packaged tune_defaults.json fills cache misses; the user's local
+    cache overrides it; disabling via env falls back to heuristics."""
+    defaults = tmp_path / "defaults.json"
+    key = tune.mlp_key(True, 197, 768, 3072, b=64, dev="TPU v5 lite")
+    defaults.write_text(json.dumps({
+        f"mlp_bm|{key}": {"value": 1024, "ms": 70.0},
+        f"attn_bb|{tune.attn_key(256, 768, b=64, dev='TPU v5 lite')}":
+            {"value": 2, "ms": 70.0}}))
+    monkeypatch.setenv("CARA_TUNE_DEFAULTS", str(defaults))
+    tune.reset()
+    assert tune.lookup("mlp_bm", key) == 1024
+    # A local measurement beats the shipped default at the same key.
+    tune.record("mlp_bm", key, 512, {"ms": 69.0})
+    assert tune.lookup("mlp_bm", key) == 512
+    # ...without hiding shipped entries at other keys.
+    assert tune.lookup(
+        "attn_bb", tune.attn_key(256, 768, b=64, dev="TPU v5 lite")) == 2
+    # Disabled -> miss.
+    monkeypatch.setenv("CARA_TUNE_DEFAULTS", "")
+    tune.reset()
+    assert tune.lookup(
+        "attn_bb", tune.attn_key(256, 768, b=64, dev="TPU v5 lite")) is None
+
+
+def test_shipped_defaults_file_is_valid():
+    """The real packaged snapshot parses and its entries carry int values
+    under well-formed keys (guards the freeze path against corruption)."""
+    import os
+
+    import cara_tpu
+
+    path = os.path.join(os.path.dirname(cara_tpu.__file__),
+                        "tune_defaults.json")
+    data = json.loads(open(path).read())
+    assert data, "shipped defaults snapshot must not be empty"
+    for k, v in data.items():
+        assert k.split("|")[0] in ("mlp_bm", "attn_bb"), k
+        assert isinstance(v["value"], int), (k, v)
+
+
+def test_freeze_defaults_roundtrip(tmp_cache, tmp_path, monkeypatch):
+    out = tmp_path / "frozen.json"
+    monkeypatch.setenv("CARA_TUNE_DEFAULTS", str(out))
+    tune.reset()
+    tune.record("mlp_bm", "k1", 256, {"ms": 1.0})
+    assert tune.freeze_defaults() == str(out)
+    # The frozen file alone (no user cache) now serves lookups.
+    monkeypatch.setenv("CARA_TUNE_CACHE", str(tmp_path / "empty.json"))
+    tune.reset()
+    assert tune.lookup("mlp_bm", "k1") == 256
 
 
 def test_tune_cli_no_write(tmp_cache, monkeypatch, tmp_path):
