@@ -67,6 +67,12 @@ def parse_args(argv=None):
                         "shared frozen backbone, zero cross-task "
                         "collectives (train/task_parallel.py). Requires "
                         "--pad-classes. 0 = sequential")
+    p.add_argument("--task-data", default=1, type=int,
+                   help="data-parallel devices PER task under "
+                        "--task-parallel: a (task, data) mesh uses "
+                        "task*data devices, splitting each task's batch "
+                        "over its data column (exact math; use when tasks "
+                        "< devices)")
     p.add_argument("--resume-sweep", action="store_true",
                    help="Skip tasks already present in the results file — "
                         "lets a long (per-task-compile-bound) sweep continue "
@@ -208,7 +214,7 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
     t = len(combos)
     group = [c[0] for c in combos]
     keys = [c[4] or c[0] for c in combos]
-    mesh = tp_lib.make_task_mesh(t)
+    mesh = tp_lib.make_task_mesh(t, data=args.task_data)
     hps = [get_task_hparams(task) for task in group]
     seeds = [c[1] if c[1] is not None
              else (args.seed if args.seed is not None else hp.seed)
@@ -364,7 +370,14 @@ def main(argv=None):
                              "stacked head shape across the group)")
         import collections
 
-        n = min(args.task_parallel, len(jax.devices()))
+        if args.task_data < 1:
+            raise SystemExit("--task-data must be >= 1")
+        n = min(args.task_parallel,
+                len(jax.devices()) // args.task_data)
+        if n < 1:
+            raise SystemExit(
+                f"--task-data {args.task_data} needs at least that many "
+                f"devices ({len(jax.devices())} visible)")
         # Group by (weight-dropout rate, lr) — the two remaining jit
         # specializations (the rate is uniform 0.1 across VTAB; the lr
         # schedule is baked into the optimizer) — then chunk to the mesh

@@ -206,6 +206,7 @@ def make_train_step(
     dense_impl: str = "auto",
     mesh=None,
     grad_accum: int = 1,
+    data_axis=None,
 ):
     """Build the jittable train step: (state, frozen, batch, rng) -> (state, metrics).
 
@@ -226,7 +227,19 @@ def make_train_step(
     The weight-dropout masks stay constant across the whole step (one step
     = one mask, reference semantics); per-sample randomness differs per
     microbatch.
+
+    ``data_axis``: name of an ALREADY-ENTERED shard_map mesh axis the step
+    body runs under (mutually exclusive with ``mesh`` — that path builds
+    its own shard_map).  The step then treats its batch as the per-shard
+    slice, pmeans (loss, acc, grads) over the axis before the optimizer
+    update, and decorrelates per-sample randomness via the axis index —
+    the same reduction/rng semantics as the ``mesh`` data-parallel path,
+    but composable inside an outer shard_map (task x data sweeps,
+    ``train/task_parallel.py``).
     """
+    if data_axis is not None and mesh is not None:
+        raise ValueError("data_axis composes inside an outer shard_map; "
+                         "pass either mesh or data_axis, not both")
     attn_impl, dense_impl, use_shard_map, tp_fused = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh, cfg=cfg)
     if remat == "auto":
@@ -331,6 +344,16 @@ def make_train_step(
         if use_shard_map:
             loss, acc, grads = run_sharded(
                 state.trainable, frozen, batch, step_rng)
+        elif data_axis is not None:
+            # Inside an outer shard_map: mirror sharded_compute exactly —
+            # shard-invariant weight-dropout rng, per-sample rng folded by
+            # the data-axis index, pmean'd grads (bit-identical to the
+            # mesh data-parallel path at equal axis size).
+            srng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(data_axis))
+            loss, acc, grads = compute(
+                state.trainable, frozen, batch, step_rng, srng)
+            loss, acc, grads = jax.lax.pmean((loss, acc, grads), data_axis)
         else:
             loss, acc, grads = compute(
                 state.trainable, frozen, batch, step_rng, step_rng)
@@ -345,7 +368,7 @@ def make_train_step(
 
 def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
                    compute_dtype=None, mesh=None, attn_impl: str = "auto",
-                   dense_impl: str = "auto"):
+                   dense_impl: str = "auto", data_axis=None):
     """(params, cara, batch) -> per-batch (num_correct, num_total).
 
     Equivalent of the reference eval loop's avalanche ``Accuracy.update``
@@ -355,7 +378,13 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
     On a >1-device data mesh the fused-kernel forward runs under
     ``shard_map`` (Pallas kernels are opaque to GSPMD — see
     ``_resolve_impls``) and the (correct, total) sums are psum'd.
+
+    ``data_axis``: as in :func:`make_train_step` — the body runs inside an
+    ALREADY-ENTERED shard_map and psums (correct, total) over that axis.
     """
+    if data_axis is not None and mesh is not None:
+        raise ValueError("data_axis composes inside an outer shard_map; "
+                         "pass either mesh or data_axis, not both")
     auto_dense = dense_impl == "auto"
     attn_impl, dense_impl, use_shard_map, tp_fused = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh,
@@ -393,6 +422,12 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
             valid = jnp.ones_like(batch["label"], jnp.float32)
         correct = jnp.sum((pred == batch["label"]).astype(jnp.float32) * valid)
         return correct, jnp.sum(valid)
+
+    if data_axis is not None:
+        def axis_eval(params, cara_params, batch):
+            c, t = eval_step(params, cara_params, batch)
+            return jax.lax.psum((c, t), data_axis)
+        return axis_eval
 
     if not use_shard_map:
         return eval_step

@@ -27,6 +27,14 @@ TPU-native design (rides the round-3 compile-sharing work):
 On T devices the whole sweep runs in ~1/T the wall time of the sequential
 sweep at identical math; on one device it degrades to the sequential
 compile-shared sweep (groups of size 1).
+
+When fewer tasks than devices remain (or the slice is large), task and
+data parallelism COMPOSE on a 2-axis ``(task, data)`` mesh
+(``make_task_mesh(data=D)``, ``sweep --task-parallel T --task-data D``):
+each task's batch splits over D devices with grads pmean'd over the data
+axis only — per-task math is independent of the group size (bit-exact)
+and semantically identical to a D-device data-parallel run of that task
+alone, and all T*D devices stay busy.
 """
 
 from __future__ import annotations
@@ -42,15 +50,32 @@ from cara_tpu.train import steps as steps_lib
 from cara_tpu.utils.logging import MetricLogger
 
 TASK_AXIS = "task"
+DATA_AXIS = "data"  # matches parallel.mesh.DATA_AXIS (same rng-fold name)
 
 
-def make_task_mesh(n: Optional[int] = None, devices=None) -> Mesh:
-    """1-axis (task,) mesh over the first ``n`` devices (default: all)."""
+def make_task_mesh(n: Optional[int] = None, devices=None, *,
+                   data: int = 1) -> Mesh:
+    """(task,) mesh over the first ``n`` devices (default: all).
+
+    ``data > 1`` composes data parallelism INSIDE each task: a 2-axis
+    ``(task, data)`` mesh over ``n * data`` devices where every task's
+    batch is additionally split over ``data`` devices — so a sweep of T
+    tasks on an N-device slice uses all N devices instead of T (e.g. 4
+    VTAB tasks on a v5e-8: ``data=2`` halves each task's step time)."""
     devices = list(devices if devices is not None else jax.devices())
-    n = n or len(devices)
-    if n > len(devices):
-        raise ValueError(f"task-parallel degree {n} > {len(devices)} devices")
-    return Mesh(np.asarray(devices[:n]), (TASK_AXIS,))
+    n = n or (len(devices) // data)
+    if n * data > len(devices):
+        raise ValueError(f"task-parallel {n} x data {data} > "
+                         f"{len(devices)} devices")
+    if data == 1:
+        return Mesh(np.asarray(devices[:n]), (TASK_AXIS,))
+    return Mesh(np.asarray(devices[:n * data]).reshape(n, data),
+                (TASK_AXIS, DATA_AXIS))
+
+
+def mesh_data_degree(mesh: Mesh) -> int:
+    """Per-task data-parallel degree of a task mesh (1 on a 1-axis mesh)."""
+    return mesh.shape.get(DATA_AXIS, 1)
 
 
 def stack_trees(trees: Sequence[Any]):
@@ -64,10 +89,21 @@ def index_tree(tree, i: int):
     return jax.tree_util.tree_map(lambda x: x[i], tree)
 
 
-def put_stacked(mesh: Mesh, tree):
-    """Stacked pytree -> device, leading axis sharded over the task axis."""
-    sh = NamedSharding(mesh, P(TASK_AXIS))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+def put_stacked(mesh: Mesh, tree, *, shard_batch: bool = False):
+    """Stacked pytree -> device, leading axis sharded over the task axis.
+
+    ``shard_batch=True`` (batches on a 2-axis task x data mesh): leaves
+    with a per-task batch dim — ndim >= 2, i.e. image/label/valid but not
+    the (T,) traced operands — are additionally sharded over the data
+    axis on dim 1."""
+    task_sh = NamedSharding(mesh, P(TASK_AXIS))
+    if not (shard_batch and DATA_AXIS in mesh.axis_names):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, task_sh), tree)
+    batch_sh = NamedSharding(mesh, P(TASK_AXIS, DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, batch_sh if np.ndim(x) >= 2 else task_sh), tree)
 
 
 def _squeeze0(tree):
@@ -99,11 +135,20 @@ def make_task_train_step(
     sequential run bit-for-bit).  The body is the unmodified single-device
     ``steps.make_train_step`` including the AdamW update; no collectives
     cross shards.
+
+    On a 2-axis ``(task, data)`` mesh (``make_task_mesh(data=...)``) each
+    task's batch is additionally split over the data axis; the inner step
+    pmeans grads over ``data`` only (``steps.make_train_step(data_axis=)``)
+    with the same rng-folding/reduction semantics as the production
+    data-parallel path.  Per-task math is bit-identical across group
+    sizes (no cross-task leakage) and matches a standalone DP run to
+    compiler-reassociation tolerance (``tests/test_task_parallel.py``).
     """
+    dp = mesh_data_degree(mesh)
     inner = steps_lib.make_train_step(
         cfg, cara_cfg, tx, compute_dtype=compute_dtype, remat=remat,
         attn_impl=attn_impl, dense_impl=dense_impl, mesh=None,
-        grad_accum=grad_accum)
+        grad_accum=grad_accum, data_axis=DATA_AXIS if dp > 1 else None)
 
     def body(state, frozen, batch, seeds):
         rng = jax.random.key(seeds[0])
@@ -111,10 +156,27 @@ def make_task_train_step(
             _squeeze0(state), frozen, _squeeze0(batch), rng)
         return _expand0(new_state), _expand0(metrics)
 
-    return jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(TASK_AXIS), P(), P(TASK_AXIS), P(TASK_AXIS)),
-        out_specs=(P(TASK_AXIS), P(TASK_AXIS)), check_vma=False)
+    if dp == 1:
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(TASK_AXIS), P(), P(TASK_AXIS), P(TASK_AXIS)),
+            out_specs=(P(TASK_AXIS), P(TASK_AXIS)), check_vma=False)
+
+    def run(state, frozen, batch, seeds):
+        # Per-leaf batch specs (built per call — the (T,) traced operands
+        # ride task-only; leaves with a batch dim split over data too).
+        bspecs = jax.tree_util.tree_map(_batch_leaf_spec, batch)
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(TASK_AXIS), P(), bspecs, P(TASK_AXIS)),
+            out_specs=(P(TASK_AXIS), P(TASK_AXIS)), check_vma=False)
+        return fn(state, frozen, batch, seeds)
+
+    return run
+
+
+def _batch_leaf_spec(x):
+    return P(TASK_AXIS, DATA_AXIS) if np.ndim(x) >= 2 else P(TASK_AXIS)
 
 
 def make_task_eval_step(
@@ -126,10 +188,17 @@ def make_task_eval_step(
     attn_impl: str = "auto",
     dense_impl: str = "auto",
 ) -> Callable:
-    """Stacked eval step: (frozen, trainable_T, batch_T) -> (correct_T, total_T)."""
+    """Stacked eval step: (frozen, trainable_T, batch_T) -> (correct_T, total_T).
+
+    On a ``(task, data)`` mesh the per-task (correct, total) sums are
+    psum'd over the data axis inside the shard (``make_eval_step(data_axis=)``),
+    so the returned per-task sums are exact regardless of ``data``.
+    """
+    dp = mesh_data_degree(mesh)
     inner = steps_lib.make_eval_step(
         cfg, cara_cfg, compute_dtype=compute_dtype, mesh=None,
-        attn_impl=attn_impl, dense_impl=dense_impl)
+        attn_impl=attn_impl, dense_impl=dense_impl,
+        data_axis=DATA_AXIS if dp > 1 else None)
 
     def body(frozen, trainable, batch):
         t1 = _squeeze0(trainable)
@@ -137,10 +206,21 @@ def make_task_eval_step(
         c, t = inner(params, t1["cara"], _squeeze0(batch))
         return c[None], t[None]
 
-    return jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(), P(TASK_AXIS), P(TASK_AXIS)),
-        out_specs=(P(TASK_AXIS), P(TASK_AXIS)), check_vma=False)
+    if dp == 1:
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(TASK_AXIS), P(TASK_AXIS)),
+            out_specs=(P(TASK_AXIS), P(TASK_AXIS)), check_vma=False)
+
+    def run(frozen, trainable, batch):
+        bspecs = jax.tree_util.tree_map(_batch_leaf_spec, batch)
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(TASK_AXIS), bspecs),
+            out_specs=(P(TASK_AXIS), P(TASK_AXIS)), check_vma=False)
+        return fn(frozen, trainable, batch)
+
+    return run
 
 
 class StackedLoader:
@@ -203,7 +283,8 @@ def evaluate_tasks(eval_step, frozen_compute, trainable_dev,
 
     t = len(eval_loader.loaders)
     correct, total = np.zeros(t), np.zeros(t)
-    for batch in prefetch(eval_loader, lambda b: put_stacked(mesh, b)):
+    for batch in prefetch(eval_loader,
+                          lambda b: put_stacked(mesh, b, shard_batch=True)):
         c, n = eval_step(frozen_compute, trainable_dev, batch)
         correct += np.asarray(jax.device_get(c))
         total += np.asarray(jax.device_get(n))
@@ -249,6 +330,13 @@ def fit_tasks(
     """
     t = len(names)
     logger = logger or MetricLogger(enabled=False)
+    dp = mesh_data_degree(mesh)
+    for what, b in (("train", train_loader.batch_size),
+                    ("eval", eval_loader.batch_size)):
+        if b % dp:
+            raise ValueError(
+                f"{what} batch size {b} not divisible by the task mesh's "
+                f"data degree {dp}")
     if train_step is None:
         train_step = jax.jit(make_task_train_step(
             cfg, cara_cfg, tx, mesh, compute_dtype=compute_dtype,
@@ -292,7 +380,9 @@ def fit_tasks(
                 meta=(ckpt_metas[i] if ckpt_metas else None))
 
     for epoch in range(fit_cfg.start_epoch, fit_cfg.epochs):
-        for batch in prefetch(train_loader, lambda b: put_stacked(mesh, b),
+        for batch in prefetch(train_loader,
+                              lambda b: put_stacked(mesh, b,
+                                                    shard_batch=True),
                               fit_cfg.prefetch_depth):
             state, metrics = train_step(state, frozen_compute, batch,
                                         seeds_dev)

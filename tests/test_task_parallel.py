@@ -113,6 +113,136 @@ def test_task_parallel_matches_sequential(setup):
         assert (float(c[i]), float(n[i])) == seq_evals[i]
 
 
+def _run_composed(cfg, cara_cfg, frozen, tasks, seeds, tx, devices, DP,
+                  nsteps=2, **kw):
+    """Train the given tasks through the composed (task, data) step;
+    returns (host trainables stacked, eval (c, n) arrays on batch 0)."""
+    T = len(tasks)
+    mesh = tp_lib.make_task_mesh(T, devices[:T * DP], data=DP)
+    train_step = jax.jit(
+        tp_lib.make_task_train_step(cfg, cara_cfg, tx, mesh, **kw),
+        donate_argnums=(0,))
+    eval_step = jax.jit(tp_lib.make_task_eval_step(cfg, cara_cfg, mesh,
+                                                   **kw))
+    states = [steps_lib.TrainState(
+        jax.numpy.zeros((), jax.numpy.int32), tr, tx.init(tr))
+        for tr, _ in tasks]
+    state = tp_lib.put_stacked(mesh, tp_lib.stack_trees(states))
+    seeds_dev = jax.device_put(
+        np.asarray(seeds, np.int32),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(tp_lib.TASK_AXIS)))
+    for i in range(nsteps):
+        stacked = {k: np.stack([t[1][i][k] for t in tasks])
+                   for k in tasks[0][1][0].keys()}
+        state, _ = train_step(
+            state, frozen,
+            tp_lib.put_stacked(mesh, stacked, shard_batch=True), seeds_dev)
+    host = jax.device_get(state)
+    stacked0 = {k: np.stack([t[1][0][k] for t in tasks])
+                for k in tasks[0][1][0].keys()}
+    c, n = eval_step(frozen, host.trainable,
+                     tp_lib.put_stacked(mesh, stacked0, shard_batch=True))
+    return host.trainable, np.asarray(c), np.asarray(n)
+
+
+@pytest.mark.parametrize("impl", ["xla", "fused"])
+def test_task_data_parallel_group_invariance(setup, impl):
+    """(task=2, data=2) on 4 devices is BIT-IDENTICAL per task to running
+    each task ALONE through the same composed step on a (1, 2) mesh — no
+    cross-task leakage, group size never changes a task's math."""
+    cfg, cara_cfg, frozen = setup
+    DP = 2
+    num_real = [3, 6]
+    seeds = [7, 19]
+    tasks = [_task(cfg, cara_cfg, s, n) for s, n in zip(seeds, num_real)]
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=3)
+    kw = dict(attn_impl=impl, dense_impl=impl)
+    devs = jax.devices()
+
+    got, c, n = _run_composed(cfg, cara_cfg, frozen, tasks, seeds, tx,
+                              devs, DP, **kw)
+    for i in range(len(tasks)):
+        want, c1, n1 = _run_composed(cfg, cara_cfg, frozen, [tasks[i]],
+                                     [seeds[i]], tx, devs, DP, **kw)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a)[i], np.asarray(b)[0]), got, want)
+        assert (float(c[i]), float(n[i])) == (float(c1[0]), float(n1[0]))
+
+
+def test_task_data_parallel_matches_dp_semantics(setup):
+    """The composed (task, data) step reproduces the production data-
+    parallel path's SEMANTICS: same per-shard rng folding, same pmean'd
+    grads.  Differently-structured XLA programs reassociate floats, and
+    Adam's sign-normalized early updates amplify one-ulp gradient noise to
+    ~1 update (~lr) on near-zero-gradient coordinates — so equality is
+    asserted to a few-updates tolerance, not bitwise (bitwise invariance
+    is covered by test_task_data_parallel_group_invariance)."""
+    from cara_tpu.parallel import mesh as mesh_lib
+
+    cfg, cara_cfg, frozen = setup
+    DP = 2
+    num_real = [3, 6]
+    seeds = [7, 19]
+    tasks = [_task(cfg, cara_cfg, s, n) for s, n in zip(seeds, num_real)]
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=3)
+    kw = dict(attn_impl="xla", dense_impl="xla")
+
+    dp_mesh = mesh_lib.make_mesh((DP, 1), devices=jax.devices()[:DP])
+    step_fn = jax.jit(steps_lib.make_train_step(
+        cfg, cara_cfg, tx, mesh=dp_mesh, **kw))
+    eval_fn = jax.jit(steps_lib.make_eval_step(
+        cfg, cara_cfg, mesh=dp_mesh, **kw))
+    seq_states, seq_evals = [], []
+    for (trainable, batches), seed in zip(tasks, seeds):
+        st = steps_lib.TrainState(
+            jax.numpy.zeros((), jax.numpy.int32), trainable,
+            tx.init(trainable))
+        rng = jax.random.key(seed)
+        for b in batches[:2]:
+            st, _ = step_fn(st, frozen, b, rng)
+        seq_states.append(jax.device_get(st))
+        c, n = eval_fn(steps_lib.merge_params(frozen, st.trainable),
+                       st.trainable["cara"], batches[0])
+        seq_evals.append((float(c), float(n)))
+
+    got, c, n = _run_composed(cfg, cara_cfg, frozen, tasks, seeds, tx,
+                              jax.devices(), DP, **kw)
+    for i in range(len(tasks)):
+        want = seq_states[i].trainable
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a)[i], np.asarray(b), rtol=0, atol=5e-6),
+            got, want)
+        assert (float(c[i]), float(n[i])) == seq_evals[i]
+
+
+def test_task_mesh_data_validation():
+    with pytest.raises(ValueError, match="devices"):
+        tp_lib.make_task_mesh(8, jax.devices()[:8], data=2)
+    mesh = tp_lib.make_task_mesh(2, jax.devices()[:4], data=2)
+    assert mesh.axis_names == (tp_lib.TASK_AXIS, tp_lib.DATA_AXIS)
+    assert tp_lib.mesh_data_degree(
+        tp_lib.make_task_mesh(4, jax.devices()[:4])) == 1
+
+
+def test_task_data_sweep_cli_e2e(tmp_path):
+    """CLI path: 2 tasks x 2 data devices on the 8-device test mesh."""
+    from cara_tpu.cli import sweep as sweep_cli
+
+    results = sweep_cli.main([
+        "--synthetic", "--tasks", "patch_camelyon,kitti",
+        "--task-parallel", "2", "--task-data", "2", "--pad-classes", "8",
+        "--model", "vit_tiny_test", "--dim", "4", "--epochs", "2",
+        "--batch-size", "8", "--eval-batch-size", "8",
+        "--synthetic-size", "32", "--dtype", "float32",
+        "--backbone", str(tmp_path / "none.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000"])
+    for task in ("patch_camelyon", "kitti"):
+        assert 0.0 <= results[task]["top1"] <= 1.0
+
+
 def test_stacked_loader_pads_uneven_eval(setup):
     """Exhausted tasks are padded with zero-valid batches; accuracy sums
     stay exact for every task."""
