@@ -93,16 +93,22 @@ def _build_step(args):
     y = jax.random.randint(jax.random.key(2), (args.batch_size,), 0,
                            args.num_classes)
     if args.mode == "eval":
-        p = steps_lib.cast_floating(model.params, jnp.bfloat16)
+        p = jax.device_put(
+            steps_lib.cast_floating(model.params, jnp.bfloat16))
         c = steps_lib.cast_floating(model.cara_params, jnp.bfloat16)
-        f = jax.jit(lambda cc, xx: optax.softmax_cross_entropy_with_integer_labels(
-            vit_forward(p, xx, model.cfg, cara_params=cc,
-                        cara_cfg=model.cara_cfg,
-                        train=False).astype(jnp.float32), y).mean())
+        # Backbone rides as an ARGUMENT, not a closure: closed-over params
+        # become HLO constants, and a ViT-L-sized constant blob overflows
+        # the remote-compile transport on tunneled backends (HTTP 413).
+        f = jax.jit(
+            lambda pp, cc, xx:
+            optax.softmax_cross_entropy_with_integer_labels(
+                vit_forward(pp, xx, model.cfg, cara_params=cc,
+                            cara_cfg=model.cara_cfg,
+                            train=False).astype(jnp.float32), y).mean())
 
         def step(carry):
             (loss,) = carry
-            return (f(c, x + (loss * 1e-24).astype(x.dtype)),)
+            return (f(p, c, x + (loss * 1e-24).astype(x.dtype)),)
 
         return step, (jnp.float32(0),), model
     tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=15)
