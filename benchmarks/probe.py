@@ -63,11 +63,14 @@ def bench_async(step, state0, N=30):
     return (time.perf_counter() - t0) / N, compile_s
 
 
-def loss_make(model, p, y, train, impl):
+def loss_make(model, y, train, impl):
+    """Backbone params ride as an ARGUMENT (closed-over params lower to
+    HLO constants; a ViT-L-sized blob overflows the tunneled
+    remote-compile transport with HTTP 413)."""
     rngk = jax.random.key(5)
     attn_impl, _, dense_impl = impl.partition("+")
 
-    def loss_fn(c, x):
+    def loss_fn(p, c, x):
         lg = vit_forward(
             p, x, model.cfg, cara_params=c, cara_cfg=model.cara_cfg,
             train=train, rng=rngk if train else None,
@@ -98,18 +101,20 @@ def run_variant(variant):
     else:
         kind, mode, impl = variant.split(":")
         model, p, c, x, y = build()
-        loss_fn = loss_make(model, p, y, mode == "train", impl)
+        p = jax.device_put(p)
+        loss_fn = loss_make(model, y, mode == "train", impl)
         if kind == "fwd":
-            f = jax.jit(lambda c, x: loss_fn(c, x))
+            f = jax.jit(loss_fn)
             # serialize via x perturbation from previous loss
             def step(carry):
                 l, = carry
-                return (f(c, x + (l * 1e-24).astype(x.dtype)),)
+                return (f(p, c, x + (l * 1e-24).astype(x.dtype)),)
             dt, cs = bench_async(step, (jnp.float32(0),))
         else:
-            g = jax.jit(lambda c, x: jax.grad(loss_fn)(c, x))
+            g = jax.jit(lambda p_, c_, x_: jax.grad(loss_fn, argnums=1)(
+                p_, c_, x_))
             def step(carry):
-                grads = g(carry, x)
+                grads = g(p, carry, x)
                 return jax.tree_util.tree_map(
                     lambda a, b: a + (b * 1e-24).astype(a.dtype), c, grads)
             dt, cs = bench_async(step, c)

@@ -162,7 +162,9 @@ def test_task_data_parallel_group_invariance(setup, impl):
 
     got, c, n = _run_composed(cfg, cara_cfg, frozen, tasks, seeds, tx,
                               devs, DP, **kw)
-    for i in range(len(tasks)):
+    # xla: every task index; fused (interpret-mode kernels, ~4x slower):
+    # one index suffices — group invariance is per-shard, not per-slot.
+    for i in range(len(tasks) if impl == "xla" else 1):
         want, c1, n1 = _run_composed(cfg, cara_cfg, frozen, [tasks[i]],
                                      [seeds[i]], tx, devs, DP, **kw)
         jax.tree_util.tree_map(
