@@ -54,6 +54,15 @@ def enable_compilation_cache(path: Optional[str] = None) -> str:
 
 
 def _remote_compile_backend() -> bool:
+    # The env markers alone are not trustworthy: this image's
+    # sitecustomize pins JAX_PLATFORMS=axon even in processes that steer
+    # to CPU via jax.config (the test suite) — zeroing the persistence
+    # thresholds there persists EVERY trivial CPU executable.  Require
+    # the ACTIVE backend to be non-CPU as well.
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return False
     return (os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
             or "axon" in os.environ.get("JAX_PLATFORMS", ""))
 

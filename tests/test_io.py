@@ -309,20 +309,44 @@ def test_profiler_trace_smoke(tmp_path):
 
 
 def test_compilation_cache_helper(tmp_path, monkeypatch):
-    """enable_compilation_cache sets dir + zeroes the persistence
-    thresholds (the tunneled backend reports ~0 local compile seconds, so
-    nonzero thresholds silently disable persistence)."""
+    """enable_compilation_cache sets dir; the persistence thresholds are
+    zeroed ONLY on the tunneled remote-compile backend (it reports ~0
+    local compile seconds, so nonzero thresholds silently disable
+    persistence there) — NOT in a CPU process that merely inherits
+    JAX_PLATFORMS=axon from sitecustomize (regression: zeroed thresholds
+    persisted every trivial CPU executable for the rest of the pytest
+    process, ballooning suite time and crashing in the cache writer).
+    All touched config is restored so later tests never write the cache."""
     import jax
 
-    from cara_tpu.utils.jit_cache import enable_compilation_cache
+    from cara_tpu.utils import jit_cache
 
-    d = str(tmp_path / "cache")
-    got = enable_compilation_cache(d)
-    assert got == d
-    assert jax.config.jax_compilation_cache_dir == d
-    assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
-    assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
-    # CARA_JIT_CACHE=0 disables (explicit path still wins).
-    monkeypatch.setenv("CARA_JIT_CACHE", "0")
-    assert enable_compilation_cache() == ""
-    assert enable_compilation_cache(d) == d
+    prior = (jax.config.jax_compilation_cache_dir,
+             jax.config.jax_persistent_cache_min_compile_time_secs,
+             jax.config.jax_persistent_cache_min_entry_size_bytes)
+    try:
+        d = str(tmp_path / "cache")
+        got = jit_cache.enable_compilation_cache(d)
+        assert got == d
+        assert jax.config.jax_compilation_cache_dir == d
+        # This process's ACTIVE backend is cpu -> thresholds untouched.
+        assert (jax.config.jax_persistent_cache_min_compile_time_secs
+                == prior[1])
+        assert (jax.config.jax_persistent_cache_min_entry_size_bytes
+                == prior[2])
+        # Simulated tunneled backend -> thresholds zeroed.
+        monkeypatch.setattr(jit_cache, "_remote_compile_backend",
+                            lambda: True)
+        assert jit_cache.enable_compilation_cache(d) == d
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+        assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
+        # CARA_JIT_CACHE=0 disables (explicit path still wins).
+        monkeypatch.setenv("CARA_JIT_CACHE", "0")
+        assert jit_cache.enable_compilation_cache() == ""
+        assert jit_cache.enable_compilation_cache(d) == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior[0])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prior[1])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          prior[2])
