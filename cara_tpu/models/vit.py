@@ -85,7 +85,16 @@ def _mlp_bm(use_elem: bool, n=None, e=None, hidden=None,
     v = tune.lookup("mlp_bm", tune.mlp_key(use_elem, n, e, hidden, train, b))
     if v is not None:
         return v
-    return 512 if use_elem else 256
+    base = 512 if use_elem else 256
+    if e and hidden:
+        # Scale the ViT-B-swept tile down with the (E x hidden) working
+        # set so bigger geometries stay inside VMEM: reproduces the
+        # measured ViT-L winner (512 * (768*3072)/(1024*4096) -> 256) and
+        # keeps ViT-H's element-dropout backward compiling (the flat 512
+        # tile overflows the 128M budget by 15M at hidden=5120).
+        v = int(base * (768 * 3072) / (e * hidden)) // 128 * 128
+        return max(128, min(base, v))
+    return base
 
 
 def _attn_bb(npad: int, e: int, train: bool = True, b=None,

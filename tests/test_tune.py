@@ -52,6 +52,11 @@ def test_model_knobs_resolution_order(tmp_cache, monkeypatch):
     # Heuristic when cache is empty.
     assert vit_lib._mlp_bm(True, 197, 768, 3072, b=64) == 512
     assert vit_lib._mlp_bm(False, 197, 768, 3072, b=64) == 256
+    # ...scaled down with the (E x hidden) working set: reproduces the
+    # measured ViT-L winner, and keeps ViT-H's element-dropout backward
+    # inside VMEM (flat 512 overflowed the 128M budget by 15M).
+    assert vit_lib._mlp_bm(True, 197, 1024, 4096, b=32) == 256   # ViT-L
+    assert vit_lib._mlp_bm(True, 257, 1280, 5120, b=16) == 128   # ViT-H
     assert vit_lib._attn_bb(256, 768, b=64) == 4
     # Cache hit beats the heuristic.
     tune.record("mlp_bm",
