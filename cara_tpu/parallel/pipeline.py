@@ -1,0 +1,256 @@
+"""Pipeline parallelism: GPipe-style microbatch pipeline over the layer scan.
+
+Beyond-reference scale-out (the reference is single-GPU — its only
+multi-device artifact is one commented-out ``DataParallel`` line,
+``image_classification/dim_experiment.py:419``).  This module adds the
+"stage" axis to the mesh portfolio (data / model / task / stage): the
+stacked transformer blocks — already laid out ``(L, ...)`` for ``lax.scan``
+(``models/vit.py``) — are sharded over a ``stage`` mesh axis, and a
+microbatched GPipe schedule rides ``shard_map`` + ``lax.ppermute``:
+
+* Stage ``k`` holds layers ``[k*L/S, (k+1)*L/S)`` — the leading-axis shard
+  of every stacked block leaf, of the CaRA per-layer factor stacks, and of
+  the per-layer drop-path rates/rng keys.  Nothing is re-laid-out: the
+  ``lax.scan`` body runs unchanged on the local slice.
+* The batch splits into ``M`` microbatches.  At tick ``t`` stage 0 ingests
+  microbatch ``t``, every stage runs its local layers on its resident
+  activation, and activations ``ppermute`` one stage forward — classic
+  GPipe fill/steady/drain with ``M + S - 1`` ticks and an ``(S-1)/(M+S-1)``
+  bubble.  All shapes are static; the schedule is a ``lax.scan`` over ticks.
+* Only the pooled feature leaves the pipeline (the cls row per microbatch —
+  ``(M, mb, E)``), psum-replicated from the last stage; patch-embed and the
+  final-LN/head run outside the ``shard_map`` island in plain GSPMD-land,
+  so the ``data`` mesh axis composes transparently (mesh ``(data, stage)``).
+* Autodiff: ``ppermute``/``psum``/``dynamic_update_slice`` are all
+  transposable, so ``jax.grad`` through the pipeline yields the reverse
+  schedule automatically — no hand-written backward pass.
+
+RNG semantics match the grad-accum microbatch convention
+(``train/steps.py``): weight-dropout masks (batch-independent, reference
+``cara.py:35``) derive from the same per-layer key stream as the
+single-device path — bit-identical masks at any stage count; per-sample
+randomness (drop-path, activation dropout) folds in the microbatch index
+and the data-shard index.  Consequently a pipeline run is bit-identical
+across stage counts at fixed microbatch count (``S=1`` == ``S=4``), and
+bit-identical to the plain ``vit_forward`` when regularization is off.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cara_tpu.config import CaraConfig, ViTConfig
+from cara_tpu.models import cara as cara_lib
+from cara_tpu.models.vit import _block, patch_embed
+from cara_tpu.ops.layers import layer_norm
+from cara_tpu.parallel.mesh import DATA_AXIS
+
+STAGE_AXIS = "stage"
+
+Params = Dict[str, Any]
+
+
+def make_pp_mesh(shape: Tuple[int, int], devices=None) -> Mesh:
+    """A ``(data, stage)`` mesh for pipeline(+data) parallelism."""
+    devices = devices if devices is not None else jax.devices()
+    d, s = shape
+    if d * s > len(devices):
+        raise ValueError(f"mesh shape {shape} > {len(devices)} devices")
+    devices = devices[: d * s]
+    arr = np.asarray(devices).reshape(d, s)
+    return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
+
+
+def pp_vit_forward(
+    params: Params,
+    x: jax.Array,
+    cfg: ViTConfig,
+    *,
+    mesh: Mesh,
+    microbatches: int,
+    cara_params: Optional[Dict[str, jax.Array]] = None,
+    cara_cfg: Optional[CaraConfig] = None,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    sample_rng: Optional[jax.Array] = None,
+    remat: bool = True,
+    attn_impl: str = "xla",
+    dense_impl: str = "xla",
+    scale_override: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``vit_forward`` semantics over a ``(data, stage)`` pipeline mesh.
+
+    ``microbatches`` (M) statically splits the batch; B % M == 0 and the
+    microbatch must split over the data axis.  The layer count must split
+    over the stage axis.  ``attn_impl``/``dense_impl`` select the per-stage
+    block implementation — the Pallas megakernels run per-device inside the
+    shard_map exactly as on the data-parallel fused path.
+    """
+    if (cara_params is None) != (cara_cfg is None):
+        raise ValueError("cara_params and cara_cfg must be provided together")
+    S = mesh.shape[STAGE_AXIS]
+    D = mesh.shape[DATA_AXIS]
+    L = cfg.depth
+    M = microbatches
+    if L % S:
+        raise ValueError(f"depth {L} not divisible by {S} pipeline stages")
+    B = x.shape[0]
+    if B % M or (B // M) % D:
+        raise ValueError(
+            f"batch {B} must split into {M} microbatches x {D} data shards")
+    use_rng = train and rng is not None
+    if train and rng is None and (
+            cfg.dropout_rate > 0.0 or cfg.attn_dropout_rate > 0.0
+            or cfg.drop_path_rate > 0.0
+            or (cara_cfg is not None and cara_cfg.weight_dropout > 0.0)):
+        raise ValueError("train=True with nonzero regularization needs rng")
+
+    # --- Stem (GSPMD-land: batch shards over the data axis) ---------------
+    tokens = patch_embed(params, x, cfg)
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(
+            params["cls"], (tokens.shape[0], 1, cfg.embed_dim)
+        ).astype(tokens.dtype)
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+    tokens = tokens + params["pos_embed"].astype(tokens.dtype)
+    if cfg.ln_pre:
+        tokens = layer_norm(tokens, params["ln_pre"]["scale"],
+                            params["ln_pre"]["bias"], cfg.layernorm_eps)
+    npad, e = tokens.shape[1], tokens.shape[2]
+    tokens = tokens.reshape(M, B // M, npad, e)
+
+    dpr = jnp.linspace(0.0, cfg.drop_path_rate, L)
+    use_cara = cara_params is not None
+    if use_cara:
+        a1, p1 = cara_lib.stacked_layer_slices(cara_params, cfg, cara_cfg)
+    else:
+        a1 = p1 = jnp.zeros((L, 1, 1), tokens.dtype)
+
+    args = dict(tokens=tokens, blocks=params["blocks"], a1=a1, p1=p1, dpr=dpr)
+    if use_cara:
+        args["cara"] = cara_params
+        args["scale"] = (jnp.asarray(cara_cfg.scale, tokens.dtype)
+                         if scale_override is None
+                         else scale_override.astype(tokens.dtype))
+    if use_rng:
+        args["wd_rng"] = rng
+        args["s_rng"] = rng if sample_rng is None else sample_rng
+
+    # Tree-prefix specs: one leading-axis stage shard for every stacked
+    # (L, ...) leaf; everything else replicated.
+    in_specs = {k: P() for k in args}
+    in_specs["tokens"] = P(None, DATA_AXIS, None, None)
+    for k in ("blocks", "a1", "p1", "dpr"):
+        in_specs[k] = P(STAGE_AXIS)
+    out_spec = (P(None, DATA_AXIS, None) if cfg.use_cls_token
+                else P(None, DATA_AXIS, None, None))
+
+    body = functools.partial(
+        _pipeline_body, cfg=cfg, cara_cfg=cara_cfg if use_cara else None,
+        S=S, M=M, L=L, use_rng=use_rng, remat=remat,
+        attn_impl=attn_impl, dense_impl=dense_impl)
+    feats = jax.shard_map(
+        body, mesh=mesh, in_specs=(in_specs,), out_specs=out_spec,
+        check_vma=False)(args)
+
+    # --- Head (GSPMD-land) -------------------------------------------------
+    if cfg.use_cls_token:
+        feat = feats.reshape(B, e)
+        feat = layer_norm(feat, params["norm"]["scale"],
+                          params["norm"]["bias"], cfg.layernorm_eps)
+    else:
+        toks = feats.reshape(B, npad, e)
+        toks = layer_norm(toks, params["norm"]["scale"],
+                          params["norm"]["bias"], cfg.layernorm_eps)
+        feat = jnp.mean(toks, axis=1)
+    if cfg.repr_size is not None:
+        pl_ = params["pre_logits"]
+        feat = jnp.tanh(feat @ pl_["kernel"] + pl_["bias"])
+    if cfg.proj_dim is not None:
+        feat = feat @ params["proj_out"]["kernel"]
+    if "head" not in params:
+        return feat
+    return feat @ params["head"]["kernel"] + params["head"]["bias"]
+
+
+def _pipeline_body(args, *, cfg, cara_cfg, S, M, L, use_rng, remat,
+                   attn_impl, dense_impl):
+    """Per-device GPipe schedule (runs under shard_map on (data, stage)).
+
+    ``args['tokens']``: (M, mb, NP, E) local microbatch slices (every stage
+    holds the inputs; only stage 0 reads them — ~MB-scale redundancy that
+    buys a collective-free ingest).  Stacked leaves arrive as the local
+    ``(L/S, ...)`` stage slice.
+    """
+    tokens = args["tokens"]
+    blocks, a1, p1, dpr = args["blocks"], args["a1"], args["p1"], args["dpr"]
+    cara_params = args.get("cara")
+    scale = args.get("scale")
+    Ls = L // S
+    sidx = jax.lax.axis_index(STAGE_AXIS)
+    mb, npad, e = tokens.shape[1:]
+
+    if use_rng:
+        # Weight-dropout keys: the exact vit_forward stream (fold 0, split
+        # L) — batch-independent, so identical for every microbatch and
+        # stage count; slice this stage's layers.
+        wd_all = jax.random.split(jax.random.fold_in(args["wd_rng"], 0), L)
+        wd_loc = jax.lax.dynamic_slice_in_dim(wd_all, sidx * Ls, Ls, 0)
+        # Per-sample base: decorrelate across data shards (fused-DP
+        # convention); the microbatch index folds in per tick below
+        # (grad-accum convention).
+        s_dev = jax.random.fold_in(
+            args["s_rng"], jax.lax.axis_index(DATA_AXIS))
+
+    def layer(carry, xs):
+        if use_rng:
+            bp, f1_l, p1_l, dpr_l, key, skey = xs
+        else:
+            bp, f1_l, p1_l, dpr_l = xs
+            key = skey = None
+        out = _block(carry, bp, f1_l, p1_l, dpr_l, key, skey, cfg,
+                     cara_params, cara_cfg, attn_impl, dense_impl,
+                     None, scale)
+        return out, None
+
+    if remat:
+        layer = jax.checkpoint(layer)
+
+    perm = [(i, (i + 1) % S) for i in range(S)]
+    fdim = (e,) if cfg.use_cls_token else (npad, e)
+    out0 = jnp.zeros((M, mb) + fdim, tokens.dtype)
+
+    def tick(carry, t):
+        act, out = carry
+        inject = jax.lax.dynamic_index_in_dim(
+            tokens, jnp.clip(t, 0, M - 1), 0, keepdims=False)
+        act = jnp.where(sidx == 0, inject, act)
+        xs = (blocks, a1, p1, dpr)
+        if use_rng:
+            m_cur = jnp.clip(t - sidx, 0, M - 1)
+            sk_all = jax.random.split(jax.random.fold_in(
+                jax.random.fold_in(s_dev, m_cur), 1), L)
+            sk_loc = jax.lax.dynamic_slice_in_dim(sk_all, sidx * Ls, Ls, 0)
+            xs = xs + (wd_loc, sk_loc)
+        act, _ = jax.lax.scan(layer, act, xs)
+        emit = act[:, 0] if cfg.use_cls_token else act
+        m_done = jnp.clip(t - (S - 1), 0, M - 1)
+        out = jnp.where(
+            sidx == S - 1,
+            jax.lax.dynamic_update_index_in_dim(out, emit, m_done, 0),
+            out)
+        act = jax.lax.ppermute(act, STAGE_AXIS, perm)
+        return (act, out), None
+
+    act0 = jnp.zeros((mb, npad, e), tokens.dtype)
+    (_, out), _ = jax.lax.scan(tick, (act0, out0), jnp.arange(M + S - 1))
+    # Replicate the last stage's buffer so the out_spec (unmentioned stage
+    # axis) is genuinely uniform.
+    return jax.lax.psum(
+        jnp.where(sidx == S - 1, out, jnp.zeros_like(out)), STAGE_AXIS)
