@@ -50,7 +50,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    choices=["float32", "bfloat16"],
                    help="Compute dtype (params/optimizer stay fp32)")
     p.add_argument("--mesh", default=None, type=str,
-                   help="data,model mesh shape, e.g. '8,1' (default: all "
+                   help="data,model[,seq] mesh shape, e.g. '8,1' or "
+                        "'2,1,4' (seq = sequence parallelism for "
+                        "high-resolution geometries; default: all "
                         "devices on the data axis)")
     p.add_argument("--no-remat", action="store_true",
                    help="Disable per-layer rematerialization")
@@ -95,8 +97,10 @@ def resolve_mesh(spec: Optional[str]):
 
     if spec is None:
         return make_mesh()
-    d, m = (int(v) for v in spec.split(","))
-    return make_mesh((d, m))
+    dims = tuple(int(v) for v in spec.split(","))
+    if len(dims) not in (2, 3):
+        raise ValueError(f"--mesh wants 'data,model[,seq]', got {spec!r}")
+    return make_mesh(dims)
 
 
 def setup_runtime(args) -> None:

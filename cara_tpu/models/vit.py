@@ -844,8 +844,16 @@ def vit_forward(
     dense_impl: str = "auto",
     tp_axis: Optional[str] = None,
     scale_override: Optional[jax.Array] = None,
+    token_sharding=None,
 ) -> jax.Array:
     """Full forward: images (B, H, W, C) NHWC -> logits (B, num_classes).
+
+    ``token_sharding``: optional ``NamedSharding`` for the (B, NP, E) token
+    activations — sequence parallelism.  Asserted after the stem and on
+    every scan-carry boundary, so GSPMD keeps tokens sharded along the seq
+    axis through the whole stack (attention gathers k/v internally; LN and
+    the GEMMs stay row-parallel).  XLA impls only (Pallas is opaque to the
+    partitioner) — ``train.steps`` enforces that.
 
     ``scale_override``: optional 0-d traced delta scale replacing the
     static ``cara_cfg.scale`` (see ``_block``) — one executable serves
@@ -897,6 +905,8 @@ def vit_forward(
     if cfg.ln_pre:
         tokens = layer_norm(tokens, params["ln_pre"]["scale"],
                             params["ln_pre"]["bias"], cfg.layernorm_eps)
+    if token_sharding is not None:
+        tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)
 
     dpr = jnp.linspace(0.0, cfg.drop_path_rate, L)  # timm per-block rates
     if cara_params is not None:
@@ -928,6 +938,8 @@ def vit_forward(
             carry, bp, f1, p1, dpr_l, key, skey, cfg, cara_params, cara_cfg,
             attn_impl, dense_impl, tp_axis, scale_override
         )
+        if token_sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, token_sharding)
         return out, None
 
     if remat == "dots":

@@ -12,7 +12,7 @@ from ``NamedSharding`` annotations — no hand-written NCCL analog.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import numpy as np
@@ -20,21 +20,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
-def make_mesh(
-    shape: Optional[Tuple[int, int]] = None, devices=None
-) -> Mesh:
-    """Create a (data, model) mesh.  Default: all devices on the data axis."""
+def make_mesh(shape=None, devices=None) -> Mesh:
+    """Create a (data, model) or (data, model, seq) mesh.
+
+    Default: all devices on the data axis.  A 3-element shape adds a
+    ``seq`` axis for sequence parallelism (token-axis activation sharding —
+    high-resolution geometries where the (B, H, NP, NP) score tensor, not
+    the batch, is the memory axis; see ``train.steps`` ``seq`` handling).
+    A 2-element shape builds the classic 2-axis mesh unchanged.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if shape is None:
         shape = (n, 1)
+    if len(shape) == 3:
+        d, m, s = shape
+        if d * m * s != n:
+            raise ValueError(f"mesh shape {shape} != {n} devices")
+        arr = np.asarray(devices).reshape(d, m, s)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
     d, m = shape
     if d * m != n:
         raise ValueError(f"mesh shape {shape} != {n} devices")
     arr = np.asarray(devices).reshape(d, m)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def seq_size(mesh) -> int:
+    """Size of the seq axis (1 when the mesh doesn't carry one)."""
+    return mesh.shape.get(SEQ_AXIS, 1) if mesh is not None else 1
+
+
+def token_spec() -> P:
+    """Sharding for (B, NP, E) token activations under sequence parallelism:
+    batch over data, tokens over seq, features replicated."""
+    return P(DATA_AXIS, SEQ_AXIS, None)
 
 
 def batch_spec() -> P:

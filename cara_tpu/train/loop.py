@@ -179,7 +179,7 @@ def fit(
     # Fused tensor parallelism: the COMPUTE copy of the backbone gets the
     # head-sharded layout + TP shardings (prepare_tp_frozen); ``frozen``
     # stays in the canonical layout for checkpoint/merge artifacts.
-    _, _, _, _tp_fused = steps_lib._resolve_impls(
+    _, _, _, _tp_fused, _ = steps_lib._resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh,
         has_cara=cara_cfg is not None, cfg=cfg)
     if _tp_fused:

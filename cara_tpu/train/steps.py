@@ -123,15 +123,24 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
     Returns (attn_impl, dense_impl, use_shard_map, tp_fused).
     """
     from cara_tpu.models.vit import resolve_dense_impl
-    from cara_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from cara_tpu.parallel.mesh import (
+        DATA_AXIS, MODEL_AXIS, seq_size as mesh_lib_seq_size)
 
     if attn_impl == "auto":
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
         dense_impl = resolve_dense_impl(has_cara, cara_cfg)
+    sp = mesh_lib_seq_size(mesh) > 1
+    if sp:
+        # Sequence parallelism shards the token axis via GSPMD constraints
+        # (vit_forward token_sharding) — the Pallas kernels are opaque to
+        # the partitioner, so the whole stack runs on XLA impls, and the
+        # step stays in GSPMD-land (no shard_map).
+        attn_impl = "xla"
+        dense_impl = "xla"
     tp = mesh is not None and mesh.shape[MODEL_AXIS] > 1
     tp_fused = False
-    if tp:
+    if tp and not sp:
         tpn = mesh.shape[MODEL_AXIS]
         geom_ok = (
             cfg is not None
@@ -143,10 +152,14 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
         else:
             attn_impl = "xla"
             dense_impl = "xla"
+    if tp and sp:
+        attn_impl = "xla"
+        dense_impl = "xla"
     use_shard_map = tp_fused or (
-        mesh is not None and not tp and mesh.shape[DATA_AXIS] > 1
+        mesh is not None and not tp and not sp
+        and mesh.shape[DATA_AXIS] > 1
         and (attn_impl != "xla" or dense_impl == "fused"))
-    return attn_impl, dense_impl, use_shard_map, tp_fused
+    return attn_impl, dense_impl, use_shard_map, tp_fused, sp
 
 
 def mask_padded_classes(logits: jax.Array, batch) -> jax.Array:
@@ -240,13 +253,19 @@ def make_train_step(
     if data_axis is not None and mesh is not None:
         raise ValueError("data_axis composes inside an outer shard_map; "
                          "pass either mesh or data_axis, not both")
-    attn_impl, dense_impl, use_shard_map, tp_fused = _resolve_impls(
+    attn_impl, dense_impl, use_shard_map, tp_fused, sp = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh, cfg=cfg)
     if remat == "auto":
         remat = dense_impl != "fused"
     tp_axis = None
     if tp_fused:
         from cara_tpu.parallel.mesh import MODEL_AXIS as tp_axis  # noqa: F811
+    token_sharding = None
+    if sp:
+        from jax.sharding import NamedSharding
+
+        from cara_tpu.parallel import mesh as mesh_lib_sp
+        token_sharding = NamedSharding(mesh, mesh_lib_sp.token_spec())
 
     def compute(trainable, frozen, batch, wd_rng, sample_rng):
         """(loss, acc, grads) for one (possibly per-shard) batch."""
@@ -262,6 +281,7 @@ def make_train_step(
                 train=True, rng=wd_rng, sample_rng=srng, remat=remat,
                 attn_impl=attn_impl, dense_impl=dense_impl,
                 tp_axis=tp_axis, scale_override=mb.get("delta_scale"),
+                token_sharding=token_sharding,
             ).astype(jnp.float32)
             logits = mask_padded_classes(logits, mb)
             loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -386,12 +406,18 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
         raise ValueError("data_axis composes inside an outer shard_map; "
                          "pass either mesh or data_axis, not both")
     auto_dense = dense_impl == "auto"
-    attn_impl, dense_impl, use_shard_map, tp_fused = _resolve_impls(
+    attn_impl, dense_impl, use_shard_map, tp_fused, sp = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh,
         has_cara=cara_cfg is not None, cfg=cfg)
     tp_axis = None
     if tp_fused:
         from cara_tpu.parallel.mesh import MODEL_AXIS as tp_axis  # noqa: F811
+    token_sharding = None
+    if sp:
+        from jax.sharding import NamedSharding
+
+        from cara_tpu.parallel import mesh as mesh_lib_sp
+        token_sharding = NamedSharding(mesh, mesh_lib_sp.token_spec())
 
     def eval_step(params: Params, cara_params, batch):
         p, cara = params, cara_params
@@ -415,7 +441,8 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
             p, x, cfg, cara_params=cara,
             cara_cfg=cara_cfg if cara is not None else None, train=False,
             attn_impl=attn_impl, dense_impl=di, tp_axis=tp_axis,
-            scale_override=batch.get("delta_scale"))
+            scale_override=batch.get("delta_scale"),
+            token_sharding=token_sharding)
         pred = jnp.argmax(mask_padded_classes(logits, batch), axis=-1)
         valid = batch.get("valid")
         if valid is None:
