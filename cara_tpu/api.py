@@ -78,7 +78,15 @@ def build_model(
     k_backbone, k_cara, k_head = jax.random.split(root, 3)
 
     if backbone_path and os.path.exists(backbone_path):
-        params = npz_lib.load_npz_backbone(backbone_path, cfg, dtype)
+        if backbone_path.endswith((".pt", ".pth", ".bin")):
+            # torch-serialized backbone: HF CLIP vision towers
+            # (models/clip_import.py key map).
+            from cara_tpu.models import clip_import
+
+            params = clip_import.load_clip_backbone(
+                backbone_path, cfg, dtype)
+        else:
+            params = npz_lib.load_npz_backbone(backbone_path, cfg, dtype)
         params = npz_lib.maybe_resize_pos_embed(params, cfg)
         if "head" not in params and cfg.num_classes > 0:
             head_in = cfg.repr_size or cfg.embed_dim
