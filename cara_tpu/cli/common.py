@@ -54,6 +54,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "'2,1,4' (seq = sequence parallelism for "
                         "high-resolution geometries; default: all "
                         "devices on the data axis)")
+    p.add_argument("--pipeline", default=None, type=str,
+                   help="'S[,M]': pipeline parallelism with S stages and M "
+                        "microbatches (default 4) on a (data, stage) mesh "
+                        "built from all visible devices — for backbones "
+                        "past one chip. Batch sizes must split into M "
+                        "microbatches x the data shards. Mutually "
+                        "exclusive with --mesh")
     p.add_argument("--no-remat", action="store_true",
                    help="Disable per-layer rematerialization")
     p.add_argument("--grad-accum", default=1, type=int,
@@ -101,6 +108,32 @@ def resolve_mesh(spec: Optional[str]):
     if len(dims) not in (2, 3):
         raise ValueError(f"--mesh wants 'data,model[,seq]', got {spec!r}")
     return make_mesh(dims)
+
+
+def resolve_pipeline(args):
+    """--pipeline 'S[,M]' -> (pp_mesh, stages, microbatches) or None.
+
+    Builds the (data, stage) mesh over all visible devices (data =
+    n_devices // S).  Rejects a simultaneous --mesh — the pipeline owns
+    its mesh geometry.
+    """
+    spec = getattr(args, "pipeline", None)
+    if not spec:
+        return None
+    if getattr(args, "mesh", None):
+        raise SystemExit("--pipeline builds its own (data, stage) mesh; "
+                         "drop --mesh")
+    parts = [int(v) for v in spec.split(",")]
+    stages = parts[0]
+    micro = parts[1] if len(parts) > 1 else 4
+    import jax
+
+    from cara_tpu.parallel.pipeline import make_pp_mesh
+
+    n = len(jax.devices())
+    if n % stages:
+        raise SystemExit(f"--pipeline {stages} stages over {n} devices")
+    return make_pp_mesh((n // stages, stages)), stages, micro
 
 
 def setup_runtime(args) -> None:

@@ -60,7 +60,8 @@ def main(argv=None) -> float:
         image_size=model.cfg.image_size, seed=seed, synthetic=args.synthetic,
         synthetic_size=args.synthetic_size)
 
-    mesh = common.resolve_mesh(args.mesh)
+    pp = common.resolve_pipeline(args)
+    mesh = pp[0] if pp else common.resolve_mesh(args.mesh)
     dtype = common.resolve_dtype(args.dtype)
     logger = MetricLogger(use_wandb=args.wandb, wandb_kwargs={
         "project": "cara-tpu",
@@ -92,9 +93,16 @@ def main(argv=None) -> float:
 
             params = merge_cara(params, cara_params, model.cfg, cara_cfg)
             cara_params = None
-        eval_step = jax.jit(steps_lib.make_eval_step(
-            model.cfg, cara_cfg if cara_params is not None else None,
-            compute_dtype=dtype))
+        if pp:
+            from cara_tpu.train import pp as pp_lib
+
+            eval_step = jax.jit(pp_lib.make_pp_eval_step(
+                model.cfg, cara_cfg if cara_params is not None else None,
+                mesh, microbatches=pp[2], compute_dtype=dtype))
+        else:
+            eval_step = jax.jit(steps_lib.make_eval_step(
+                model.cfg, cara_cfg if cara_params is not None else None,
+                compute_dtype=dtype))
         acc = loop_lib.evaluate(
             eval_step, params, cara_params, eval_loader, mesh)
         print(f"Accuracy: {acc}")
@@ -116,12 +124,27 @@ def main(argv=None) -> float:
         resume_every_steps=args.resume_every_steps)
     state, fit_cfg = loop_lib.maybe_resume(args.resume_dir, state, fit_cfg)
 
+    train_step = eval_step = None
+    if pp:
+        # Pipeline-parallel steps replace the standard factories; loop.fit
+        # keeps its sharding/replication/preemption machinery unchanged.
+        from cara_tpu.train import pp as pp_lib
+
+        train_step = jax.jit(pp_lib.make_pp_train_step(
+            model.cfg, model.cara_cfg, tx, mesh, microbatches=pp[2],
+            compute_dtype=dtype, remat=not args.no_remat),
+            donate_argnums=(0,))
+        eval_step = jax.jit(pp_lib.make_pp_eval_step(
+            model.cfg, model.cara_cfg, mesh, microbatches=pp[2],
+            compute_dtype=dtype))
+
     result = loop_lib.fit(
         cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,
         tx=tx, train_loader=train_loader, eval_loader=eval_loader,
         rng=jax.random.key(seed), fit_cfg=fit_cfg, mesh=mesh, logger=logger,
         keeper=keeper, compute_dtype=dtype, remat=False if args.no_remat else "auto",
-        grad_accum=args.grad_accum,
+        grad_accum=args.grad_accum, train_step=train_step,
+        eval_step=eval_step,
         attn_impl=args.attn_impl, dense_impl=args.dense_impl,
         ckpt_meta={"model": args.model, "dataset": args.dataset})
 

@@ -138,7 +138,7 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
         # step stays in GSPMD-land (no shard_map).
         attn_impl = "xla"
         dense_impl = "xla"
-    tp = mesh is not None and mesh.shape[MODEL_AXIS] > 1
+    tp = mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1
     tp_fused = False
     if tp and not sp:
         tpn = mesh.shape[MODEL_AXIS]
