@@ -89,9 +89,10 @@ def build_model(
             params = npz_lib.load_npz_backbone(backbone_path, cfg, dtype)
         params = npz_lib.maybe_resize_pos_embed(params, cfg)
         if "head" not in params and cfg.num_classes > 0:
-            head_in = cfg.repr_size or cfg.embed_dim
+            # _head_in_dim: the head consumes proj_out's output on CLIP
+            # towers (proj_dim), not repr_size/embed_dim.
             params["head"] = vit_lib._torch_linear_init(
-                k_head, head_in, cfg.num_classes, dtype)
+                k_head, vit_lib._head_in_dim(cfg), cfg.num_classes, dtype)
     else:
         params = vit_lib.init_vit_params(k_backbone, cfg, dtype)
 

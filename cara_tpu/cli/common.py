@@ -123,9 +123,18 @@ def resolve_pipeline(args):
     if getattr(args, "mesh", None):
         raise SystemExit("--pipeline builds its own (data, stage) mesh; "
                          "drop --mesh")
-    parts = [int(v) for v in spec.split(",")]
+    try:
+        parts = [int(v) for v in spec.split(",")]
+    except ValueError:
+        raise SystemExit(f"--pipeline wants 'S[,M]', got {spec!r}")
+    if len(parts) not in (1, 2):
+        raise SystemExit(f"--pipeline wants 'S[,M]' (stages[,microbatches])"
+                         f", got {spec!r}")
     stages = parts[0]
     micro = parts[1] if len(parts) > 1 else 4
+    if stages < 1 or micro < 1:
+        raise SystemExit(f"--pipeline stages/microbatches must be >= 1, "
+                         f"got {spec!r}")
     import jax
 
     from cara_tpu.parallel.pipeline import make_pp_mesh
@@ -134,6 +143,41 @@ def resolve_pipeline(args):
     if n % stages:
         raise SystemExit(f"--pipeline {stages} stages over {n} devices")
     return make_pp_mesh((n // stages, stages)), stages, micro
+
+
+def build_pp_steps(pp, cfg, cara_cfg, tx, dtype, args):
+    """Jitted (train_step, eval_step) for a ``--pipeline`` run.
+
+    Threads every relevant CLI knob (--attn-impl/--dense-impl/--grad-accum/
+    --no-remat) into the pipeline step factories so the flags mean the same
+    thing they do on the plain path.  ``pp is None`` -> (None, None) and the
+    caller falls through to ``loop.fit``'s default factories.
+    """
+    if pp is None:
+        return None, None
+    import jax
+
+    from cara_tpu.models.vit import resolve_dense_impl
+    from cara_tpu.train import pp as pp_lib
+
+    mesh, _, micro = pp
+    # Same remat="auto" policy as steps.make_train_step: the fused
+    # megakernels hold their working set in VMEM, so remat only costs.
+    dense = args.dense_impl
+    if dense == "auto":
+        dense = resolve_dense_impl(cara_cfg is not None, cara_cfg)
+    remat = False if args.no_remat else dense != "fused"
+    train_step = jax.jit(
+        pp_lib.make_pp_train_step(
+            cfg, cara_cfg, tx, mesh, microbatches=micro,
+            compute_dtype=dtype, remat=remat,
+            attn_impl=args.attn_impl, dense_impl=args.dense_impl,
+            grad_accum=args.grad_accum),
+        donate_argnums=(0,))
+    eval_step = jax.jit(pp_lib.make_pp_eval_step(
+        cfg, cara_cfg, mesh, microbatches=micro, compute_dtype=dtype,
+        attn_impl=args.attn_impl, dense_impl=args.dense_impl))
+    return train_step, eval_step
 
 
 def setup_runtime(args) -> None:

@@ -56,7 +56,8 @@ def main(argv=None) -> float:
         synthetic_size=args.synthetic_size)
 
     print(f"Total parameters: {model.trainable_count}")
-    mesh = common.resolve_mesh(args.mesh)
+    pp = common.resolve_pipeline(args)
+    mesh = pp[0] if pp else common.resolve_mesh(args.mesh)
     dtype = common.resolve_dtype(args.dtype)
     logger = MetricLogger(use_wandb=args.wandb, enabled=True)
 
@@ -75,6 +76,8 @@ def main(argv=None) -> float:
         resume_dir=args.resume_dir,
         resume_every_steps=args.resume_every_steps)
     state, fit_cfg = loop_lib.maybe_resume(args.resume_dir, state, fit_cfg)
+    train_step, eval_step = common.build_pp_steps(
+        pp, model.cfg, model.cara_cfg, tx, dtype, args)
 
     result = loop_lib.fit(
         cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,
@@ -82,6 +85,7 @@ def main(argv=None) -> float:
         rng=jax.random.key(seed), fit_cfg=fit_cfg, mesh=mesh, logger=logger,
         keeper=keeper, compute_dtype=dtype, remat=False if args.no_remat else "auto",
         grad_accum=args.grad_accum,
+        train_step=train_step, eval_step=eval_step,
         attn_impl=args.attn_impl, dense_impl=args.dense_impl,
         ckpt_meta={"model": args.model, "dataset": args.dataset})
 

@@ -79,15 +79,26 @@ def main(argv=None) -> float:
         augment=not args.no_augment, synthetic=args.synthetic,
         synthetic_size=args.synthetic_size)
 
-    mesh = common.resolve_mesh(args.mesh)
+    pp = common.resolve_pipeline(args)
+    mesh = pp[0] if pp else common.resolve_mesh(args.mesh)
     dtype = common.resolve_dtype(args.dtype)
     logger = MetricLogger(use_wandb=args.wandb, enabled=True)
 
     if args.evaluate is not None:
         params, cara_params, _ = ckpt_lib.load_model(args.evaluate)
-        eval_step = jax.jit(steps_lib.make_eval_step(
-            model.cfg, model.cara_cfg if cara_params is not None else None,
-            compute_dtype=dtype))
+        if pp:
+            from cara_tpu.train import pp as pp_lib
+
+            eval_step = jax.jit(pp_lib.make_pp_eval_step(
+                model.cfg,
+                model.cara_cfg if cara_params is not None else None,
+                mesh, microbatches=pp[2], compute_dtype=dtype,
+                attn_impl=args.attn_impl, dense_impl=args.dense_impl))
+        else:
+            eval_step = jax.jit(steps_lib.make_eval_step(
+                model.cfg,
+                model.cara_cfg if cara_params is not None else None,
+                compute_dtype=dtype))
         acc = loop_lib.evaluate(eval_step, params, cara_params, eval_loader,
                                 mesh)
         print(f"Accuracy: {acc}")
@@ -106,12 +117,15 @@ def main(argv=None) -> float:
         resume_dir=args.resume_dir,
         resume_every_steps=args.resume_every_steps)
     state, fit_cfg = loop_lib.maybe_resume(args.resume_dir, state, fit_cfg)
+    train_step, eval_step = common.build_pp_steps(
+        pp, model.cfg, model.cara_cfg, tx, dtype, args)
     result = loop_lib.fit(
         cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,
         tx=tx, train_loader=train_loader, eval_loader=eval_loader,
         rng=jax.random.key(seed), fit_cfg=fit_cfg, mesh=mesh, logger=logger,
         keeper=keeper, compute_dtype=dtype, remat=False if args.no_remat else "auto",
         grad_accum=args.grad_accum,
+        train_step=train_step, eval_step=eval_step,
         attn_impl=args.attn_impl, dense_impl=args.dense_impl,
         ckpt_meta={"model": args.model, "dataset": args.dataset})
     if result.get("preempted"):

@@ -321,6 +321,13 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
 
 def main(argv=None):
     args = parse_args(argv)
+    if getattr(args, "pipeline", None):
+        # Sweeps parallelize across TASKS (--task-parallel), not within one
+        # model; a silent no-op flag would hide that nothing was pipelined.
+        raise SystemExit(
+            "--pipeline is not supported by sweep (use --task-parallel to "
+            "spread tasks over devices, or vit_cp/fgvc/dim_experiment for "
+            "pipeline parallelism within one model)")
     common.setup_runtime(args)
     tasks = (sorted(vtab_lib.VTAB_TASKS) if args.tasks == "all"
              else args.tasks.split(","))

@@ -98,7 +98,8 @@ def main(argv=None) -> float:
 
             eval_step = jax.jit(pp_lib.make_pp_eval_step(
                 model.cfg, cara_cfg if cara_params is not None else None,
-                mesh, microbatches=pp[2], compute_dtype=dtype))
+                mesh, microbatches=pp[2], compute_dtype=dtype,
+                attn_impl=args.attn_impl, dense_impl=args.dense_impl))
         else:
             eval_step = jax.jit(steps_lib.make_eval_step(
                 model.cfg, cara_cfg if cara_params is not None else None,
@@ -124,19 +125,10 @@ def main(argv=None) -> float:
         resume_every_steps=args.resume_every_steps)
     state, fit_cfg = loop_lib.maybe_resume(args.resume_dir, state, fit_cfg)
 
-    train_step = eval_step = None
-    if pp:
-        # Pipeline-parallel steps replace the standard factories; loop.fit
-        # keeps its sharding/replication/preemption machinery unchanged.
-        from cara_tpu.train import pp as pp_lib
-
-        train_step = jax.jit(pp_lib.make_pp_train_step(
-            model.cfg, model.cara_cfg, tx, mesh, microbatches=pp[2],
-            compute_dtype=dtype, remat=not args.no_remat),
-            donate_argnums=(0,))
-        eval_step = jax.jit(pp_lib.make_pp_eval_step(
-            model.cfg, model.cara_cfg, mesh, microbatches=pp[2],
-            compute_dtype=dtype))
+    # Pipeline-parallel steps replace the standard factories; loop.fit
+    # keeps its sharding/replication/preemption machinery unchanged.
+    train_step, eval_step = common.build_pp_steps(
+        pp, model.cfg, model.cara_cfg, tx, dtype, args)
 
     result = loop_lib.fit(
         cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,

@@ -58,11 +58,18 @@ Params = Dict[str, Any]
 
 def make_pp_mesh(shape: Tuple[int, int], devices=None) -> Mesh:
     """A ``(data, stage)`` mesh for pipeline(+data) parallelism."""
-    devices = devices if devices is not None else jax.devices()
     d, s = shape
-    if d * s > len(devices):
-        raise ValueError(f"mesh shape {shape} > {len(devices)} devices")
-    devices = devices[: d * s]
+    if devices is None:
+        devices = jax.devices()
+        # Same contract as make_mesh: the shape must cover every visible
+        # device — silently idling chips hides a throughput loss.  Tests
+        # that want a sub-mesh pass an explicit ``devices=`` slice.
+        if d * s != len(devices):
+            raise ValueError(
+                f"mesh shape {shape} != {len(devices)} devices "
+                f"(pass devices= explicitly for a sub-mesh)")
+    elif d * s != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
     arr = np.asarray(devices).reshape(d, s)
     return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
 
@@ -94,6 +101,14 @@ def pp_vit_forward(
     """
     if (cara_params is None) != (cara_cfg is None):
         raise ValueError("cara_params and cara_cfg must be provided together")
+    # Same auto-resolution as vit_forward: the megakernels run per-device
+    # inside the shard_map exactly like the fused data-parallel path.
+    if attn_impl == "auto":
+        attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if dense_impl == "auto":
+        from cara_tpu.models.vit import resolve_dense_impl
+
+        dense_impl = resolve_dense_impl(cara_params is not None, cara_cfg)
     S = mesh.shape[STAGE_AXIS]
     D = mesh.shape[DATA_AXIS]
     L = cfg.depth

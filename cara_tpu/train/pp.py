@@ -43,39 +43,72 @@ def make_pp_train_step(
     attn_impl: str = "xla",
     dense_impl: str = "xla",
     remat: bool = True,
+    grad_accum: int = 1,
 ):
     """(state, frozen, batch, rng) -> (state, metrics) over the pipeline.
 
     The caller jits this with the mesh's shardings on the batch (data axis)
     and replicated state/frozen — identical calling convention to
-    ``steps.make_train_step``.
+    ``steps.make_train_step``.  ``grad_accum > 1`` splits the batch into
+    that many chunks, runs each through the pipeline, and averages grads —
+    same semantics (constant weight-dropout mask per step, per-chunk sample
+    rng) as ``steps.make_train_step``'s grad_accum.
     """
 
     def train_step(state: TrainState, frozen: Params, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(trainable):
+        def loss_fn(trainable, mb, srng):
             tr = trainable
             if compute_dtype is not None:
                 tr = cast_floating(tr, compute_dtype)
-            x = prep_images(batch["image"], compute_dtype)
+            x = prep_images(mb["image"], compute_dtype)
             p = merge_params(frozen, tr)
             logits = pp_vit_forward(
                 p, x, cfg, mesh=mesh, microbatches=microbatches,
                 cara_params=tr["cara"], cara_cfg=cara_cfg, train=True,
-                rng=step_rng, remat=remat, attn_impl=attn_impl,
-                dense_impl=dense_impl,
-                scale_override=batch.get("delta_scale"),
+                rng=step_rng, sample_rng=srng, remat=remat,
+                attn_impl=attn_impl, dense_impl=dense_impl,
+                scale_override=mb.get("delta_scale"),
             ).astype(jnp.float32)
-            logits = mask_padded_classes(logits, batch)
+            logits = mask_padded_classes(logits, mb)
             loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, batch["label"]).mean()
+                logits, mb["label"]).mean()
             acc = jnp.mean((jnp.argmax(logits, axis=-1)
-                            == batch["label"]).astype(jnp.float32))
+                            == mb["label"]).astype(jnp.float32))
             return loss, acc
 
-        (loss, acc), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.trainable)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (loss, acc), grads = grad_fn(state.trainable, batch, step_rng)
+        else:
+            b = batch["label"].shape[0]
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch {b} not divisible by grad_accum={grad_accum}")
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    grad_accum, b // grad_accum, *x.shape[1:]),
+                batch)
+
+            def body(carry, xs):
+                mb, i = xs
+                (loss, a), grads = grad_fn(
+                    state.trainable, mb, jax.random.fold_in(step_rng, i))
+                grads = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), grads)
+                l_c, a_c, g_c = carry
+                g_c = jax.tree_util.tree_map(jnp.add, g_c, grads)
+                return (l_c + loss, a_c + a, g_c), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), state.trainable)
+            (loss, acc, grads), _ = jax.lax.scan(
+                body, (jnp.float32(0), jnp.float32(0), zeros),
+                (micro, jnp.arange(grad_accum)))
+            inv = 1.0 / grad_accum
+            loss, acc = loss * inv, acc * inv
+            grads = jax.tree_util.tree_map(lambda x: x * inv, grads)
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)

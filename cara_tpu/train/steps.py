@@ -152,9 +152,6 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
         else:
             attn_impl = "xla"
             dense_impl = "xla"
-    if tp and sp:
-        attn_impl = "xla"
-        dense_impl = "xla"
     use_shard_map = tp_fused or (
         mesh is not None and not tp and not sp
         and mesh.shape[DATA_AXIS] > 1

@@ -39,6 +39,32 @@ def test_vit_cp_train_and_eval_roundtrip(tmp_path):
     assert acc3 == pytest.approx(acc, abs=1e-6)
 
 
+def test_vit_cp_pipeline_flag(tmp_path):
+    """--pipeline S,M trains + evals end-to-end (incl. --grad-accum, which
+    must be honored by the pp step, not silently dropped), and bad specs
+    die with a usage error rather than a traceback."""
+    # 8 devices / 2 stages -> data=4; grad-accum 2 halves the chunk, so
+    # batch 16 keeps each chunk splitting into 2 microbatches x 4 shards.
+    acc = cli.main(_common(tmp_path, [
+        "--dim", "4", "--epochs", "11", "--pipeline", "2,2",
+        "--grad-accum", "2", "--batch-size", "16"]))
+    assert 0.0 <= acc <= 1.0
+    ckpts = glob.glob(str(tmp_path / "vit_patch_camelyon_*_seed_89.npz"))
+    assert len(ckpts) == 1, ckpts
+    acc2 = cli.main(_common(tmp_path, [
+        "--dim", "4", "--evaluate", ckpts[0], "--pipeline", "2,2"]))
+    assert acc2 == pytest.approx(acc, abs=1e-6)
+
+    for bad in ("0", "2,0", "2,4,8", "--mesh"):
+        with pytest.raises(SystemExit):
+            if bad == "--mesh":
+                cli.main(_common(tmp_path, [
+                    "--dim", "4", "--pipeline", "2", "--mesh", "2,1"]))
+            else:
+                cli.main(_common(tmp_path, [
+                    "--dim", "4", "--pipeline", bad]))
+
+
 def test_train_checkpoint_records_meta_and_merged_export(tmp_path):
     """Training checkpoints carry {scale, cp_order, rank, model, ...} so a
     merged export with NO --scale/--model flags is exact — regression test

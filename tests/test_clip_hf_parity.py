@@ -119,6 +119,33 @@ def test_load_clip_backbone_roundtrip(tmp_path):
     assert model_b.params["head"]["kernel"].shape == (48, 5)
 
 
+def test_build_model_clip_fallback_head_dim(tmp_path):
+    """The no-reset head fallback (num_classes=None with a configured
+    class count) must size the head from _head_in_dim — on a CLIP tower
+    the head consumes proj_out's output (proj_dim), not embed_dim."""
+    model, _ = _tiny_hf_clip()
+    path = str(tmp_path / "clip_vision.bin")
+    torch.save(model.state_dict(), path)
+
+    from cara_tpu import api
+    from cara_tpu.models.vit import vit_forward
+
+    m = api.build_model(
+        "vit_tiny_test", rank=4, scale=1.0, num_classes=None, seed=0,
+        backbone_path=path,
+        model_overrides=dict(
+            image_size=28, patch_size=14, embed_dim=64, depth=2,
+            num_heads=4, repr_size=None, num_classes=10, ln_pre=True,
+            activation="quick_gelu", proj_dim=48, layernorm_eps=1e-5,
+            drop_path_rate=0.0))
+    assert m.params["head"]["kernel"].shape == (48, 10)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 28, 28, 3)).astype(np.float32))
+    logits = vit_forward(m.params, x, m.cfg, train=False,
+                         attn_impl="xla", dense_impl="xla")
+    assert logits.shape == (2, 10)
+
+
 def test_clip_import_rejects_wrong_geometry():
     model, cfg = _tiny_hf_clip()
     import dataclasses

@@ -19,9 +19,19 @@ import pytest
 from cara_tpu.config import CaraConfig, ViTConfig
 from cara_tpu.models import cara as cara_lib
 from cara_tpu.models import vit as vit_lib
-from cara_tpu.parallel.pipeline import make_pp_mesh, pp_vit_forward
+from cara_tpu.parallel.pipeline import (
+    make_pp_mesh as _make_pp_mesh, pp_vit_forward)
 from cara_tpu.train import pp as pp_lib
 from cara_tpu.train import steps as steps_lib
+
+
+def make_pp_mesh(shape, devices=None):
+    """Sub-mesh helper: the public make_pp_mesh requires the shape to cover
+    every visible device (same contract as make_mesh); tests exercise
+    sub-meshes by passing the explicit device slice."""
+    if devices is None:
+        devices = jax.devices()[: shape[0] * shape[1]]
+    return _make_pp_mesh(shape, devices=devices)
 
 
 @pytest.fixture(scope="module")
@@ -141,6 +151,44 @@ def test_pp_train_step_matches_plain(setup):
     for a, b in zip(fa, fb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_pp_train_step_grad_accum(setup):
+    """pp grad_accum=2 == plain grad_accum=2 trajectory (reg off, fp32) —
+    the CLI's --grad-accum must mean the same thing under --pipeline."""
+    cfg, cc, params, cara, x, y = setup
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=2)
+    frozen, state0 = steps_lib.init_train_state(tx, params, cara)
+    batch = {"image": x, "label": y}
+    rng = jax.random.key(3)
+
+    plain = jax.jit(steps_lib.make_train_step(
+        cfg, cc, tx, attn_impl="xla", dense_impl="xla", remat=False,
+        grad_accum=2))
+    mesh = make_pp_mesh((2, 2))
+    pp = jax.jit(pp_lib.make_pp_train_step(
+        cfg, cc, tx, mesh, microbatches=2, remat=False, grad_accum=2))
+
+    s_a, s_b = state0, state0
+    for _ in range(3):
+        s_a, m_a = plain(s_a, frozen, batch, rng)
+        s_b, m_b = pp(s_b, frozen, batch, rng)
+    assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.trainable),
+                    jax.tree_util.tree_leaves(s_b.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_pp_mesh_full_cover_contract():
+    """Default-device make_pp_mesh must cover every visible device (same
+    contract as make_mesh — silent truncation hides idle chips)."""
+    n = len(jax.devices())
+    assert n == 8
+    with pytest.raises(ValueError, match="!= 8 devices"):
+        _make_pp_mesh((1, 4))
+    with pytest.raises(ValueError, match="devices"):
+        _make_pp_mesh((2, 2), devices=jax.devices()[:2])
 
 
 def test_pp_eval_step_valid_mask(setup):
