@@ -111,37 +111,45 @@ def resolve_mesh(spec: Optional[str]):
 
 
 def resolve_pipeline(args):
-    """--pipeline 'S[,M]' -> (pp_mesh, stages, microbatches) or None.
+    """--pipeline 'S[,M[,T]]' -> (pp_mesh, stages, microbatches) or None.
 
     Builds the (data, stage) mesh over all visible devices (data =
-    n_devices // S).  Rejects a simultaneous --mesh — the pipeline owns
-    its mesh geometry.
+    n_devices // S) — or (data, stage, model) with a third element T,
+    composing fused tensor parallelism inside each stage (data =
+    n_devices // (S*T)).  Rejects a simultaneous --mesh — the pipeline
+    owns its mesh geometry.
     """
     spec = getattr(args, "pipeline", None)
     if not spec:
         return None
     if getattr(args, "mesh", None):
-        raise SystemExit("--pipeline builds its own (data, stage) mesh; "
-                         "drop --mesh")
+        raise SystemExit("--pipeline builds its own (data, stage[, model]) "
+                         "mesh; drop --mesh")
     try:
         parts = [int(v) for v in spec.split(",")]
     except ValueError:
-        raise SystemExit(f"--pipeline wants 'S[,M]', got {spec!r}")
-    if len(parts) not in (1, 2):
-        raise SystemExit(f"--pipeline wants 'S[,M]' (stages[,microbatches])"
-                         f", got {spec!r}")
+        raise SystemExit(f"--pipeline wants 'S[,M[,T]]', got {spec!r}")
+    if len(parts) not in (1, 2, 3):
+        raise SystemExit(f"--pipeline wants 'S[,M[,T]]' (stages[,micro"
+                         f"batches[,tensor-parallel]]), got {spec!r}")
     stages = parts[0]
     micro = parts[1] if len(parts) > 1 else 4
-    if stages < 1 or micro < 1:
-        raise SystemExit(f"--pipeline stages/microbatches must be >= 1, "
-                         f"got {spec!r}")
+    tp = parts[2] if len(parts) > 2 else 1
+    if stages < 1 or micro < 1 or tp < 1:
+        raise SystemExit(f"--pipeline stages/microbatches/tensor-parallel "
+                         f"must be >= 1, got {spec!r}")
     import jax
 
     from cara_tpu.parallel.pipeline import make_pp_mesh
 
     n = len(jax.devices())
-    if n % stages:
-        raise SystemExit(f"--pipeline {stages} stages over {n} devices")
+    if n % (stages * tp):
+        raise SystemExit(
+            f"--pipeline {stages} stages x {tp} tensor-parallel over "
+            f"{n} devices")
+    if tp > 1:
+        return (make_pp_mesh((n // (stages * tp), stages, tp)),
+                stages, micro)
     return make_pp_mesh((n // stages, stages)), stages, micro
 
 
@@ -165,7 +173,11 @@ def build_pp_steps(pp, cfg, cara_cfg, tx, dtype, args):
     # megakernels hold their working set in VMEM, so remat only costs.
     dense = args.dense_impl
     if dense == "auto":
-        dense = resolve_dense_impl(cara_cfg is not None, cara_cfg)
+        from cara_tpu.parallel.mesh import MODEL_AXIS
+
+        # pp x TP is megakernel-only: pp_vit_forward resolves auto->fused.
+        dense = ("fused" if mesh.shape.get(MODEL_AXIS, 1) > 1
+                 else resolve_dense_impl(cara_cfg is not None, cara_cfg))
     remat = False if args.no_remat else dense != "fused"
     train_step = jax.jit(
         pp_lib.make_pp_train_step(

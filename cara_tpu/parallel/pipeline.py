@@ -1,4 +1,6 @@
-"""Pipeline parallelism: GPipe-style microbatch pipeline over the layer scan.
+"""Pipeline parallelism: GPipe-style microbatch pipeline over the layer scan,
+optionally composed with fused tensor parallelism on a (data, stage, model)
+3-D mesh (see ``pp_vit_forward``).
 
 Beyond-reference scale-out (the reference is single-GPU — its only
 multi-device artifact is one commented-out ``DataParallel`` line,
@@ -38,7 +40,7 @@ bit-identical to the plain ``vit_forward`` when regularization is off.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,29 +51,35 @@ from cara_tpu.config import CaraConfig, ViTConfig
 from cara_tpu.models import cara as cara_lib
 from cara_tpu.models.vit import _block, patch_embed
 from cara_tpu.ops.layers import layer_norm
-from cara_tpu.parallel.mesh import DATA_AXIS
+from cara_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 STAGE_AXIS = "stage"
 
 Params = Dict[str, Any]
 
 
-def make_pp_mesh(shape: Tuple[int, int], devices=None) -> Mesh:
-    """A ``(data, stage)`` mesh for pipeline(+data) parallelism."""
-    d, s = shape
+def make_pp_mesh(shape, devices=None) -> Mesh:
+    """A ``(data, stage)`` — or, with a 3-element shape, a
+    ``(data, stage, model)`` — mesh for pipeline(+data[+tensor])
+    parallelism.  The model axis composes fused tensor parallelism INSIDE
+    each pipeline stage (every stage's layer shard is additionally
+    head-/hidden-sharded over ``model`` — see :func:`pp_vit_forward`)."""
+    axes = ((DATA_AXIS, STAGE_AXIS) if len(shape) == 2
+            else (DATA_AXIS, STAGE_AXIS, MODEL_AXIS))
+    n = int(np.prod(shape))
     if devices is None:
         devices = jax.devices()
         # Same contract as make_mesh: the shape must cover every visible
         # device — silently idling chips hides a throughput loss.  Tests
         # that want a sub-mesh pass an explicit ``devices=`` slice.
-        if d * s != len(devices):
+        if n != len(devices):
             raise ValueError(
                 f"mesh shape {shape} != {len(devices)} devices "
                 f"(pass devices= explicitly for a sub-mesh)")
-    elif d * s != len(devices):
+    elif n != len(devices):
         raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
-    arr = np.asarray(devices).reshape(d, s)
-    return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axes)
 
 
 def pp_vit_forward(
@@ -91,28 +99,70 @@ def pp_vit_forward(
     dense_impl: str = "xla",
     scale_override: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """``vit_forward`` semantics over a ``(data, stage)`` pipeline mesh.
+    """``vit_forward`` semantics over a ``(data, stage[, model])`` mesh.
 
     ``microbatches`` (M) statically splits the batch; B % M == 0 and the
     microbatch must split over the data axis.  The layer count must split
     over the stage axis.  ``attn_impl``/``dense_impl`` select the per-stage
     block implementation — the Pallas megakernels run per-device inside the
     shard_map exactly as on the data-parallel fused path.
+
+    A ``model`` mesh axis > 1 composes FUSED tensor parallelism inside each
+    stage: every stage's ``(L/S, ...)`` block shard is additionally
+    head-/hidden-sharded over ``model`` and the blocks run with
+    ``tp_axis`` (``models.vit._block`` — ``psum_i(x/tp + dpm*y_i)`` at each
+    residual keeps activations model-replicated, so the stage ``ppermute``
+    and the pooled-output ``psum`` are unchanged).  This path is
+    megakernel-only (``_block`` tp contract): it requires fused impls
+    (``auto`` resolves to fused here), zero activation/attention dropout,
+    padded sequence <= 512, and head/hidden counts divisible by the model
+    size.  The fused-qkv head permutation (``mesh.tp_permute_qkv``) is
+    applied IN-GRAPH on the canonical layout — callers never pre-permute
+    (unlike ``steps.prepare_tp_frozen``); one (L, E, 3E) transpose per step
+    is noise next to the blocks it feeds.
     """
     if (cara_params is None) != (cara_cfg is None):
         raise ValueError("cara_params and cara_cfg must be provided together")
+    T = mesh.shape.get(MODEL_AXIS, 1)
     # Same auto-resolution as vit_forward: the megakernels run per-device
-    # inside the shard_map exactly like the fused data-parallel path.
+    # inside the shard_map exactly like the fused data-parallel path.  A
+    # model axis forces fused — _block's tp math is megakernel-only.
     if attn_impl == "auto":
-        attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
+        attn_impl = ("fused" if T > 1 or jax.default_backend() == "tpu"
+                     else "xla")
     if dense_impl == "auto":
-        from cara_tpu.models.vit import resolve_dense_impl
+        if T > 1:
+            dense_impl = "fused"
+        else:
+            from cara_tpu.models.vit import resolve_dense_impl
 
-        dense_impl = resolve_dense_impl(cara_params is not None, cara_cfg)
+            dense_impl = resolve_dense_impl(cara_params is not None, cara_cfg)
     S = mesh.shape[STAGE_AXIS]
     D = mesh.shape[DATA_AXIS]
     L = cfg.depth
     M = microbatches
+    if T > 1:
+        npad_geom = -(-cfg.seq_len // 128) * 128
+        if attn_impl != "fused" or dense_impl != "fused":
+            raise ValueError(
+                "pipeline x tensor parallelism is megakernel-only "
+                f"(got attn_impl={attn_impl!r}, dense_impl={dense_impl!r})")
+        if cfg.dropout_rate != 0.0 or cfg.attn_dropout_rate != 0.0:
+            raise ValueError(
+                "pipeline x tensor parallelism requires zero activation/"
+                "attention dropout (megakernel path)")
+        if npad_geom > 512:
+            raise ValueError(
+                f"padded sequence {npad_geom} > 512: past the attention "
+                "megakernel's full-score ceiling — no fused-TP path")
+        if cfg.num_heads % T or cfg.hidden_dim % T:
+            raise ValueError(
+                f"heads {cfg.num_heads} / hidden {cfg.hidden_dim} not "
+                f"divisible by model-axis size {T}")
+        if cara_cfg is not None and (cara_cfg.delta_impl == "materialized"
+                                     or cara_cfg.cp_order == 2):
+            raise ValueError(
+                "fused TP needs the factorized delta impl (cp_order != 2)")
     if L % S:
         raise ValueError(f"depth {L} not divisible by {S} pipeline stages")
     B = x.shape[0]
@@ -163,13 +213,35 @@ def pp_vit_forward(
     in_specs["tokens"] = P(None, DATA_AXIS, None, None)
     for k in ("blocks", "a1", "p1", "dpr"):
         in_specs[k] = P(STAGE_AXIS)
+    if T > 1:
+        # Per-leaf block specs: stage on the stacked L axis PLUS the
+        # Megatron column/row sharding (mesh.vit_param_specs pattern) on
+        # the model axis.  The qkv head permutation makes each contiguous
+        # column chunk a well-formed (3, H/T, Dh) fused layout.
+        from cara_tpu.parallel.mesh import tp_permute_qkv
+
+        args["blocks"] = tp_permute_qkv(
+            {"blocks": args["blocks"]}, cfg, T)["blocks"]
+        in_specs["blocks"] = {
+            "ln1_scale": P(STAGE_AXIS), "ln1_bias": P(STAGE_AXIS),
+            "qkv": {"kernel": P(STAGE_AXIS, None, MODEL_AXIS),
+                    "bias": P(STAGE_AXIS, MODEL_AXIS)},
+            "proj": {"kernel": P(STAGE_AXIS, MODEL_AXIS, None),
+                     "bias": P(STAGE_AXIS)},
+            "ln2_scale": P(STAGE_AXIS), "ln2_bias": P(STAGE_AXIS),
+            "fc1": {"kernel": P(STAGE_AXIS, None, MODEL_AXIS),
+                    "bias": P(STAGE_AXIS, MODEL_AXIS)},
+            "fc2": {"kernel": P(STAGE_AXIS, MODEL_AXIS, None),
+                    "bias": P(STAGE_AXIS)},
+        }
     out_spec = (P(None, DATA_AXIS, None) if cfg.use_cls_token
                 else P(None, DATA_AXIS, None, None))
 
     body = functools.partial(
         _pipeline_body, cfg=cfg, cara_cfg=cara_cfg if use_cara else None,
         S=S, M=M, L=L, use_rng=use_rng, remat=remat,
-        attn_impl=attn_impl, dense_impl=dense_impl)
+        attn_impl=attn_impl, dense_impl=dense_impl,
+        tp_axis=MODEL_AXIS if T > 1 else None)
     feats = jax.shard_map(
         body, mesh=mesh, in_specs=(in_specs,), out_specs=out_spec,
         check_vma=False)(args)
@@ -195,13 +267,17 @@ def pp_vit_forward(
 
 
 def _pipeline_body(args, *, cfg, cara_cfg, S, M, L, use_rng, remat,
-                   attn_impl, dense_impl):
-    """Per-device GPipe schedule (runs under shard_map on (data, stage)).
+                   attn_impl, dense_impl, tp_axis=None):
+    """Per-device GPipe schedule (runs under shard_map on (data, stage)
+    or (data, stage, model)).
 
     ``args['tokens']``: (M, mb, NP, E) local microbatch slices (every stage
     holds the inputs; only stage 0 reads them — ~MB-scale redundancy that
     buys a collective-free ingest).  Stacked leaves arrive as the local
-    ``(L/S, ...)`` stage slice.
+    ``(L/S, ...)`` stage slice — under ``tp_axis`` additionally
+    head-/hidden-sharded; ``_block`` psums each residual over the model
+    axis so the resident activation stays model-replicated and the
+    stage-axis schedule below is oblivious to T.
     """
     tokens = args["tokens"]
     blocks, a1, p1, dpr = args["blocks"], args["a1"], args["p1"], args["dpr"]
@@ -231,7 +307,7 @@ def _pipeline_body(args, *, cfg, cara_cfg, S, M, L, use_rng, remat,
             key = skey = None
         out = _block(carry, bp, f1_l, p1_l, dpr_l, key, skey, cfg,
                      cara_params, cara_cfg, attn_impl, dense_impl,
-                     None, scale)
+                     tp_axis, scale)
         return out, None
 
     if remat:

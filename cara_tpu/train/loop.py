@@ -156,6 +156,7 @@ def fit(
     # without it cannot be merged correctly — cli/export.py refuses).
     meta = {**dataclasses.asdict(cara_cfg), **(ckpt_meta or {})} \
         if cara_cfg is not None else dict(ckpt_meta or {})
+    custom_steps = train_step is not None
     train_step = train_step or jax.jit(
         steps_lib.make_train_step(
             cfg, cara_cfg, tx, compute_dtype=compute_dtype, remat=remat,
@@ -179,12 +180,16 @@ def fit(
     # Fused tensor parallelism: the COMPUTE copy of the backbone gets the
     # head-sharded layout + TP shardings (prepare_tp_frozen); ``frozen``
     # stays in the canonical layout for checkpoint/merge artifacts.
-    _, _, _, _tp_fused, _ = steps_lib._resolve_impls(
-        attn_impl, dense_impl, cara_cfg, mesh,
-        has_cara=cara_cfg is not None, cfg=cfg)
-    if _tp_fused:
-        frozen_compute = steps_lib.prepare_tp_frozen(
-            frozen_compute, cfg, mesh)
+    # Caller-supplied steps own their frozen layout — the pipeline x TP
+    # step (train/pp.py) permutes qkv IN-GRAPH from the canonical layout,
+    # so preparing here would double-permute.
+    if not custom_steps:
+        _, _, _, _tp_fused, _ = steps_lib._resolve_impls(
+            attn_impl, dense_impl, cara_cfg, mesh,
+            has_cara=cara_cfg is not None, cfg=cfg)
+        if _tp_fused:
+            frozen_compute = steps_lib.prepare_tp_frozen(
+                frozen_compute, cfg, mesh)
 
     best_acc = 0.0
     last_metrics: Dict[str, Any] = {}

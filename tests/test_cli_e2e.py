@@ -55,7 +55,9 @@ def test_vit_cp_pipeline_flag(tmp_path):
         "--dim", "4", "--evaluate", ckpts[0], "--pipeline", "2,2"]))
     assert acc2 == pytest.approx(acc, abs=1e-6)
 
-    for bad in ("0", "2,0", "2,4,8", "--mesh"):
+    # Bad specs: format errors ("0", "2,0", 4 parts), S*T not dividing the
+    # device count ("2,4,8" -> 16 over 8 devices), and --mesh conflict.
+    for bad in ("0", "2,0", "2,4,8", "2,4,2,1", "--mesh"):
         with pytest.raises(SystemExit):
             if bad == "--mesh":
                 cli.main(_common(tmp_path, [
@@ -63,6 +65,16 @@ def test_vit_cp_pipeline_flag(tmp_path):
             else:
                 cli.main(_common(tmp_path, [
                     "--dim", "4", "--pipeline", bad]))
+
+
+def test_vit_cp_pipeline_tensor_flag(tmp_path):
+    """--pipeline S,M,T composes fused tensor parallelism inside each
+    pipeline stage on a (data, stage, model) mesh; megakernels run in
+    interpret mode on CPU, so keep this to a 2-epoch smoke."""
+    acc = cli.main(_common(tmp_path, [
+        "--dim", "4", "--epochs", "2", "--pipeline", "2,2,2",
+        "--batch-size", "16", "--synthetic-size", "32"]))
+    assert 0.0 <= acc <= 1.0
 
 
 def test_train_checkpoint_records_meta_and_merged_export(tmp_path):
