@@ -55,12 +55,16 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "high-resolution geometries; default: all "
                         "devices on the data axis)")
     p.add_argument("--pipeline", default=None, type=str,
-                   help="'S[,M]': pipeline parallelism with S stages and M "
-                        "microbatches (default 4) on a (data, stage) mesh "
-                        "built from all visible devices — for backbones "
-                        "past one chip. Batch sizes must split into M "
-                        "microbatches x the data shards. Mutually "
-                        "exclusive with --mesh")
+                   help="'S[,M[,T[,V]]]': pipeline parallelism with S "
+                        "stages and M microbatches (default 4) on a "
+                        "(data, stage) mesh built from all visible devices "
+                        "— for backbones past one chip. T > 1 adds fused "
+                        "tensor parallelism inside each stage ((data, "
+                        "stage, model) mesh); V > 1 selects the circular "
+                        "(interleaved) schedule — V layer groups per "
+                        "stage, fill/drain bubble shrinks by V. Batch "
+                        "sizes must split into M microbatches x the data "
+                        "shards. Mutually exclusive with --mesh")
     p.add_argument("--no-remat", action="store_true",
                    help="Disable per-layer rematerialization")
     p.add_argument("--grad-accum", default=1, type=int,
@@ -111,13 +115,17 @@ def resolve_mesh(spec: Optional[str]):
 
 
 def resolve_pipeline(args):
-    """--pipeline 'S[,M[,T]]' -> (pp_mesh, stages, microbatches) or None.
+    """--pipeline 'S[,M[,T[,V]]]' -> (mesh, stages, microbatches, repeats)
+    or None.
 
     Builds the (data, stage) mesh over all visible devices (data =
     n_devices // S) — or (data, stage, model) with a third element T,
     composing fused tensor parallelism inside each stage (data =
-    n_devices // (S*T)).  Rejects a simultaneous --mesh — the pipeline
-    owns its mesh geometry.
+    n_devices // (S*T)).  A fourth element V > 1 selects the circular
+    (interleaved) schedule: each stage holds V non-contiguous layer
+    groups and the fill/drain bubble shrinks by V (needs depth % (S*V)
+    == 0 and M >= S).  Rejects a simultaneous --mesh — the pipeline owns
+    its mesh geometry.
     """
     spec = getattr(args, "pipeline", None)
     if not spec:
@@ -128,16 +136,18 @@ def resolve_pipeline(args):
     try:
         parts = [int(v) for v in spec.split(",")]
     except ValueError:
-        raise SystemExit(f"--pipeline wants 'S[,M[,T]]', got {spec!r}")
-    if len(parts) not in (1, 2, 3):
-        raise SystemExit(f"--pipeline wants 'S[,M[,T]]' (stages[,micro"
-                         f"batches[,tensor-parallel]]), got {spec!r}")
+        raise SystemExit(f"--pipeline wants 'S[,M[,T[,V]]]', got {spec!r}")
+    if len(parts) not in (1, 2, 3, 4):
+        raise SystemExit(f"--pipeline wants 'S[,M[,T[,V]]]' (stages[,micro"
+                         f"batches[,tensor-parallel[,repeats]]]), got "
+                         f"{spec!r}")
     stages = parts[0]
     micro = parts[1] if len(parts) > 1 else 4
     tp = parts[2] if len(parts) > 2 else 1
-    if stages < 1 or micro < 1 or tp < 1:
-        raise SystemExit(f"--pipeline stages/microbatches/tensor-parallel "
-                         f"must be >= 1, got {spec!r}")
+    repeats = parts[3] if len(parts) > 3 else 1
+    if stages < 1 or micro < 1 or tp < 1 or repeats < 1:
+        raise SystemExit(f"--pipeline stages/microbatches/tensor-parallel/"
+                         f"repeats must be >= 1, got {spec!r}")
     import jax
 
     from cara_tpu.parallel.pipeline import make_pp_mesh
@@ -149,8 +159,8 @@ def resolve_pipeline(args):
             f"{n} devices")
     if tp > 1:
         return (make_pp_mesh((n // (stages * tp), stages, tp)),
-                stages, micro)
-    return make_pp_mesh((n // stages, stages)), stages, micro
+                stages, micro, repeats)
+    return make_pp_mesh((n // stages, stages)), stages, micro, repeats
 
 
 def build_pp_steps(pp, cfg, cara_cfg, tx, dtype, args):
@@ -168,7 +178,7 @@ def build_pp_steps(pp, cfg, cara_cfg, tx, dtype, args):
     from cara_tpu.models.vit import resolve_dense_impl
     from cara_tpu.train import pp as pp_lib
 
-    mesh, _, micro = pp
+    mesh, _, micro, repeats = pp
     # Same remat="auto" policy as steps.make_train_step: the fused
     # megakernels hold their working set in VMEM, so remat only costs.
     dense = args.dense_impl
@@ -181,13 +191,14 @@ def build_pp_steps(pp, cfg, cara_cfg, tx, dtype, args):
     remat = False if args.no_remat else dense != "fused"
     train_step = jax.jit(
         pp_lib.make_pp_train_step(
-            cfg, cara_cfg, tx, mesh, microbatches=micro,
+            cfg, cara_cfg, tx, mesh, microbatches=micro, repeats=repeats,
             compute_dtype=dtype, remat=remat,
             attn_impl=args.attn_impl, dense_impl=args.dense_impl,
             grad_accum=args.grad_accum),
         donate_argnums=(0,))
     eval_step = jax.jit(pp_lib.make_pp_eval_step(
-        cfg, cara_cfg, mesh, microbatches=micro, compute_dtype=dtype,
+        cfg, cara_cfg, mesh, microbatches=micro, repeats=repeats,
+        compute_dtype=dtype,
         attn_impl=args.attn_impl, dense_impl=args.dense_impl))
     return train_step, eval_step
 

@@ -98,7 +98,8 @@ def main(argv=None) -> float:
 
             eval_step = jax.jit(pp_lib.make_pp_eval_step(
                 model.cfg, cara_cfg if cara_params is not None else None,
-                mesh, microbatches=pp[2], compute_dtype=dtype,
+                mesh, microbatches=pp[2], repeats=pp[3],
+                compute_dtype=dtype,
                 attn_impl=args.attn_impl, dense_impl=args.dense_impl))
         else:
             eval_step = jax.jit(steps_lib.make_eval_step(

@@ -98,6 +98,7 @@ def pp_vit_forward(
     attn_impl: str = "xla",
     dense_impl: str = "xla",
     scale_override: Optional[jax.Array] = None,
+    repeats: int = 1,
 ) -> jax.Array:
     """``vit_forward`` semantics over a ``(data, stage[, model])`` mesh.
 
@@ -120,6 +121,18 @@ def pp_vit_forward(
     applied IN-GRAPH on the canonical layout — callers never pre-permute
     (unlike ``steps.prepare_tp_frozen``); one (L, E, 3E) transpose per step
     is noise next to the blocks it feeds.
+
+    ``repeats`` (V) > 1 selects the CIRCULAR (interleaved) schedule: stage
+    ``s`` holds the V non-contiguous layer groups ``{r*S+s : r < V}`` and
+    every microbatch makes V laps around the stage ring, so the fill/drain
+    bubble shrinks from ``(S-1)/(M+S-1)`` to ``(S-1)/(M*V+S-1)`` at the
+    cost of V x the ppermute traffic — the standard TPU pipeline tradeoff
+    (ICI is fast, idle MXUs are not).  Math is IDENTICAL to V=1: layers
+    still execute in ascending global order per microbatch, and the
+    weight-dropout / per-sample key streams depend only on (microbatch,
+    global layer).  Requires L % (S*V) == 0 and M >= S (stage 0 re-ingests
+    lap r+1 of microbatch m exactly M-S ticks after lap r leaves the last
+    stage — a fixed-delay ring buffer of M-S+1 slots).
     """
     if (cara_params is None) != (cara_cfg is None):
         raise ValueError("cara_params and cara_cfg must be provided together")
@@ -163,8 +176,16 @@ def pp_vit_forward(
                                      or cara_cfg.cp_order == 2):
             raise ValueError(
                 "fused TP needs the factorized delta impl (cp_order != 2)")
-    if L % S:
-        raise ValueError(f"depth {L} not divisible by {S} pipeline stages")
+    V = repeats
+    if V < 1:
+        raise ValueError(f"repeats must be >= 1, got {V}")
+    if L % (S * V):
+        raise ValueError(
+            f"depth {L} not divisible by {S} stages x {V} repeats")
+    if V > 1 and M < S:
+        raise ValueError(
+            f"circular schedule needs microbatches >= stages "
+            f"(got M={M} < S={S})")
     B = x.shape[0]
     if B % M or (B // M) % D:
         raise ValueError(
@@ -234,12 +255,23 @@ def pp_vit_forward(
             "fc2": {"kernel": P(STAGE_AXIS, MODEL_AXIS, None),
                     "bias": P(STAGE_AXIS)},
         }
+    if V > 1:
+        # Circular layout: stage s's V groups must be CONTIGUOUS on the
+        # leading axis for the stage shard, so reorder layers in-graph:
+        # position (s*V + r) <- group r*S + s.  The local shard then
+        # reshapes to (V, L/(S*V), ...) and indexes lap r per tick.
+        lg = L // (S * V)
+        order = np.concatenate([
+            np.arange((r * S + s) * lg, (r * S + s + 1) * lg)
+            for s in range(S) for r in range(V)])
+        for k in ("blocks", "a1", "p1", "dpr"):
+            args[k] = jax.tree_util.tree_map(lambda a: a[order], args[k])
     out_spec = (P(None, DATA_AXIS, None) if cfg.use_cls_token
                 else P(None, DATA_AXIS, None, None))
 
     body = functools.partial(
         _pipeline_body, cfg=cfg, cara_cfg=cara_cfg if use_cara else None,
-        S=S, M=M, L=L, use_rng=use_rng, remat=remat,
+        S=S, M=M, L=L, V=V, use_rng=use_rng, remat=remat,
         attn_impl=attn_impl, dense_impl=dense_impl,
         tp_axis=MODEL_AXIS if T > 1 else None)
     feats = jax.shard_map(
@@ -266,18 +298,20 @@ def pp_vit_forward(
     return feat @ params["head"]["kernel"] + params["head"]["bias"]
 
 
-def _pipeline_body(args, *, cfg, cara_cfg, S, M, L, use_rng, remat,
+def _pipeline_body(args, *, cfg, cara_cfg, S, M, L, V, use_rng, remat,
                    attn_impl, dense_impl, tp_axis=None):
-    """Per-device GPipe schedule (runs under shard_map on (data, stage)
-    or (data, stage, model)).
+    """Per-device pipeline schedule (runs under shard_map on (data, stage)
+    or (data, stage, model)): GPipe at V == 1, circular/interleaved at
+    V > 1 (see ``pp_vit_forward``).
 
     ``args['tokens']``: (M, mb, NP, E) local microbatch slices (every stage
     holds the inputs; only stage 0 reads them — ~MB-scale redundancy that
     buys a collective-free ingest).  Stacked leaves arrive as the local
-    ``(L/S, ...)`` stage slice — under ``tp_axis`` additionally
-    head-/hidden-sharded; ``_block`` psums each residual over the model
-    axis so the resident activation stays model-replicated and the
-    stage-axis schedule below is oblivious to T.
+    ``(L/S, ...)`` stage slice (at V > 1: the stage's V groups,
+    lap-contiguous) — under ``tp_axis`` additionally head-/hidden-sharded;
+    ``_block`` psums each residual over the model axis so the resident
+    activation stays model-replicated and the stage-axis schedule below is
+    oblivious to T.
     """
     tokens = args["tokens"]
     blocks, a1, p1, dpr = args["blocks"], args["a1"], args["p1"], args["dpr"]
@@ -317,6 +351,14 @@ def _pipeline_body(args, *, cfg, cara_cfg, S, M, L, use_rng, remat,
     fdim = (e,) if cfg.use_cls_token else (npad, e)
     out0 = jnp.zeros((M, mb) + fdim, tokens.dtype)
 
+    if V > 1:
+        return _circular_schedule(
+            tokens, blocks, a1, p1, dpr, layer, perm, out0,
+            wd_all=wd_all if use_rng else None,
+            s_dev=s_dev if use_rng else None,
+            cfg=cfg, S=S, M=M, L=L, V=V, sidx=sidx,
+            mb=mb, npad=npad, e=e)
+
     def tick(carry, t):
         act, out = carry
         inject = jax.lax.dynamic_index_in_dim(
@@ -343,5 +385,78 @@ def _pipeline_body(args, *, cfg, cara_cfg, S, M, L, use_rng, remat,
     (_, out), _ = jax.lax.scan(tick, (act0, out0), jnp.arange(M + S - 1))
     # Replicate the last stage's buffer so the out_spec (unmentioned stage
     # axis) is genuinely uniform.
+    return jax.lax.psum(
+        jnp.where(sidx == S - 1, out, jnp.zeros_like(out)), STAGE_AXIS)
+
+
+def _circular_schedule(tokens, blocks, a1, p1, dpr, layer, perm, out0, *,
+                       wd_all, s_dev, cfg, S, M, L, V, sidx, mb, npad, e):
+    """Interleaved pipeline: V laps around the stage ring per microbatch.
+
+    At tick ``t`` stage ``s`` works logical step ``k = t - s`` (valid while
+    ``0 <= k < M*V``): microbatch ``m = k % M`` on lap ``r = k // M`` —
+    its r-th LOCAL layer group, global group ``r*S + s``.  Stage s-1
+    finished the same ``k`` one tick earlier, so the per-tick ``ppermute``
+    feeds stages 1..S-1 directly.  Stage 0's lap-(r+1) input is stage
+    S-1's lap-r output, emitted at tick ``k - M + S - 1`` and consumed at
+    ``k`` — a fixed delay of ``M - S`` ticks, absorbed by a ring buffer of
+    ``M - S + 1`` slots with pure mod-indexed write (tick t) / read
+    (tick t - (M-S)) positions (write lands before read inside a tick, so
+    M == S hands off in-place).  Total ``M*V + S - 1`` ticks of
+    ``L/(S*V)``-layer work: bubble overhead = GPipe's / V.
+    """
+    use_rng = wd_all is not None
+    Lg = L // (S * V)
+    # Local stacked leaves arrive lap-contiguous: (V*Lg, ...) -> (V, Lg, ...)
+    resh = lambda x: x.reshape((V, Lg) + x.shape[1:])  # noqa: E731
+    blocks = jax.tree_util.tree_map(resh, blocks)
+    a1, p1, dpr = resh(a1), resh(p1), resh(dpr)
+    delay = M - S
+    nbuf = delay + 1
+    buf0 = jnp.zeros((nbuf, mb, npad, e), tokens.dtype)
+
+    def tick(carry, t):
+        act, buf, out = carry
+        k = jnp.clip(t - sidx, 0, M * V - 1)
+        m = jnp.mod(k, M)
+        r = k // M
+        # Stage 0: bank the arriving inter-lap activation BEFORE reading
+        # (the tick-t arrival is stage S-1's output for step t - S).
+        karr = t - S
+        do_write = (sidx == 0) & (karr >= 0) & (karr < M * V)
+        wslot = jnp.mod(t, nbuf)
+        buf = buf.at[wslot].set(jnp.where(do_write, act, buf[wslot]))
+        rslot = jnp.mod(t - delay, nbuf)
+        inject = jnp.where(
+            r == 0,
+            jax.lax.dynamic_index_in_dim(tokens, m, 0, keepdims=False),
+            buf[rslot])
+        x_in = jnp.where(sidx == 0, inject, act)
+
+        group = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, r, 0, keepdims=False),
+            (blocks, a1, p1, dpr))
+        xs = group
+        if use_rng:
+            # Keys by GLOBAL layer index — identical streams to V == 1 and
+            # to the plain forward (depend only on (microbatch, layer)).
+            g0 = (r * S + sidx) * Lg
+            wd_loc = jax.lax.dynamic_slice_in_dim(wd_all, g0, Lg, 0)
+            sk_all = jax.random.split(jax.random.fold_in(
+                jax.random.fold_in(s_dev, m), 1), L)
+            sk_loc = jax.lax.dynamic_slice_in_dim(sk_all, g0, Lg, 0)
+            xs = xs + (wd_loc, sk_loc)
+        act_new, _ = jax.lax.scan(layer, x_in, xs)
+
+        emit = act_new[:, 0] if cfg.use_cls_token else act_new
+        done = (sidx == S - 1) & (r == V - 1) & (t - sidx >= 0) \
+            & (t - sidx < M * V)
+        out = out.at[m].set(jnp.where(done, emit, out[m]))
+        act_new = jax.lax.ppermute(act_new, STAGE_AXIS, perm)
+        return (act_new, buf, out), None
+
+    act0 = jnp.zeros((mb, npad, e), tokens.dtype)
+    (_, _, out), _ = jax.lax.scan(
+        tick, (act0, buf0, out0), jnp.arange(M * V + S - 1))
     return jax.lax.psum(
         jnp.where(sidx == S - 1, out, jnp.zeros_like(out)), STAGE_AXIS)

@@ -39,6 +39,7 @@ def make_pp_train_step(
     mesh,
     *,
     microbatches: int = 4,
+    repeats: int = 1,
     compute_dtype=None,
     attn_impl: str = "xla",
     dense_impl: str = "xla",
@@ -66,6 +67,7 @@ def make_pp_train_step(
             p = merge_params(frozen, tr)
             logits = pp_vit_forward(
                 p, x, cfg, mesh=mesh, microbatches=microbatches,
+                repeats=repeats,
                 cara_params=tr["cara"], cara_cfg=cara_cfg, train=True,
                 rng=step_rng, sample_rng=srng, remat=remat,
                 attn_impl=attn_impl, dense_impl=dense_impl,
@@ -125,6 +127,7 @@ def make_pp_eval_step(
     mesh,
     *,
     microbatches: int = 4,
+    repeats: int = 1,
     compute_dtype=None,
     attn_impl: str = "xla",
     dense_impl: str = "xla",
@@ -140,6 +143,7 @@ def make_pp_eval_step(
                 cara = cast_floating(cara, compute_dtype)
         logits = pp_vit_forward(
             p, x, cfg, mesh=mesh, microbatches=microbatches,
+            repeats=repeats,
             cara_params=cara,
             cara_cfg=cara_cfg if cara is not None else None, train=False,
             remat=False, attn_impl=attn_impl, dense_impl=dense_impl,

@@ -216,3 +216,83 @@ def test_pp_shape_validation(setup):
     with pytest.raises(ValueError, match="must split"):
         pp_vit_forward(params, x, cfg, mesh=mesh, microbatches=3,
                        cara_params=cara, cara_cfg=cc, train=False)
+
+
+def test_circular_schedule_bitwise(setup):
+    """repeats=V (circular/interleaved): bit-identical to GPipe V=1 and to
+    vit_forward at data=1 — layers still run in ascending global order per
+    microbatch and the key streams depend only on (microbatch, layer).
+    Covers eval, weight-dropout + drop-path training, and S=4/V=1 vs
+    S=2/V=2 cross-equality (same groups, different placement)."""
+    cfg, cc, params, cara, x, _ = setup
+    ref = vit_lib.vit_forward(params, x, cfg, cara_params=cara, cara_cfg=cc,
+                              train=False, attn_impl="xla", dense_impl="xla")
+    mesh2 = make_pp_mesh((1, 2))
+    v1 = pp_vit_forward(params, x, cfg, mesh=mesh2, microbatches=4,
+                        cara_params=cara, cara_cfg=cc, train=False)
+    v2 = pp_vit_forward(params, x, cfg, mesh=mesh2, microbatches=4,
+                        cara_params=cara, cara_cfg=cc, train=False,
+                        repeats=2)
+    assert np.array_equal(np.asarray(ref), np.asarray(v1))
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+    mesh4 = make_pp_mesh((1, 4))
+    s4 = pp_vit_forward(params, x, cfg, mesh=mesh4, microbatches=4,
+                        cara_params=cara, cara_cfg=cc, train=False)
+    # s4 and v2 live on different meshes — compare on host.
+    assert np.array_equal(np.asarray(s4), np.asarray(v2))
+
+    # Regularization on: same realization at any (S, V) split.
+    import dataclasses
+
+    cfg_t = dataclasses.replace(cfg, drop_path_rate=0.1)
+    cc_t = CaraConfig(rank=4, scale=1.5, l_mu=1.0, l_std=0.0,
+                      weight_dropout=0.3)
+    cara_t = cara_lib.init_cara_params(jax.random.key(1), cfg_t, cc_t)
+    r = jax.random.key(9)
+    a = pp_vit_forward(params, x, cfg_t, mesh=mesh2, microbatches=4,
+                       cara_params=cara_t, cara_cfg=cc_t, train=True, rng=r)
+    b = pp_vit_forward(params, x, cfg_t, mesh=mesh2, microbatches=4,
+                       cara_params=cara_t, cara_cfg=cc_t, train=True, rng=r,
+                       repeats=2)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_circular_train_step_matches_gpipe(setup):
+    """3-step trajectory: pp train step at V=2 == V=1 (exact same math,
+    only the schedule differs)."""
+    cfg, cc, params, cara, x, y = setup
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=2)
+    frozen, state0 = steps_lib.init_train_state(tx, params, cara)
+    batch = {"image": x, "label": y}
+    rng = jax.random.key(3)
+    mesh = make_pp_mesh((2, 2))
+    g = jax.jit(pp_lib.make_pp_train_step(
+        cfg, cc, tx, mesh, microbatches=2, remat=False))
+    c = jax.jit(pp_lib.make_pp_train_step(
+        cfg, cc, tx, mesh, microbatches=2, remat=False, repeats=2))
+    s_a, s_b = state0, state0
+    for _ in range(3):
+        s_a, m_a = g(s_a, frozen, batch, rng)
+        s_b, m_b = c(s_b, frozen, batch, rng)
+    assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+    for pa, pb in zip(
+            jax.tree_util.tree_leaves_with_path(s_a.trainable),
+            jax.tree_util.tree_leaves_with_path(s_b.trainable)):
+        np.testing.assert_allclose(np.asarray(pa[1]), np.asarray(pb[1]),
+                                   rtol=1e-5, atol=1e-7, err_msg=str(pa[0]))
+
+
+def test_circular_invalid_configs(setup):
+    cfg, cc, params, cara, x, _ = setup
+    mesh = make_pp_mesh((1, 2))
+    # depth 4 % (S=2 * V=4) != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        pp_vit_forward(params, x, cfg, mesh=mesh, microbatches=4,
+                       cara_params=cara, cara_cfg=cc, train=False,
+                       repeats=4)
+    # circular needs M >= S
+    with pytest.raises(ValueError, match="microbatches >= stages"):
+        pp_vit_forward(params, x, cfg, mesh=mesh, microbatches=1,
+                       cara_params=cara, cara_cfg=cc, train=False,
+                       repeats=2)
