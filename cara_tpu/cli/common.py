@@ -20,6 +20,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset", default="svhn", type=str,
                    choices=DATASET_CHOICES, help="VTAB-1k task to train")
     p.add_argument("--model", type=str, default="vit_base_patch16_224_in21k")
+    p.add_argument("--model-override", action="append", default=None,
+                   metavar="K=V",
+                   help="Override a ViTConfig field of --model (repeatable), "
+                        "e.g. --model-override depth=24 --model-override "
+                        "image_size=384. Values are parsed to the field's "
+                        "declared type ('none' -> None for optional fields)")
     # --- extensions over the reference surface ---
     p.add_argument("--data-root", default="./data/vtab-1k", type=str)
     p.add_argument("--backbone", default="./ViT-B_16.npz", type=str,
@@ -54,6 +60,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "'2,1,4' (seq = sequence parallelism for "
                         "high-resolution geometries; default: all "
                         "devices on the data axis)")
+    p.add_argument("--dcn-mesh", default=None, type=str,
+                   help="Multi-slice layout: same rank as --mesh, how much "
+                        "of each axis crosses the DCN (slice) boundary, "
+                        "e.g. --mesh 16,1 --dcn-mesh 2,1 on 2 v5e-8 "
+                        "slices — data-parallel gradient all-reduce rides "
+                        "DCN once per step, everything else stays on ICI. "
+                        "Devices are grouped by their slice_index")
     p.add_argument("--pipeline", default=None, type=str,
                    help="'S[,M[,T[,V]]]': pipeline parallelism with S "
                         "stages and M microbatches (default 4) on a "
@@ -103,14 +116,89 @@ def resolve_dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
-def resolve_mesh(spec: Optional[str]):
-    from cara_tpu.parallel.mesh import make_mesh
+def resolve_model_overrides(args) -> dict:
+    """``--model-override k=v`` pairs -> a typed ``model_overrides`` dict.
+
+    Values are converted using the declared type of the :class:`ViTConfig`
+    field (bool accepts true/false/1/0; ``none`` means ``None`` for the
+    optional fields; int/float/str by the field type).  Unknown field names
+    and unparseable values exit with a usage error rather than a traceback.
+    """
+    pairs = getattr(args, "model_override", None)
+    if not pairs:
+        return {}
+    import dataclasses
+
+    from cara_tpu.config import ViTConfig
+
+    fields = {f.name: f for f in dataclasses.fields(ViTConfig)}
+    out = {}
+    for pair in pairs:
+        key, sep, raw = pair.partition("=")
+        if not sep:
+            raise SystemExit(f"--model-override wants K=V, got {pair!r}")
+        if key not in fields:
+            raise SystemExit(
+                f"--model-override: ViTConfig has no field {key!r} "
+                f"(known: {', '.join(sorted(fields))})")
+        default = fields[key].default
+        low = raw.strip().lower()
+        try:
+            if low in ("none", "null"):
+                out[key] = None
+            elif isinstance(default, bool):
+                if low not in ("true", "false", "1", "0"):
+                    raise ValueError(raw)
+                out[key] = low in ("true", "1")
+            elif isinstance(default, int):
+                out[key] = int(raw)
+            elif isinstance(default, float):
+                out[key] = float(raw)
+            elif default is None:  # Optional[int] fields (repr_size/proj_dim)
+                out[key] = int(raw)
+            else:
+                out[key] = raw
+        except ValueError:
+            raise SystemExit(
+                f"--model-override {key}: can't parse {raw!r} as "
+                f"{type(default).__name__ if default is not None else 'int'}")
+    return out
+
+
+def _fake_slice_of():
+    """CARA_FAKE_SLICES=N -> group devices into N contiguous fake slices
+    (testing / demoing --dcn-mesh without multi-slice hardware)."""
+    import os
+
+    fake = os.environ.get("CARA_FAKE_SLICES")
+    if not fake:
+        return None
+    import jax
+
+    per = max(1, len(jax.devices()) // int(fake))
+    return lambda d: d.id // per
+
+
+def resolve_mesh(spec: Optional[str], dcn_spec: Optional[str] = None):
+    from cara_tpu.parallel.mesh import make_hybrid_mesh, make_mesh
 
     if spec is None:
+        if dcn_spec:
+            import jax
+
+            # Default mesh is all-data; the DCN factor splits that axis.
+            return make_hybrid_mesh(
+                (len(jax.devices()), 1),
+                tuple(int(v) for v in dcn_spec.split(",")),
+                slice_of=_fake_slice_of())
         return make_mesh()
     dims = tuple(int(v) for v in spec.split(","))
     if len(dims) not in (2, 3):
         raise ValueError(f"--mesh wants 'data,model[,seq]', got {spec!r}")
+    if dcn_spec:
+        return make_hybrid_mesh(
+            dims, tuple(int(v) for v in dcn_spec.split(",")),
+            slice_of=_fake_slice_of())
     return make_mesh(dims)
 
 

@@ -101,7 +101,11 @@ def main(argv=None) -> str:
         if model_name is None:
             raise SystemExit(
                 "checkpoint records no model name and --model was not given")
-        cfg = get_model_config(model_name, num_classes=num_classes)
+        # Geometry overrides recorded at training time (--model-override)
+        # travel in meta; the stored head fixes num_classes regardless.
+        mo = {k: v for k, v in meta.get("model_overrides", {}).items()
+              if k != "num_classes"}
+        cfg = get_model_config(model_name, num_classes=num_classes, **mo)
         cara_cfg = None
         if cara_params is not None:
             rank = int(cara_params["R1"].shape[0])

@@ -117,11 +117,12 @@ def run_task(task: str, args, results: dict,
     num_real = vtab_lib.get_classes_num(task)
     num_classes = max(args.pad_classes, num_real) if args.pad_classes \
         else num_real
+    mo = common.resolve_model_overrides(args)
     model = api.build_model(
         args.model, rank=args.dim, scale=eff_scale, l_mu=hp.init_mean,
         l_std=hp.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hp.weight_dropout)
+        weight_dropout=hp.weight_dropout, model_overrides=mo)
     train_loader, eval_loader = vtab_lib.get_data(
         task, root=args.data_root, evaluate=True,
         batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
@@ -140,7 +141,7 @@ def run_task(task: str, args, results: dict,
     if args.pad_classes and step_cache is not None:
         cache_key = (hp.weight_dropout, eff_lr)
         if cache_key not in step_cache:
-            mesh = common.resolve_mesh(args.mesh)
+            mesh = common.resolve_mesh(args.mesh, args.dcn_mesh)
             cd = common.resolve_dtype(args.dtype)
             ts = jax.jit(
                 steps_lib.make_train_step(
@@ -166,7 +167,7 @@ def run_task(task: str, args, results: dict,
         cfg=model.cfg, cara_cfg=model.cara_cfg, frozen=frozen, state=state,
         tx=tx, train_loader=train_loader, eval_loader=eval_loader,
         rng=jax.random.key(seed), fit_cfg=fit_cfg,
-        mesh=common.resolve_mesh(args.mesh),
+        mesh=common.resolve_mesh(args.mesh, args.dcn_mesh),
         logger=MetricLogger(enabled=False), keeper=keeper,
         train_step=train_step, eval_step=eval_step,
         compute_dtype=common.resolve_dtype(args.dtype),
@@ -174,7 +175,8 @@ def run_task(task: str, args, results: dict,
         grad_accum=args.grad_accum,
         dense_impl=args.dense_impl,
         ckpt_meta={"model": args.model, "dataset": task,
-                   "num_classes_real": num_real})
+                   "num_classes_real": num_real,
+                   **({"model_overrides": mo} if mo else {})})
     if out.get("preempted"):
         # The interrupted combo must NOT land in results — --resume-sweep
         # keys on results entries, so recording it would skip it forever.
@@ -228,12 +230,13 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
             f"--pad-classes {args.pad_classes} < max class count "
             f"{max(num_real)} in group {group}")
 
+    mo = common.resolve_model_overrides(args)
     model = api.build_model(
         args.model, rank=args.dim, scale=hps[0].scale,
         l_mu=hps[0].init_mean, l_std=hps[0].init_std,
         num_classes=args.pad_classes, seed=seeds[0],
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hps[0].weight_dropout)
+        weight_dropout=hps[0].weight_dropout, model_overrides=mo)
     cfg, cara_cfg = model.cfg, model.cara_cfg
     frozen = {k: v for k, v in model.params.items() if k != "head"}
 
@@ -255,7 +258,8 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
         trainables.append(trainable)
         metas.append({**dataclasses.asdict(cara_cfg_i),
                       "model": args.model, "dataset": task,
-                      "num_classes_real": num_real[i]})
+                      "num_classes_real": num_real[i],
+                      **({"model_overrides": mo} if mo else {})})
         tr, ev = vtab_lib.get_data(
             task, root=args.data_root, evaluate=True,
             batch_size=args.batch_size,

@@ -49,11 +49,12 @@ def main(argv=None) -> float:
     print(f"Seed: {seed}")
 
     num_classes = vtab_lib.get_classes_num(args.dataset)
+    mo = common.resolve_model_overrides(args)
     model = api.build_model(
         args.model, rank=args.dim, scale=hp.scale, l_mu=hp.init_mean,
         l_std=hp.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hp.weight_dropout)
+        weight_dropout=hp.weight_dropout, model_overrides=mo)
     train_loader, eval_loader = vtab_lib.get_data(
         args.dataset, root=args.data_root, evaluate=True,
         batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
@@ -61,7 +62,7 @@ def main(argv=None) -> float:
         synthetic_size=args.synthetic_size)
 
     pp = common.resolve_pipeline(args)
-    mesh = pp[0] if pp else common.resolve_mesh(args.mesh)
+    mesh = pp[0] if pp else common.resolve_mesh(args.mesh, args.dcn_mesh)
     dtype = common.resolve_dtype(args.dtype)
     logger = MetricLogger(use_wandb=args.wandb, wandb_kwargs={
         "project": "cara-tpu",
@@ -139,7 +140,8 @@ def main(argv=None) -> float:
         grad_accum=args.grad_accum, train_step=train_step,
         eval_step=eval_step,
         attn_impl=args.attn_impl, dense_impl=args.dense_impl,
-        ckpt_meta={"model": args.model, "dataset": args.dataset})
+        ckpt_meta={"model": args.model, "dataset": args.dataset,
+                   **({"model_overrides": mo} if mo else {})})
 
     if result.get("preempted"):
         hint = (f"relaunch with --resume-dir {args.resume_dir} to continue"

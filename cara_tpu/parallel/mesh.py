@@ -49,6 +49,64 @@ def make_mesh(shape=None, devices=None) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_hybrid_mesh(shape, dcn_shape, devices=None, slice_of=None) -> Mesh:
+    """Multi-slice (ICI x DCN) mesh: same axis names, slice-aware layout.
+
+    ``shape`` gives the TOTAL per-axis sizes exactly like :func:`make_mesh`
+    ((data, model) or (data, model, seq)); ``dcn_shape`` (same rank) says
+    how much of each axis crosses the slice boundary.  Typically
+    ``dcn_shape = (n_slices, 1[, 1])``: the data axis spans slices, so the
+    only inter-slice traffic is the once-per-step gradient all-reduce
+    (tiny for CaRA — O(E*r) adapter grads), while model/seq collectives
+    (per-layer activation psums, k/v gathers) stay on ICI.  Within each
+    axis the DCN factor is the OUTER (slower) part, so any (model, seq)
+    subgroup lives entirely inside one slice.
+
+    Devices are grouped by their ``slice_index`` attribute (set by the TPU
+    runtime on multi-slice deployments); ``slice_of`` overrides the
+    grouping key (tests fake slices out of CPU devices with it).  All
+    sharding rules in this module apply unchanged — axis names are
+    identical, XLA lowers the collectives onto whatever link each subgroup
+    actually spans.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(shape) != len(dcn_shape):
+        raise ValueError(
+            f"dcn_shape {dcn_shape} must have the same rank as {shape}")
+    if any(s % d for s, d in zip(shape, dcn_shape)):
+        raise ValueError(f"dcn_shape {dcn_shape} must divide shape {shape}")
+    n = int(np.prod(shape))
+    if n != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    if slice_of is None:
+        def slice_of(d):
+            return getattr(d, "slice_index", None) or 0
+    groups: Dict[Any, list] = {}
+    for d in devices:
+        groups.setdefault(slice_of(d), []).append(d)
+    n_slices = int(np.prod(dcn_shape))
+    if len(groups) != n_slices:
+        raise ValueError(
+            f"dcn_shape {dcn_shape} wants {n_slices} slices; devices form "
+            f"{len(groups)} (slice ids {sorted(groups)})")
+    per = [len(g) for g in groups.values()]
+    if len(set(per)) != 1 or per[0] * n_slices != n:
+        raise ValueError(f"uneven slices: {per}")
+    ici_shape = tuple(s // d for s, d in zip(shape, dcn_shape))
+    # (dcn_0.., ici_0..) block array, then interleave (dcn_i, ici_i) pairs
+    # so each combined axis i has its DCN factor outermost.
+    arr = np.empty(dcn_shape + ici_shape, dtype=object)
+    arr = arr.reshape(n_slices, per[0])
+    for i, key in enumerate(sorted(groups)):
+        arr[i] = groups[key]
+    arr = arr.reshape(dcn_shape + ici_shape)
+    k = len(shape)
+    arr = arr.transpose(*[ax for i in range(k) for ax in (i, k + i)])
+    arr = arr.reshape(tuple(shape))
+    names = (DATA_AXIS, MODEL_AXIS, SEQ_AXIS)[:k]
+    return Mesh(arr, names)
+
+
 def seq_size(mesh) -> int:
     """Size of the seq axis (1 when the mesh doesn't carry one)."""
     return mesh.shape.get(SEQ_AXIS, 1) if mesh is not None else 1

@@ -181,7 +181,11 @@ class Predictor:
         params, cara_params, meta = load_model(ckpt)
         if num_classes is None and "head" in params:
             num_classes = int(params["head"]["kernel"].shape[-1])
-        cfg = get_model_config(model, num_classes=num_classes)
+        # Geometry overrides recorded at training time (--model-override);
+        # the stored head fixes num_classes regardless.
+        mo = {k: v for k, v in meta.get("model_overrides", {}).items()
+              if k != "num_classes"}
+        cfg = get_model_config(model, num_classes=num_classes, **mo)
         cara_cfg = None
         if cara_params is not None:
             if scale is None:

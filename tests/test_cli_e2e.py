@@ -55,9 +55,9 @@ def test_vit_cp_pipeline_flag(tmp_path):
         "--dim", "4", "--evaluate", ckpts[0], "--pipeline", "2,2"]))
     assert acc2 == pytest.approx(acc, abs=1e-6)
 
-    # Bad specs: format errors ("0", "2,0", 4 parts), S*T not dividing the
-    # device count ("2,4,8" -> 16 over 8 devices), and --mesh conflict.
-    for bad in ("0", "2,0", "2,4,8", "2,4,2,1", "--mesh"):
+    # Bad specs: format errors ("0", "2,0", "2,4,2,0", 5 parts), S*T not
+    # dividing the device count ("2,4,8" -> 16 over 8), and --mesh conflict.
+    for bad in ("0", "2,0", "2,4,8", "2,4,2,0", "2,4,2,1,1", "--mesh"):
         with pytest.raises(SystemExit):
             if bad == "--mesh":
                 cli.main(_common(tmp_path, [
@@ -75,6 +75,41 @@ def test_vit_cp_pipeline_tensor_flag(tmp_path):
         "--dim", "4", "--epochs", "2", "--pipeline", "2,2,2",
         "--batch-size", "16", "--synthetic-size", "32"]))
     assert 0.0 <= acc <= 1.0
+
+
+def test_vit_cp_circular_pipeline_flag(tmp_path):
+    """--pipeline S,M,T,V (circular schedule) through the CLI, on a depth-4
+    geometry supplied via --model-override (depth % (S*V) == 0)."""
+    acc = cli.main(_common(tmp_path, [
+        "--dim", "4", "--epochs", "2", "--pipeline", "2,4,1,2",
+        "--model-override", "depth=4",
+        "--batch-size", "16", "--eval-batch-size", "16",
+        "--synthetic-size", "32"]))
+    assert 0.0 <= acc <= 1.0
+
+
+def test_model_override_flag(tmp_path):
+    """--model-override: typed parsing into ViTConfig replacements, and
+    usage errors (not tracebacks) for unknown fields / unparseable values."""
+    import argparse
+
+    from cara_tpu.cli import common as common_lib
+
+    ns = argparse.Namespace(model_override=[
+        "depth=4", "drop_path_rate=0.0", "use_cls_token=false",
+        "repr_size=none", "proj_dim=128", "activation=quick_gelu"])
+    got = common_lib.resolve_model_overrides(ns)
+    assert got == {"depth": 4, "drop_path_rate": 0.0, "use_cls_token": False,
+                   "repr_size": None, "proj_dim": 128,
+                   "activation": "quick_gelu"}
+    assert isinstance(got["depth"], int) and isinstance(
+        got["drop_path_rate"], float)
+    assert common_lib.resolve_model_overrides(
+        argparse.Namespace(model_override=None)) == {}
+    for bad in ("nosuchfield=1", "depth", "depth=abc", "mlp_ratio=1.5"):
+        with pytest.raises(SystemExit):
+            common_lib.resolve_model_overrides(
+                argparse.Namespace(model_override=[bad]))
 
 
 def test_train_checkpoint_records_meta_and_merged_export(tmp_path):

@@ -68,3 +68,41 @@ def test_export_modes(tmp_path, monkeypatch):
     np.testing.assert_allclose(epp.logits(imgs), np.asarray(ref), atol=2e-4)
     np.testing.assert_allclose(epp.logits(imgs[:1]), np.asarray(ref)[:1],
                                atol=2e-4)
+
+
+def test_export_honors_model_overrides_meta(tmp_path):
+    """A checkpoint trained with --model-override records the geometry in
+    meta; merged export and Predictor.from_checkpoint_auto rebuild the
+    overridden ViTConfig without the flag being repeated."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        MODEL_REGISTRY["vit_tiny_test"], depth=1, num_classes=5,
+        drop_path_rate=0.0)
+    cara_cfg = CaraConfig(rank=4, scale=2.0)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara_params = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    cara_params["A2"] = 0.05 * jax.random.normal(
+        jax.random.key(2), cara_params["A2"].shape)
+    src = str(tmp_path / "full.npz")
+    ckpt_lib.save_model(
+        src, params, cara_params,
+        {"scale": 2.0, "model": "vit_tiny_test",
+         "model_overrides": {"depth": 1, "drop_path_rate": 0.0}})
+
+    out_m = str(tmp_path / "merged.npz")
+    export_cli.main(["--ckpt", src, "--out", out_m, "--mode", "merged"])
+    merged_params, _, _ = ckpt_lib.load_model(out_m)
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    ref = vit_lib.vit_forward(params, x, cfg, cara_params=cara_params,
+                              cara_cfg=cara_cfg)
+    got = vit_lib.vit_forward(merged_params, x, cfg)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-4)
+
+    from cara_tpu.serving import Predictor
+
+    pred = Predictor.from_checkpoint_auto(
+        src, "vit_tiny_test", merge=False, dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(pred.logits(np.asarray(x, np.float32))),
+        np.asarray(ref), atol=2e-4)

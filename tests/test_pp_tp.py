@@ -127,6 +127,35 @@ def test_pp_tp_ineligible_raises(setup):
                        attn_impl="fused", dense_impl="fused")
 
 
+def test_pp_tp_circular_matches_plain(setup):
+    """Circular schedule x tensor parallelism: (2,2,2) mesh, V=2 on a
+    depth-4 geometry — stage shards are lap-contiguous AND head-/hidden-
+    sharded; must match the plain single-device XLA path exactly and the
+    GPipe V=1 pp x TP run bitwise."""
+    import dataclasses
+
+    cfg2, cc, params2, _, x, y = setup
+    cfg = dataclasses.replace(cfg2, depth=4)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara = cara_lib.init_cara_params(jax.random.key(1), cfg, cc)
+    for name in ("A2", "P2", "bias1", "bias2", "bias3"):
+        cara[name] = 0.1 * jax.random.normal(
+            jax.random.fold_in(jax.random.key(2), hash(name) % 1000),
+            cara[name].shape)
+    ref = vit_lib.vit_forward(params, x, cfg, cara_params=cara, cara_cfg=cc,
+                              train=False, attn_impl="xla", dense_impl="xla")
+    mesh = make_pp_mesh((2, 2, 2))
+    v1 = pp_vit_forward(params, x, cfg, mesh=mesh, microbatches=4,
+                        cara_params=cara, cara_cfg=cc, train=False,
+                        attn_impl="fused", dense_impl="fused")
+    v2 = pp_vit_forward(params, x, cfg, mesh=mesh, microbatches=4,
+                        cara_params=cara, cara_cfg=cc, train=False,
+                        repeats=2, attn_impl="fused", dense_impl="fused")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(v2),
+                               atol=2e-5, rtol=1e-5)
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+
 def test_pp_tp_element_wd_smoke(setup):
     """Element weight dropout under pp x TP: per-shard hash masks are a
     different realization than single-device (documented, as on the plain
