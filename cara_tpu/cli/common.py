@@ -59,7 +59,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="data,model[,seq] mesh shape, e.g. '8,1' or "
                         "'2,1,4' (seq = sequence parallelism for "
                         "high-resolution geometries; default: all "
-                        "devices on the data axis)")
+                        "devices on the data axis), or 'auto' — run the "
+                        "parallelism planner (parallel/planner.py) and "
+                        "adopt whatever mesh/pipeline it picks for the "
+                        "visible devices (HBM budget via --hbm-gb)")
+    p.add_argument("--hbm-gb", default=None, type=float,
+                   help="Per-device HBM budget for --mesh auto (default: "
+                        "detected from the device, else 16)")
     p.add_argument("--dcn-mesh", default=None, type=str,
                    help="Multi-slice layout: same rank as --mesh, how much "
                         "of each axis crosses the DCN (slice) boundary, "
@@ -179,9 +185,61 @@ def _fake_slice_of():
     return lambda d: d.id // per
 
 
+def apply_auto_mesh(args, cfg, cara_cfg) -> None:
+    """``--mesh auto``: run the planner and adopt its choice in-place.
+
+    Rewrites ``args.mesh`` (and ``args.pipeline`` when the plan is a
+    pipeline) BEFORE ``resolve_pipeline``/``resolve_mesh`` run, so the
+    rest of the CLI flow is oblivious to how the shape was chosen.  The
+    HBM budget comes from ``--hbm-gb``, the device's ``memory_stats``
+    when it exposes one, else 16 GiB (v5e).
+    """
+    if getattr(args, "mesh", None) != "auto":
+        return
+    if getattr(args, "pipeline", None):
+        raise SystemExit("--mesh auto picks the pipeline itself; drop "
+                         "--pipeline or pass an explicit --mesh")
+    import jax
+
+    from cara_tpu.parallel import planner
+
+    hbm_gb = args.hbm_gb
+    if hbm_gb is None:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm_gb = stats.get("bytes_limit", 0) / 2**30 or None
+        except Exception:
+            hbm_gb = None
+    if not hbm_gb:
+        hbm_gb = 16.0
+    plan = planner.plan_mesh(
+        cfg, cara_cfg, len(jax.devices()), args.batch_size,
+        hbm_gb=hbm_gb, compute_dtype=resolve_dtype(args.dtype))
+    if not plan.fits:
+        raise SystemExit(
+            "--mesh auto: nothing fits "
+            f"{hbm_gb:.1f} GiB/device x {len(jax.devices())} devices "
+            f"(best candidate {plan.cli_flags()} needs "
+            f"{plan.memory.total / 2**30:.2f} GiB). Ladder:\n  "
+            + "\n  ".join(plan.rationale))
+    flag, _, spec = plan.cli_flags().partition(" ")
+    print(f"auto mesh: {plan.kind} -> {flag} {spec} "
+          f"(est {plan.memory.total / 2**30:.2f} / {hbm_gb:.1f} "
+          f"GiB/device)")
+    if flag == "--pipeline":
+        args.pipeline, args.mesh = spec, None
+    else:
+        args.mesh = spec
+
+
 def resolve_mesh(spec: Optional[str], dcn_spec: Optional[str] = None):
     from cara_tpu.parallel.mesh import make_hybrid_mesh, make_mesh
 
+    if spec == "auto":
+        raise SystemExit(
+            "--mesh auto is resolved by the training CLIs "
+            "(common.apply_auto_mesh); this entry point wants an "
+            "explicit 'data,model[,seq]' shape")
     if spec is None:
         if dcn_spec:
             import jax

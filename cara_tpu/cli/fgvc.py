@@ -80,6 +80,7 @@ def main(argv=None) -> float:
         augment=not args.no_augment, synthetic=args.synthetic,
         synthetic_size=args.synthetic_size)
 
+    common.apply_auto_mesh(args, model.cfg, model.cara_cfg)
     pp = common.resolve_pipeline(args)
     mesh = pp[0] if pp else common.resolve_mesh(args.mesh, args.dcn_mesh)
     dtype = common.resolve_dtype(args.dtype)

@@ -221,20 +221,30 @@ def plan_mesh(
                                stages=s, microbatches=m,
                                compute_dtype=compute_dtype)
 
+    # Every mesh must cover ALL devices (make_mesh requires it) and the
+    # batch must divide over the data axis (put_batch requires it).
+    def dp_ok(dp):
+        return dp >= 1 and batch_size % dp == 0
+
     # 1. Pure DP.
-    dp = min(n_devices, batch_size)
-    est = mem(dp, 1, 1, 1)
-    tried.append(f"dp={dp}: {est.total / _GiB:.2f} GiB")
-    if est.total <= budget:
-        return Plan("dp", (dp, 1), None, est, hbm, tuple(tried + [
-            "pure data parallelism fits: only collective is the "
-            "~100KB adapter grad all-reduce"]))
+    dp = n_devices
+    if dp_ok(dp):
+        est = mem(dp, 1, 1, 1)
+        tried.append(f"dp={dp}: {est.total / _GiB:.2f} GiB")
+        if est.total <= budget:
+            return Plan("dp", (dp, 1), None, est, hbm, tuple(tried + [
+                "pure data parallelism fits: only collective is the "
+                "~100KB adapter grad all-reduce"]))
+    else:
+        tried.append(f"dp={dp}: batch {batch_size} does not divide")
 
     # 2. DP x TP (fused TP needs heads % T == 0 and hidden % T == 0).
     for t in _divisors_leq(n_devices, min(n_devices, 8)):
         if cfg.num_heads % t or cfg.hidden_dim % t:
             continue
-        dp = max(1, min(n_devices // t, batch_size))
+        dp = n_devices // t
+        if not dp_ok(dp):
+            continue
         est = mem(dp, t, 1, 1)
         tried.append(f"dp={dp},tp={t}: {est.total / _GiB:.2f} GiB")
         if est.total <= budget:
@@ -250,7 +260,9 @@ def plan_mesh(
         for s in _divisors_leq(cfg.depth, min(cfg.depth, n_devices)):
             if n_devices % (s * t):
                 continue
-            dp = max(1, min(n_devices // (s * t), batch_size))
+            dp = n_devices // (s * t)
+            if not dp_ok(dp):
+                continue
             b_loc = batch_size // dp
             # Most microbatches (smallest bubble) with >= 1 row each.
             m = next((mm for mm in (8, 4, 2, 1)
@@ -274,9 +286,8 @@ def plan_mesh(
             if best is None or est.total < best.memory.total:
                 best = cand
     if best is None:
-        best = Plan("dp", (min(n_devices, batch_size), 1), None,
-                    mem(min(n_devices, batch_size), 1, 1, 1), hbm,
-                    tuple(tried))
+        best = Plan("dp", (n_devices, 1), None,
+                    mem(n_devices, 1, 1, 1), hbm, tuple(tried))
     return dataclasses.replace(best, rationale=tuple(
         list(best.rationale)
         + ["NOTHING fits the budget — largest-sharding candidate "

@@ -129,3 +129,28 @@ def test_verify_plan_pipeline_compiles():
     if measured is None:
         pytest.skip("backend lacks memory_analysis")
     assert measured["total_mib"] > 0
+
+
+def test_mesh_auto_cli(tmp_path):
+    """--mesh auto runs the planner inside the training CLI and trains
+    with whatever it picked (pure DP for the tiny model)."""
+    from cara_tpu.cli import vit_cp as cli
+
+    acc = cli.main([
+        "--synthetic", "--dataset", "patch_camelyon",
+        "--model", "vit_tiny_test", "--batch-size", "8",
+        "--eval-batch-size", "8", "--synthetic-size", "32",
+        "--dtype", "float32", "--backbone", str(tmp_path / "missing.npz"),
+        "--out-dir", str(tmp_path), "--log-every", "1000",
+        "--dim", "4", "--epochs", "2", "--mesh", "auto"])
+    assert 0.0 <= acc <= 1.0
+    # An impossible budget dies with the ladder, not a traceback.
+    with pytest.raises(SystemExit, match="nothing fits"):
+        cli.main([
+            "--synthetic", "--dataset", "patch_camelyon",
+            "--model", "vit_tiny_test", "--batch-size", "8",
+            "--eval-batch-size", "8", "--synthetic-size", "32",
+            "--dtype", "float32",
+            "--backbone", str(tmp_path / "missing.npz"),
+            "--out-dir", str(tmp_path), "--dim", "4", "--epochs", "2",
+            "--mesh", "auto", "--hbm-gb", "0.00001"])
