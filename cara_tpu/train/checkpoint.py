@@ -120,29 +120,62 @@ def load_adapter(path: str) -> Tuple[Dict, Optional[Dict], Dict]:
 
 class BestCheckpointKeeper:
     """Best-accuracy rotation with the reference filename convention
-    (save new best, delete previous — ``vit_cp.py:61-66``)."""
+    (save new best, delete previous — ``vit_cp.py:61-66``).
 
-    def __init__(self, out_dir: str, dataset: str, seed: int):
+    Writes happen on a background thread by default (``async_io=True``):
+    the ~350 MB full-model ``np.savez`` costs seconds of otherwise-idle
+    training-thread time per new best.  Callers pass HOST arrays
+    (``loop.fit`` already ``jax.device_get``s before updating — the
+    device->host gather has to be synchronous anyway, only the disk write
+    overlaps).  ``wait()`` joins the in-flight write; ``update`` joins any
+    previous write first, so rotation order is preserved and at most one
+    write is ever in flight.
+    """
+
+    def __init__(self, out_dir: str, dataset: str, seed: int,
+                 async_io: bool = True):
         self.out_dir = out_dir
         self.dataset = dataset
         self.seed = seed
         self.best_acc = 0.0
         self.best_path: Optional[str] = None
+        self.async_io = async_io
+        self._thread = None
+
+    def wait(self) -> None:
+        """Block until the in-flight background write (if any) lands."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def _write(self, new_path, params, cara_params, meta, old_path) -> None:
+        save_model(new_path, params, cara_params, meta)
+        if old_path and os.path.exists(old_path):
+            os.remove(old_path)
 
     def update(self, acc: float, params, cara_params, meta=None) -> Optional[str]:
         if acc <= self.best_acc:
             return None
+        self.wait()
         self.best_acc = acc
         new_path = os.path.join(
             self.out_dir,
             f"vit_{self.dataset}_{round(acc, 5)}_seed_{self.seed}.npz",
         )
         os.makedirs(self.out_dir, exist_ok=True)
-        save_model(new_path, params, cara_params,
-                   {**(meta or {}), "acc": acc, "seed": self.seed})
-        if self.best_path and os.path.exists(self.best_path):
-            os.remove(self.best_path)
+        full_meta = {**(meta or {}), "acc": acc, "seed": self.seed}
+        old_path = self.best_path
         self.best_path = new_path
+        if self.async_io:
+            import threading
+
+            self._thread = threading.Thread(
+                target=self._write,
+                args=(new_path, params, cara_params, full_meta, old_path),
+                daemon=True)
+            self._thread.start()
+        else:
+            self._write(new_path, params, cara_params, full_meta, old_path)
         return new_path
 
 

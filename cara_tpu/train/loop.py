@@ -297,6 +297,8 @@ def fit(
                     jax.device_get(
                         steps_lib.merge_params(frozen, state.trainable)),
                     jax.device_get(state.trainable["cara"]), meta=meta)
+    if keeper is not None:
+        keeper.wait()  # join the async best-checkpoint write before return
     return {
         "best_acc": best_acc,
         "final_acc": final_acc,

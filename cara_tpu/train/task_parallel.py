@@ -407,6 +407,9 @@ def fit_tasks(
     accs = evaluate_tasks(eval_step, frozen_compute, state.trainable,
                           eval_loader, mesh)
     _maybe_checkpoint(accs)
+    for k in keepers or []:
+        if k is not None:
+            k.wait()  # join async best-checkpoint writes before return
     imgs_per_sec = steps_total * bs * t / max(wall, 1e-9)
     return {
         names[i]: {

@@ -124,15 +124,35 @@ def test_adapter_checkpoint_roundtrip(tiny_cfg, tmp_path):
 
 def test_best_checkpoint_rotation(tiny_cfg, tmp_path):
     """Reference best-ckpt rotation: new best saved, previous deleted
-    (vit_cp.py:61-66)."""
+    (vit_cp.py:61-66) — synchronous mode."""
     params = vit_lib.init_vit_params(jax.random.key(0), tiny_cfg)
-    keeper = ckpt_lib.BestCheckpointKeeper(str(tmp_path), "cifar", seed=14)
+    keeper = ckpt_lib.BestCheckpointKeeper(str(tmp_path), "cifar", seed=14,
+                                           async_io=False)
     p1 = keeper.update(0.5, params, None)
     assert p1 and os.path.exists(p1) and "vit_cifar_0.5_seed_14" in p1
     assert keeper.update(0.4, params, None) is None  # not better
     p2 = keeper.update(0.75, params, None)
     assert p2 and os.path.exists(p2)
     assert not os.path.exists(p1)  # rotated away
+
+
+def test_best_checkpoint_rotation_async(tiny_cfg, tmp_path):
+    """Default async mode: writes land on a background thread; wait()
+    joins, rotation order is preserved, and back-to-back updates leave
+    exactly the newest artifact (loop.fit calls wait() before returning)."""
+    params = vit_lib.init_vit_params(jax.random.key(0), tiny_cfg)
+    keeper = ckpt_lib.BestCheckpointKeeper(str(tmp_path), "cifar", seed=14)
+    assert keeper.async_io
+    p1 = keeper.update(0.5, params, None)
+    p2 = keeper.update(0.75, params, None)  # joins the p1 write first
+    assert keeper.update(0.6, params, None) is None
+    keeper.wait()
+    assert os.path.exists(p2) and not os.path.exists(p1)
+    # The artifact is complete and loadable after wait().
+    loaded, cara, meta = ckpt_lib.load_model(p2)
+    assert meta["acc"] == 0.75 and cara is None
+    assert set(loaded) == set(params)
+    keeper.wait()  # idempotent
 
 
 def test_train_state_resume(tiny_cfg, tmp_path):
