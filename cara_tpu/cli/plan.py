@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", default=64, type=int)
     p.add_argument("--hbm-gb", default=16.0, type=float,
                    help="Per-device HBM budget (v5e: 16, v4: 32, v5p: 95)")
+    p.add_argument("--slices", default=1, type=int,
+                   help="Multi-slice (DCN) topology: model/stage axes are "
+                        "kept intra-slice, dp/tp plans carry the matching "
+                        "--dcn-mesh")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-adapter", action="store_true",
@@ -63,7 +67,8 @@ def main(argv=None) -> int:
     dtype = common.resolve_dtype(args.dtype)
 
     plan = planner.plan_mesh(cfg, cara_cfg, n, args.batch_size,
-                             hbm_gb=args.hbm_gb, compute_dtype=dtype)
+                             hbm_gb=args.hbm_gb, compute_dtype=dtype,
+                             n_slices=args.slices)
     measured = None
     if args.verify:
         measured = planner.verify_plan(plan, cfg, cara_cfg,

@@ -75,6 +75,7 @@ class Plan:
     memory: MemEstimate
     hbm_bytes: int
     rationale: Tuple[str, ...]
+    n_slices: int = 1              # multi-slice (DCN) topology planned for
 
     @property
     def fits(self) -> bool:
@@ -88,7 +89,10 @@ class Plan:
                 + (f",{v}" if v > 1 else "")
             return f"--pipeline {spec}"
         d, t = self.mesh_shape
-        return f"--mesh {d},{t}"
+        flags = f"--mesh {d},{t}"
+        if self.n_slices > 1:
+            flags += f" --dcn-mesh {self.n_slices},1"
+        return flags
 
 
 def _tree_bytes(shapes, per_leaf=None) -> int:
@@ -214,6 +218,7 @@ def plan_mesh(
     hbm_gb: float = 16.0,
     compute_dtype=jnp.bfloat16,
     margin: float = 0.85,
+    n_slices: int = 1,
 ) -> Plan:
     """Pick the cheapest parallelism that fits ``margin * hbm_gb`` HBM.
 
@@ -223,10 +228,24 @@ def plan_mesh(
     depth % (S*V) == 0 and V <= 4) -> pipeline x tensor.  Returns the
     last (largest) candidate even when nothing fits, with ``fits=False``
     — callers print the itemized estimate and let the user decide.
+
+    ``n_slices`` > 1 plans for a multi-slice (DCN) topology: the data
+    axis crosses the slice boundary (dp/tp plans carry the matching
+    ``--dcn-mesh``), TP must divide the PER-SLICE device count so its
+    per-layer psums never ride DCN, and pipeline rings are likewise
+    constrained to live inside one slice (the per-tick ppermute is an
+    ICI-class transfer).
     """
+    if n_slices < 1 or n_devices % n_slices:
+        raise ValueError(
+            f"{n_devices} devices do not split into {n_slices} slices")
+    per_slice = n_devices // n_slices
     budget = int(hbm_gb * _GiB * margin)
     hbm = int(hbm_gb * _GiB)
     tried: List[str] = []
+    if n_slices > 1:
+        tried.append(f"topology: {n_slices} slices x {per_slice} "
+                     "devices — model/stage axes kept intra-slice")
 
     def mem(dp, tp, s, m):
         return estimate_memory(cfg, cara_cfg, batch_size, dp=dp, tp=tp,
@@ -246,13 +265,14 @@ def plan_mesh(
         if est.total <= budget:
             return Plan("dp", (dp, 1), None, est, hbm, tuple(tried + [
                 "pure data parallelism fits: only collective is the "
-                "~100KB adapter grad all-reduce"]))
+                "~100KB adapter grad all-reduce"]), n_slices)
     else:
         tried.append(f"dp={dp}: batch {batch_size} does not divide")
 
-    # 2. DP x TP (fused TP needs heads % T == 0 and hidden % T == 0).
+    # 2. DP x TP (fused TP needs heads % T == 0 and hidden % T == 0; on a
+    # multi-slice topology T must also divide the per-slice count).
     for t in _divisors_leq(n_devices, min(n_devices, 8)):
-        if cfg.num_heads % t or cfg.hidden_dim % t:
+        if cfg.num_heads % t or cfg.hidden_dim % t or per_slice % t:
             continue
         dp = n_devices // t
         if not dp_ok(dp):
@@ -262,7 +282,7 @@ def plan_mesh(
         if est.total <= budget:
             return Plan("tp", (dp, t), None, est, hbm, tuple(tried + [
                 f"tensor parallelism T={t}: per-layer residual psums "
-                "stay on ICI; megakernels run per-shard"]))
+                "stay on ICI; megakernels run per-shard"]), n_slices)
 
     # 3. Pipeline (optionally circular), then pipeline x tensor.
     best = None
@@ -270,7 +290,11 @@ def plan_mesh(
         if t > 1 and (cfg.num_heads % t or cfg.hidden_dim % t):
             continue
         for s in _divisors_leq(cfg.depth, min(cfg.depth, n_devices)):
-            if n_devices % (s * t):
+            # Each S*T stage ring must live inside ONE slice (the per-tick
+            # ppermute is an ICI-class transfer); with the slice-major
+            # device order this reduces to S*T dividing the per-slice
+            # count, since (data-outer) reshape tiles contiguous blocks.
+            if n_devices % (s * t) or per_slice % (s * t):
                 continue
             dp = n_devices // (s * t)
             if not dp_ok(dp):
@@ -287,7 +311,7 @@ def plan_mesh(
                 f"{kind} S={s},M={m},T={t},V={v}: "
                 f"{est.total / _GiB:.2f} GiB")
             cand = Plan(kind, (dp, t), (s, m, t, v), est, hbm,
-                        tuple(tried))
+                        tuple(tried), n_slices)
             if est.total <= budget:
                 bubble = (s - 1) / (m * v + s - 1)
                 return dataclasses.replace(cand, rationale=tuple(
@@ -299,7 +323,7 @@ def plan_mesh(
                 best = cand
     if best is None:
         best = Plan("dp", (n_devices, 1), None,
-                    mem(n_devices, 1, 1, 1), hbm, tuple(tried))
+                    mem(n_devices, 1, 1, 1), hbm, tuple(tried), n_slices)
     return dataclasses.replace(best, rationale=tuple(
         list(best.rationale)
         + ["NOTHING fits the budget — largest-sharding candidate "

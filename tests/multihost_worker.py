@@ -95,6 +95,22 @@ def main():
         attn_impl="fused", dense_impl="fused", mesh=mesh, grad_accum=2),
         donate_argnums=(0,))
 
+    # Fourth leg: HYBRID ICI x DCN mesh with each PROCESS as one slice
+    # (slice_of = process_index) — the faithful multi-host DCN shape: the
+    # data axis crosses the process/slice boundary, slice-contiguous
+    # rows outermost, and the loss must equal the plain-mesh leg exactly.
+    mesh_hy = mesh_lib.make_hybrid_mesh(
+        (8, 1), (nprocs, 1), slice_of=lambda d: d.process_index)
+    batch_hy = mesh_lib.put_batch(
+        mesh_hy, next(iter(BatchLoader(src, 8, train=True, seed=7))))
+    frozen4, state4 = steps_lib.init_train_state(
+        tx, model.params, model.cara_params)
+    frozen4 = mesh_lib.put_replicated(mesh_hy, frozen4)
+    state4 = mesh_lib.put_replicated(mesh_hy, state4)
+    hy_step = jax.jit(steps_lib.make_train_step(
+        model.cfg, model.cara_cfg, tx, compute_dtype=jnp.float32),
+        donate_argnums=(0,))
+
     # AOT-compile every leg FIRST, then barrier, then execute: each new
     # executable's Gloo communicator has a 30 s key-exchange deadline at
     # its first run, and per-process COMPILE skew (the slow part) exceeds
@@ -103,6 +119,7 @@ def main():
     step_c = step.lower(state, frozen, batch, key).compile()
     fused_c = fused_step.lower(state2, frozen2, batch, key).compile()
     ga_c = ga_step.lower(state3, frozen3, batch16, key).compile()
+    hy_c = hy_step.lower(state4, frozen4, batch_hy, key).compile()
     multihost_utils.sync_global_devices("cara_multihost_compiled")
 
     state, metrics = step_c(state, frozen, batch, key)
@@ -114,6 +131,10 @@ def main():
     _, m3 = ga_c(state3, frozen3, batch16, key)
     loss_ga = float(m3["loss"])
     assert np.isfinite(loss_ga), loss_ga
+    _, m4 = hy_c(state4, frozen4, batch_hy, key)
+    loss_hy = float(m4["loss"])
+    assert abs(loss_hy - loss) < 1e-6, \
+        f"hybrid DCN mesh diverges from plain DP: {loss_hy} vs {loss}"
 
     flat = {}
     for k, v in jax.tree_util.tree_leaves_with_path(state.trainable):

@@ -154,3 +154,26 @@ def test_mesh_auto_cli(tmp_path):
             "--backbone", str(tmp_path / "missing.npz"),
             "--out-dir", str(tmp_path), "--dim", "4", "--epochs", "2",
             "--mesh", "auto", "--hbm-gb", "0.00001"])
+
+
+def test_multi_slice_plans():
+    """n_slices > 1: dp/tp plans carry --dcn-mesh, model/stage axes stay
+    intra-slice, and invalid slice splits die loudly."""
+    cfg = MODEL_REGISTRY["vit_base_patch16_224_in21k"]
+    p = planner.plan_mesh(cfg, CC, 16, 64, hbm_gb=16.0, n_slices=2)
+    assert p.kind == "dp"
+    assert p.cli_flags() == "--mesh 16,1 --dcn-mesh 2,1"
+    with pytest.raises(ValueError, match="slices"):
+        planner.plan_mesh(cfg, CC, 8, 64, n_slices=3)
+
+    # Under pressure on 4 slices x 2 devices: any tp/stage factor must
+    # divide the per-slice count (2).
+    for gb in (0.7, 0.5, 0.3):
+        p = planner.plan_mesh(cfg, CC, 8, 64, hbm_gb=gb, n_slices=4)
+        if p.pipeline is not None:
+            s, _, t, _ = p.pipeline
+            assert (s * t) in (1, 2), p.pipeline
+        elif p.kind == "tp":
+            assert p.mesh_shape[1] == 2
+        if p.fits and p.pipeline is None:
+            assert p.cli_flags().endswith("--dcn-mesh 4,1")
