@@ -13,8 +13,10 @@ test-fast:
 
 # Commit-gate subset (~2 min on one CPU): core math, init-scheme,
 # io/checkpoint, merge exactness, padded-class masking, and the linter's
-# own tests.  The full suite (28 min on this host: megakernel parity,
-# multihost, CLI e2e) runs in CI / `make test`.
+# own tests.  The full suite (~45 min single-process on this host:
+# megakernel parity, multihost, CLI e2e) runs in CI as two split jobs;
+# `make test` runs it in one process (conftest clears JAX caches per
+# module to keep the long-lived XLA CPU client stable).
 test-smoke:
 	$(PY) -m pytest tests/test_cp_math.py tests/test_init_stats.py \
 		tests/test_io.py tests/test_merge.py tests/test_lint.py \

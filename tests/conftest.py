@@ -20,3 +20,23 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop JAX's in-process executable caches after every test module.
+
+    A single-process run of the full suite accumulates hundreds of
+    compiled CPU executables; at the ~45-minute mark XLA's compiler has
+    been observed to segfault inside ``backend_compile_and_load``
+    (state-dependent — the same tests pass in half-suite runs).  Clearing
+    per module bounds the live-executable population at a small
+    recompile cost for cross-module jit reuse.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
