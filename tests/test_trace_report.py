@@ -110,3 +110,25 @@ def test_cli_empty_dir(tmp_path, capsys):
     rc = trace_report.main([str(tmp_path)])
     assert rc == 1
     assert "no *.xplane.pb" in capsys.readouterr().err
+
+
+def test_doctor_cli(capsys):
+    """tools/doctor.py health check: all required checks pass on the CPU
+    test backend, JSON mode is machine-readable, exit code reflects
+    health."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import doctor
+    finally:
+        sys.path.pop(0)
+    rc = doctor.main(["--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["ok"] is True
+    names = {c["check"] for c in rep["checks"]}
+    assert {"backend", "dispatch", "model-forward"} <= names
+    assert all(c["ok"] for c in rep["checks"] if c["required"])
