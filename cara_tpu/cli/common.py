@@ -84,6 +84,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "stage, fill/drain bubble shrinks by V. Batch "
                         "sizes must split into M microbatches x the data "
                         "shards. Mutually exclusive with --mesh")
+    p.add_argument("--fsdp", action="store_true",
+                   help="Shard the FROZEN backbone over the data axis "
+                        "(ZeRO-3-style weight streaming: per-device frozen "
+                        "bytes / data-parallel degree, one bf16 weight "
+                        "all-gather per layer per step). Forces the XLA "
+                        "impls; composes with --mesh d,m tensor "
+                        "parallelism on disjoint weight axes")
     p.add_argument("--no-remat", action="store_true",
                    help="Disable per-layer rematerialization")
     p.add_argument("--grad-accum", default=1, type=int,
@@ -222,14 +229,17 @@ def apply_auto_mesh(args, cfg, cara_cfg) -> None:
             f"(best candidate {plan.cli_flags()} needs "
             f"{plan.memory.total / 2**30:.2f} GiB). Ladder:\n  "
             + "\n  ".join(plan.rationale))
-    flag, _, spec = plan.cli_flags().partition(" ")
-    print(f"auto mesh: {plan.kind} -> {flag} {spec} "
+    tokens = plan.cli_flags().split()
+    flag, spec = tokens[0], tokens[1]
+    print(f"auto mesh: {plan.kind} -> {' '.join(tokens)} "
           f"(est {plan.memory.total / 2**30:.2f} / {hbm_gb:.1f} "
           f"GiB/device)")
     if flag == "--pipeline":
         args.pipeline, args.mesh = spec, None
     else:
         args.mesh = spec
+    if "--fsdp" in tokens:
+        args.fsdp = True
 
 
 def resolve_mesh(spec: Optional[str], dcn_spec: Optional[str] = None):
@@ -279,6 +289,11 @@ def resolve_pipeline(args):
     if getattr(args, "mesh", None):
         raise SystemExit("--pipeline builds its own (data, stage[, model]) "
                          "mesh; drop --mesh")
+    if getattr(args, "fsdp", False):
+        raise SystemExit("--fsdp shards frozen weights over the data axis "
+                         "of the plain (data, model) mesh; the pipeline "
+                         "schedule already shards them over its stage axis "
+                         "— drop one of --fsdp/--pipeline")
     try:
         parts = [int(v) for v in spec.split(",")]
     except ValueError:

@@ -90,6 +90,7 @@ def main(argv=None) -> float:
         grad_accum=args.grad_accum,
         train_step=train_step, eval_step=eval_step,
         attn_impl=args.attn_impl, dense_impl=args.dense_impl,
+        fsdp=args.fsdp,
         ckpt_meta={"model": args.model, "dataset": args.dataset,
                    **({"model_overrides": mo} if mo else {})})
 

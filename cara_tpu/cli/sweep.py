@@ -148,12 +148,14 @@ def run_task(task: str, args, results: dict,
                     model.cfg, model.cara_cfg, tx, compute_dtype=cd,
                     remat=False if args.no_remat else "auto",
                     attn_impl=args.attn_impl, dense_impl=args.dense_impl,
-                    mesh=mesh, grad_accum=args.grad_accum),
+                    mesh=mesh, grad_accum=args.grad_accum,
+                    fsdp=args.fsdp),
                 donate_argnums=(0,))
             es = jax.jit(
                 steps_lib.make_eval_step(
                     model.cfg, model.cara_cfg, compute_dtype=cd, mesh=mesh,
-                    attn_impl=args.attn_impl, dense_impl=args.dense_impl))
+                    attn_impl=args.attn_impl, dense_impl=args.dense_impl,
+                    fsdp=args.fsdp))
             step_cache[cache_key] = (ts, es)
         train_step, eval_step = step_cache[cache_key]
     frozen, state = steps_lib.init_train_state(
@@ -173,7 +175,7 @@ def run_task(task: str, args, results: dict,
         compute_dtype=common.resolve_dtype(args.dtype),
         remat=False if args.no_remat else "auto", attn_impl=args.attn_impl,
         grad_accum=args.grad_accum,
-        dense_impl=args.dense_impl,
+        dense_impl=args.dense_impl, fsdp=args.fsdp,
         ckpt_meta={"model": args.model, "dataset": task,
                    "num_classes_real": num_real,
                    **({"model_overrides": mo} if mo else {})})
@@ -379,6 +381,10 @@ def main(argv=None):
         if not args.pad_classes:
             raise SystemExit("--task-parallel requires --pad-classes (one "
                              "stacked head shape across the group)")
+        if args.fsdp:
+            raise SystemExit("--fsdp is not supported under --task-parallel "
+                             "(the task mesh shares ONE replicated backbone "
+                             "across tasks by design)")
         import collections
 
         if args.task_data < 1:

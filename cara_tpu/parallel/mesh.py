@@ -155,6 +155,58 @@ def vit_param_specs(params: Dict[str, Any], tensor_parallel: bool) -> Dict[str, 
     return specs
 
 
+def fsdp_param_specs(frozen: Dict[str, Any], fsdp_size: int,
+                     tensor_parallel: bool = False) -> Dict[str, Any]:
+    """ZeRO-3-style specs for the FROZEN backbone: shard weights over ``data``.
+
+    Plain data parallelism replicates the frozen backbone on every data
+    shard — fine for ViT-B (~330 MB), wasteful for ViT-H/g-class backbones.
+    FSDP shards each large kernel's *feature* axis over the DATA axis; XLA's
+    SPMD partitioner then all-gathers one layer's weights per ``lax.scan``
+    iteration (weight streaming) instead of holding ``dp`` full replicas.
+    The gathered copy is transient, so per-device frozen bytes drop by the
+    data-axis size at the cost of one bf16 weight all-gather per layer per
+    step — ICI-cheap relative to the layer's GEMMs.
+
+    The sharded axis is chosen DISJOINT from the tensor-parallel one, so
+    FSDP composes with (XLA-path) TP: e.g. the stacked qkv kernel
+    ``(L, E, 3E)`` puts ``model`` on the output axis and ``data`` on the
+    input axis.  Leaves whose target axis does not divide by ``fsdp_size``
+    stay replicated (correctness first — the guard, not the caller, decides
+    per-leaf).  The reference has no analog (single GPU, SURVEY.md §2.6);
+    this is the jax-native equivalent of torch FSDP / ZeRO-3 applied to the
+    frozen-weight streaming case.
+    """
+    specs = vit_param_specs(frozen, tensor_parallel)
+    if fsdp_size <= 1:
+        return specs
+    # leaf path -> axis to shard over `data` (disjoint from the TP axis).
+    plan = {
+        ("blocks", "qkv", "kernel"): 1,    # (L, E, 3E): TP on axis 2
+        ("blocks", "proj", "kernel"): 2,   # (L, E, E):  TP on axis 1
+        ("blocks", "fc1", "kernel"): 1,    # (L, E, H):  TP on axis 2
+        ("blocks", "fc2", "kernel"): 2,    # (L, H, E):  TP on axis 1
+        ("embed", "kernel"): 0,            # (P*P*C, E)
+        ("pre_logits", "kernel"): 0,       # (E, R)
+        ("proj_out", "kernel"): 0,         # (E, P)
+    }
+    for path, axis in plan.items():
+        node, spec_node = frozen, specs
+        for key in path[:-1]:
+            if not isinstance(node, dict) or key not in node:
+                node = None
+                break
+            node, spec_node = node[key], spec_node[key]
+        leaf = node.get(path[-1]) if isinstance(node, dict) else None
+        if leaf is None or leaf.shape[axis] % fsdp_size:
+            continue
+        base = spec_node[path[-1]]
+        parts = list(base) + [None] * (leaf.ndim - len(base))
+        parts[axis] = DATA_AXIS
+        spec_node[path[-1]] = P(*parts)
+    return specs
+
+
 def tp_permute_qkv(frozen: Dict[str, Any], cfg, tp: int) -> Dict[str, Any]:
     """Reorder the fused qkv kernel/bias for head-sharded tensor parallelism.
 

@@ -90,6 +90,8 @@ class Plan:
             return f"--pipeline {spec}"
         d, t = self.mesh_shape
         flags = f"--mesh {d},{t}"
+        if self.kind in ("fsdp", "fsdp_tp"):
+            flags += " --fsdp"
         if self.n_slices > 1:
             flags += f" --dcn-mesh {self.n_slices},1"
         return flags
@@ -132,6 +134,7 @@ def estimate_memory(
     tp: int = 1,
     stages: int = 1,
     microbatches: int = 1,
+    fsdp: int = 1,
     compute_dtype=jnp.bfloat16,
     remat: bool = True,
 ) -> MemEstimate:
@@ -175,7 +178,9 @@ def estimate_memory(
         if "blocks" in keys:
             nbytes = int(np.ceil(nbytes / stages))
             if any(k in block_split for k in keys):
-                nbytes = int(np.ceil(nbytes / tp))
+                # TP and FSDP shard DISJOINT kernel axes (mesh.
+                # fsdp_param_specs) so both divisors apply.
+                nbytes = int(np.ceil(nbytes / (tp * max(fsdp, 1))))
         return nbytes
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -195,6 +200,11 @@ def estimate_memory(
     l_local = int(np.ceil(cfg.depth / stages))
     act = l_local * b_loc * n_pad * e * bc * (1 if remat else 6)
     work = 8 * b_micro * n_pad * e * bc
+    if fsdp > 1:
+        # FSDP's transient all-gathered layer weights (one layer live +
+        # one prefetching): qkv+proj+fc1+fc2 of ONE layer in compute dtype.
+        layer_w = (4 * e * e + 2 * e * cfg.hidden_dim) // max(tp, 1)
+        work += 2 * layer_w * bc
     scores = 0
     if n_pad <= 512:  # full-score path (blockwise kernel past this)
         scores = b_micro * cfg.num_heads * n_pad * n_pad * bc
@@ -247,9 +257,9 @@ def plan_mesh(
         tried.append(f"topology: {n_slices} slices x {per_slice} "
                      "devices — model/stage axes kept intra-slice")
 
-    def mem(dp, tp, s, m):
+    def mem(dp, tp, s, m, fsdp=1):
         return estimate_memory(cfg, cara_cfg, batch_size, dp=dp, tp=tp,
-                               stages=s, microbatches=m,
+                               stages=s, microbatches=m, fsdp=fsdp,
                                compute_dtype=compute_dtype)
 
     # Every mesh must cover ALL devices (make_mesh requires it) and the
@@ -283,6 +293,35 @@ def plan_mesh(
             return Plan("tp", (dp, t), None, est, hbm, tuple(tried + [
                 f"tensor parallelism T={t}: per-layer residual psums "
                 "stay on ICI; megakernels run per-shard"]), n_slices)
+
+    # 2.5. DP + FSDP: frozen weights sharded over the data axis (ZeRO-3
+    # weight streaming, mesh.fsdp_param_specs).  After TP in the ladder:
+    # it forfeits the megakernels (XLA impls only — Pallas calls are
+    # opaque to GSPMD's weight-gathering strategy) and divides only the
+    # frozen bytes, while TP also divides activations.  Before pipeline:
+    # no fill/drain bubble.  Optionally composed with TP on the disjoint
+    # weight axes.
+    for t in [1] + _divisors_leq(n_devices, min(n_devices, 8)):
+        if t > 1 and (cfg.num_heads % t or cfg.hidden_dim % t
+                      or per_slice % t):
+            continue
+        dp = n_devices // t
+        if dp <= 1 or not dp_ok(dp):
+            continue
+        # The sharded feature axis is embed_dim on all four block kernels
+        # (mesh.fsdp_param_specs); if it doesn't divide, the per-leaf
+        # guard leaves them replicated and the estimate would be fiction.
+        if cfg.embed_dim % dp:
+            continue
+        est = mem(dp, t, 1, 1, fsdp=dp)
+        kind = "fsdp" if t == 1 else "fsdp_tp"
+        tried.append(f"{kind} dp={dp},tp={t}: {est.total / _GiB:.2f} GiB")
+        if est.total <= budget:
+            return Plan(kind, (dp, t), None, est, hbm, tuple(tried + [
+                f"FSDP over dp={dp}: frozen bytes /{dp}, one bf16 weight "
+                "all-gather per layer per step (XLA impls)"
+                + (f"; XLA TP T={t} on the disjoint axes" if t > 1
+                   else "")]), n_slices)
 
     # 3. Pipeline (optionally circular), then pipeline x tensor.
     best = None
@@ -370,10 +409,15 @@ def verify_plan(plan: Plan, cfg: ViTConfig, cara_cfg: Optional[CaraConfig],
             compute_dtype=compute_dtype))
     else:
         mesh = mesh_lib.make_mesh(plan.mesh_shape)
+        fsdp = plan.kind in ("fsdp", "fsdp_tp")
         step = jax.jit(steps_lib.make_train_step(
-            cfg, cara_cfg, tx, compute_dtype=compute_dtype,
-            mesh=mesh if plan.mesh_shape[1] > 1 else None))
-    frozen = mesh_lib.put_replicated(mesh, frozen)
+            cfg, cara_cfg, tx, compute_dtype=compute_dtype, fsdp=fsdp,
+            mesh=mesh if (plan.mesh_shape[1] > 1 or fsdp) else None))
+        if fsdp:
+            frozen = steps_lib.prepare_fsdp_frozen(
+                frozen, mesh, tensor_parallel=plan.mesh_shape[1] > 1)
+    if plan.pipeline is not None or plan.kind not in ("fsdp", "fsdp_tp"):
+        frozen = mesh_lib.put_replicated(mesh, frozen)
     state = mesh_lib.put_replicated(mesh, state)
     batch = mesh_lib.put_batch(mesh, batch)
     return memory_report(step, state, frozen, batch, jax.random.key(0))

@@ -147,6 +147,7 @@ def fit(
     attn_impl: str = "auto",
     dense_impl: str = "auto",
     grad_accum: int = 1,
+    fsdp: bool = False,
     ckpt_meta: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Run the fine-tuning protocol; returns summary dict with best accuracy."""
@@ -161,20 +162,43 @@ def fit(
         steps_lib.make_train_step(
             cfg, cara_cfg, tx, compute_dtype=compute_dtype, remat=remat,
             attn_impl=attn_impl, dense_impl=dense_impl, mesh=mesh,
-            grad_accum=grad_accum),
+            grad_accum=grad_accum, fsdp=fsdp),
         donate_argnums=(0,))
     eval_step = eval_step or jax.jit(
         steps_lib.make_eval_step(cfg, cara_cfg, compute_dtype=compute_dtype,
                                  mesh=mesh, attn_impl=attn_impl,
-                                 dense_impl=dense_impl))
+                                 dense_impl=dense_impl, fsdp=fsdp))
 
     put = (lambda b: mesh_lib.put_batch(mesh, b)) if mesh is not None else (
         lambda b: b)
+    _tp_fused = _fsdp = False
+    _tp = mesh is not None and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1
+    if not custom_steps:
+        _, _, _, _tp_fused, _, _fsdp = steps_lib._resolve_impls(
+            attn_impl, dense_impl, cara_cfg, mesh,
+            has_cara=cara_cfg is not None, cfg=cfg, fsdp=fsdp)
+    elif fsdp:
+        # Caller-supplied steps + fsdp=True: the caller promises its steps
+        # were built fsdp-aware (e.g. sweep's shared executables); fit only
+        # owns the frozen placement.
+        _fsdp = mesh is not None and mesh.shape.get(mesh_lib.DATA_AXIS, 1) > 1
     if mesh is not None:
-        frozen = mesh_lib.put_replicated(mesh, frozen)
         state = mesh_lib.put_replicated(mesh, state)
+        # Frozen-backbone placement by strategy.  FSDP: BOTH the fp32
+        # original and the compute copy carry the data-axis (ZeRO-3)
+        # shardings — a replicated fp32 copy would defeat the memory win
+        # (checkpoint paths jax.device_get the global array, which
+        # gathers on demand).  XLA TP: Megatron specs on the compute copy
+        # (without this the model axis would sit idle — GSPMD only
+        # shards what the argument shardings tell it to).  Fused TP keeps
+        # replicated-frozen here and reshards via prepare_tp_frozen.
+        if _fsdp:
+            frozen = steps_lib.prepare_fsdp_frozen(
+                frozen, mesh, tensor_parallel=_tp)
+        else:
+            frozen = mesh_lib.put_replicated(mesh, frozen)
     # Pre-cast the static backbone once; keep the fp32 original for
-    # checkpoint artifacts.
+    # checkpoint artifacts.  The elementwise cast preserves shardings.
     frozen_compute = (steps_lib.cast_floating(frozen, compute_dtype)
                       if compute_dtype is not None else frozen)
     # Fused tensor parallelism: the COMPUTE copy of the backbone gets the
@@ -184,12 +208,20 @@ def fit(
     # step (train/pp.py) permutes qkv IN-GRAPH from the canonical layout,
     # so preparing here would double-permute.
     if not custom_steps:
-        _, _, _, _tp_fused, _ = steps_lib._resolve_impls(
-            attn_impl, dense_impl, cara_cfg, mesh,
-            has_cara=cara_cfg is not None, cfg=cfg)
         if _tp_fused:
             frozen_compute = steps_lib.prepare_tp_frozen(
                 frozen_compute, cfg, mesh)
+        elif _tp and not _fsdp:
+            # XLA TP fallback: apply the Megatron weight shardings to the
+            # compute copy so the model axis actually participates.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            specs = mesh_lib.vit_param_specs(
+                frozen_compute, tensor_parallel=True)
+            frozen_compute = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                frozen_compute, specs,
+                is_leaf=lambda x: isinstance(x, P))
 
     best_acc = 0.0
     last_metrics: Dict[str, Any] = {}

@@ -96,7 +96,8 @@ def cast_floating(tree, dtype):
 
 
 def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
-                   has_cara: bool = True, cfg: Optional[ViTConfig] = None):
+                   has_cara: bool = True, cfg: Optional[ViTConfig] = None,
+                   fsdp: bool = False):
     """Resolve auto impls and decide the multi-device strategy.
 
     Pallas kernels are opaque custom calls to GSPMD: with a sharded batch
@@ -120,7 +121,15 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
       the ``vit_param_specs`` annotations (correct for every path incl.
       materialized deltas).
 
-    Returns (attn_impl, dense_impl, use_shard_map, tp_fused).
+    FSDP (``fsdp=True`` on a >1-device data mesh) shards the frozen
+    backbone over the data axis (``mesh.fsdp_param_specs``); the Pallas
+    kernels are opaque to GSPMD's weight-gathering strategy (and the
+    shard_map DP path replicates frozen weights by construction), so FSDP
+    forces the XLA impls and stays in GSPMD-land, like sequence
+    parallelism.  Memory-for-speed tradeoff: per-device frozen bytes / dp,
+    megakernel wins forfeited.
+
+    Returns (attn_impl, dense_impl, use_shard_map, tp_fused, sp, fsdp).
     """
     from cara_tpu.models.vit import resolve_dense_impl
     from cara_tpu.parallel.mesh import (
@@ -130,6 +139,11 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
         dense_impl = resolve_dense_impl(has_cara, cara_cfg)
+    fsdp = bool(fsdp and mesh is not None
+                and mesh.shape.get(DATA_AXIS, 1) > 1)
+    if fsdp:
+        attn_impl = "xla"
+        dense_impl = "xla"
     sp = mesh_lib_seq_size(mesh) > 1
     if sp:
         # Sequence parallelism shards the token axis via GSPMD constraints
@@ -153,10 +167,10 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
             attn_impl = "xla"
             dense_impl = "xla"
     use_shard_map = tp_fused or (
-        mesh is not None and not tp and not sp
+        mesh is not None and not tp and not sp and not fsdp
         and mesh.shape[DATA_AXIS] > 1
         and (attn_impl != "xla" or dense_impl == "fused"))
-    return attn_impl, dense_impl, use_shard_map, tp_fused, sp
+    return attn_impl, dense_impl, use_shard_map, tp_fused, sp, fsdp
 
 
 def mask_padded_classes(logits: jax.Array, batch) -> jax.Array:
@@ -205,6 +219,23 @@ def prepare_tp_frozen(frozen: Params, cfg: ViTConfig, mesh):
         frozen, specs, is_leaf=lambda x: isinstance(x, P))
 
 
+def prepare_fsdp_frozen(frozen: Params, mesh, tensor_parallel: bool = False):
+    """Frozen backbone -> FSDP form: each large kernel device_put with its
+    data-axis (ZeRO-3-style) sharding from ``mesh.fsdp_param_specs``; XLA
+    all-gathers one layer's weights per scan iteration inside the step.
+    ``tensor_parallel`` composes the Megatron specs on the disjoint axes
+    (XLA TP path only — fused TP keeps its own replicated-frozen shard_map)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cara_tpu.parallel import mesh as mesh_lib
+
+    specs = mesh_lib.fsdp_param_specs(
+        frozen, mesh.shape[mesh_lib.DATA_AXIS], tensor_parallel)
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+        frozen, specs, is_leaf=lambda x: isinstance(x, P))
+
+
 def make_train_step(
     cfg: ViTConfig,
     cara_cfg: CaraConfig,
@@ -217,6 +248,7 @@ def make_train_step(
     mesh=None,
     grad_accum: int = 1,
     data_axis=None,
+    fsdp: bool = False,
 ):
     """Build the jittable train step: (state, frozen, batch, rng) -> (state, metrics).
 
@@ -250,8 +282,8 @@ def make_train_step(
     if data_axis is not None and mesh is not None:
         raise ValueError("data_axis composes inside an outer shard_map; "
                          "pass either mesh or data_axis, not both")
-    attn_impl, dense_impl, use_shard_map, tp_fused, sp = _resolve_impls(
-        attn_impl, dense_impl, cara_cfg, mesh, cfg=cfg)
+    attn_impl, dense_impl, use_shard_map, tp_fused, sp, _ = _resolve_impls(
+        attn_impl, dense_impl, cara_cfg, mesh, cfg=cfg, fsdp=fsdp)
     if remat == "auto":
         remat = dense_impl != "fused"
     tp_axis = None
@@ -385,7 +417,8 @@ def make_train_step(
 
 def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
                    compute_dtype=None, mesh=None, attn_impl: str = "auto",
-                   dense_impl: str = "auto", data_axis=None):
+                   dense_impl: str = "auto", data_axis=None,
+                   fsdp: bool = False):
     """(params, cara, batch) -> per-batch (num_correct, num_total).
 
     Equivalent of the reference eval loop's avalanche ``Accuracy.update``
@@ -403,9 +436,9 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
         raise ValueError("data_axis composes inside an outer shard_map; "
                          "pass either mesh or data_axis, not both")
     auto_dense = dense_impl == "auto"
-    attn_impl, dense_impl, use_shard_map, tp_fused, sp = _resolve_impls(
+    attn_impl, dense_impl, use_shard_map, tp_fused, sp, _ = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh,
-        has_cara=cara_cfg is not None, cfg=cfg)
+        has_cara=cara_cfg is not None, cfg=cfg, fsdp=fsdp)
     tp_axis = None
     if tp_fused:
         from cara_tpu.parallel.mesh import MODEL_AXIS as tp_axis  # noqa: F811

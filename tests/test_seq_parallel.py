@@ -45,9 +45,10 @@ def test_seq_mesh_shape():
 def test_resolve_forces_xla(setup):
     cfg, cc, *_ = setup
     mesh = mesh_lib.make_mesh((1, 1, 8))
-    a, d, sm, tpf, sp = steps_lib._resolve_impls(
+    a, d, sm, tpf, sp, fsdp = steps_lib._resolve_impls(
         "fused", "fused", cc, mesh, cfg=cfg)
-    assert (a, d, sm, tpf, sp) == ("xla", "xla", False, False, True)
+    assert (a, d, sm, tpf, sp, fsdp) == ("xla", "xla", False, False, True,
+                                         False)
 
 
 def test_seq_eval_matches_single_device(setup):
