@@ -61,18 +61,27 @@ def build_model(
     delta_impl: str = "factorized",
     weight_dropout: float = 0.1,
     weight_dropout_impl: str = "element",
+    moe_experts: int = 0,
+    moe_top_k: int = 2,
+    moe_aux_coef: float = 0.01,
     dtype=jnp.float32,
     model_overrides: Optional[Dict[str, Any]] = None,
 ) -> CaraModel:
     """Build backbone + adapter, mirroring the reference driver's sequence
     (``vit_cp.py:155-166``): create model (npz checkpoint if available),
-    apply CaRA, reset classifier."""
+    apply CaRA, reset classifier.
+
+    ``moe_experts > 1`` builds the mixture-of-expert-adapters variant
+    (``models.moe``): ``cara_params`` becomes the ``{"experts", "router"}``
+    tree and training adds the load-balance auxiliary loss."""
     cfg = get_model_config(model_name, **(model_overrides or {}))
     cara_cfg = CaraConfig(
         rank=rank, scale=scale, l_mu=l_mu, l_std=l_std,
         cp_order=cp_order, delta_impl=delta_impl,
         weight_dropout=weight_dropout,
         weight_dropout_impl=weight_dropout_impl,
+        moe_experts=moe_experts, moe_top_k=moe_top_k,
+        moe_aux_coef=moe_aux_coef,
     )
     root = jax.random.key(seed)
     k_backbone, k_cara, k_head = jax.random.split(root, 3)
@@ -96,7 +105,12 @@ def build_model(
     else:
         params = vit_lib.init_vit_params(k_backbone, cfg, dtype)
 
-    cara_params = cara_lib.init_cara_params(k_cara, cfg, cara_cfg, dtype)
+    if cara_cfg.moe:
+        from cara_tpu.models import moe as moe_lib
+
+        cara_params = moe_lib.init_moe_params(k_cara, cfg, cara_cfg, dtype)
+    else:
+        cara_params = cara_lib.init_cara_params(k_cara, cfg, cara_cfg, dtype)
 
     if num_classes is not None:
         params = vit_lib.reset_classifier(params, k_head, cfg, num_classes, dtype)

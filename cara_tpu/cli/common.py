@@ -56,13 +56,22 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    choices=["float32", "bfloat16"],
                    help="Compute dtype (params/optimizer stay fp32)")
     p.add_argument("--mesh", default=None, type=str,
-                   help="data,model[,seq] mesh shape, e.g. '8,1' or "
+                   help="data,model[,seq[,expert]] mesh shape, e.g. '8,1', "
                         "'2,1,4' (seq = sequence parallelism for "
-                        "high-resolution geometries; default: all "
-                        "devices on the data axis), or 'auto' — run the "
-                        "parallelism planner (parallel/planner.py) and "
+                        "high-resolution geometries) or '2,1,1,4' (expert "
+                        "= expert parallelism for --moe adapters; default: "
+                        "all devices on the data axis), or 'auto' — run "
+                        "the parallelism planner (parallel/planner.py) and "
                         "adopt whatever mesh/pipeline it picks for the "
                         "visible devices (HBM budget via --hbm-gb)")
+    p.add_argument("--moe", default=None, type=str, metavar="X[,K]",
+                   help="Mixture-of-expert adapters (models/moe.py): train "
+                        "X independent CaRA adapters with a per-token "
+                        "top-K router (default K=2); each token's delta is "
+                        "the gate-weighted sum of its selected experts'. "
+                        "Implies weight-dropout-impl=rank and the XLA "
+                        "dense impl; shard the expert axis with --mesh "
+                        "d,1,1,x (expert parallelism)")
     p.add_argument("--hbm-gb", default=None, type=float,
                    help="Per-device HBM budget for --mesh auto (default: "
                         "detected from the device, else 16)")
@@ -127,6 +136,41 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
 
 def resolve_dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def adapter_impl_kwargs(args) -> dict:
+    """``--weight-dropout-impl`` / ``--moe X[,K]`` -> build_model kwargs.
+
+    MoE requires rank weight-dropout semantics (``models.moe`` docs);
+    ``--moe`` upgrades the (default) element impl with a printed note.
+    Rejected combinations exit with a usage error: the pipeline schedule
+    and task-parallel sweeps build their own steps with no MoE routing.
+    """
+    kw = {"weight_dropout_impl": args.weight_dropout_impl}
+    spec = getattr(args, "moe", None)
+    if not spec:
+        return kw
+    try:
+        parts = [int(v) for v in spec.split(",")]
+    except ValueError:
+        raise SystemExit(f"--moe wants 'X[,K]' integers, got {spec!r}")
+    if len(parts) not in (1, 2):
+        raise SystemExit(f"--moe wants 'X[,K]', got {spec!r}")
+    x = parts[0]
+    k = parts[1] if len(parts) > 1 else min(2, x)
+    if x < 2 or k < 1 or k > x:
+        raise SystemExit(
+            f"--moe wants X >= 2 experts and 1 <= K <= X, got {spec!r}")
+    if getattr(args, "pipeline", None):
+        raise SystemExit("--moe is not supported with --pipeline (the "
+                         "stage-scan step has no router); use --mesh "
+                         "d,1,1,x expert parallelism instead")
+    kw.update(moe_experts=x, moe_top_k=k)
+    if kw["weight_dropout_impl"] == "element":
+        print("--moe: weight-dropout-impl element -> rank "
+              "(MoE semantics, models/moe.py)")
+        kw["weight_dropout_impl"] = "rank"
+    return kw
 
 
 def resolve_model_overrides(args) -> dict:
@@ -261,8 +305,9 @@ def resolve_mesh(spec: Optional[str], dcn_spec: Optional[str] = None):
                 slice_of=_fake_slice_of())
         return make_mesh()
     dims = tuple(int(v) for v in spec.split(","))
-    if len(dims) not in (2, 3):
-        raise ValueError(f"--mesh wants 'data,model[,seq]', got {spec!r}")
+    if len(dims) not in (2, 3, 4):
+        raise ValueError(
+            f"--mesh wants 'data,model[,seq[,expert]]', got {spec!r}")
     if dcn_spec:
         return make_hybrid_mesh(
             dims, tuple(int(v) for v in dcn_spec.split(",")),

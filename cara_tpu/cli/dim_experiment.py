@@ -50,7 +50,7 @@ def main(argv=None) -> float:
         l_std=hp.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, cp_order=args.dims,
         delta_impl=args.delta_impl, weight_dropout=hp.weight_dropout,
-        model_overrides=mo)
+        model_overrides=mo, **common.adapter_impl_kwargs(args))
     train_loader, eval_loader = vtab_lib.get_data(
         args.dataset, root=args.data_root, evaluate=True,
         batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,

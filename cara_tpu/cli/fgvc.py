@@ -72,7 +72,8 @@ def main(argv=None) -> float:
         args.model, rank=args.dim, scale=args.scale, l_mu=args.init_mean,
         l_std=args.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hp.weight_dropout, model_overrides=mo)
+        weight_dropout=hp.weight_dropout, model_overrides=mo,
+        **common.adapter_impl_kwargs(args))
     train_loader, eval_loader = fgvc_lib.get_data(
         args.dataset, root=args.data_root, batch_size=args.batch_size,
         eval_batch_size=args.eval_batch_size,

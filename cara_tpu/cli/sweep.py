@@ -122,7 +122,8 @@ def run_task(task: str, args, results: dict,
         args.model, rank=args.dim, scale=eff_scale, l_mu=hp.init_mean,
         l_std=hp.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hp.weight_dropout, model_overrides=mo)
+        weight_dropout=hp.weight_dropout, model_overrides=mo,
+        **common.adapter_impl_kwargs(args))
     train_loader, eval_loader = vtab_lib.get_data(
         task, root=args.data_root, evaluate=True,
         batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
@@ -238,7 +239,8 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
         l_mu=hps[0].init_mean, l_std=hps[0].init_std,
         num_classes=args.pad_classes, seed=seeds[0],
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hps[0].weight_dropout, model_overrides=mo)
+        weight_dropout=hps[0].weight_dropout, model_overrides=mo,
+        **common.adapter_impl_kwargs(args))
     cfg, cara_cfg = model.cfg, model.cara_cfg
     frozen = {k: v for k, v in model.params.items() if k != "head"}
 
@@ -385,6 +387,11 @@ def main(argv=None):
             raise SystemExit("--fsdp is not supported under --task-parallel "
                              "(the task mesh shares ONE replicated backbone "
                              "across tasks by design)")
+        if args.moe:
+            raise SystemExit("--moe is not supported under --task-parallel "
+                             "(the group step stacks plain adapter trees; "
+                             "use --mesh d,1,1,x expert parallelism "
+                             "instead)")
         import collections
 
         if args.task_data < 1:

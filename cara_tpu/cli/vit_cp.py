@@ -54,7 +54,8 @@ def main(argv=None) -> float:
         args.model, rank=args.dim, scale=hp.scale, l_mu=hp.init_mean,
         l_std=hp.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hp.weight_dropout, model_overrides=mo)
+        weight_dropout=hp.weight_dropout, model_overrides=mo,
+        **common.adapter_impl_kwargs(args))
     train_loader, eval_loader = vtab_lib.get_data(
         args.dataset, root=args.data_root, evaluate=True,
         batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
@@ -90,6 +91,20 @@ def main(argv=None) -> float:
                     cp_order=info["cp_order"])
         else:
             params, cara_params, meta = ckpt_lib.load_model(args.evaluate)
+            if cara_params is not None and "router" in cara_params:
+                # MoE checkpoint: rebuild the routing config from the
+                # artifact meta (fit() records dataclasses.asdict of the
+                # CaraConfig) so --moe need not be repeated at eval.
+                import dataclasses
+
+                cara_cfg = dataclasses.replace(
+                    cara_cfg,
+                    moe_experts=int(meta.get(
+                        "moe_experts",
+                        cara_params["router"]["kernel"].shape[-1])),
+                    moe_top_k=int(meta.get("moe_top_k", 2)),
+                    weight_dropout_impl=meta.get(
+                        "weight_dropout_impl", "rank"))
         if args.merged_eval and cara_params is not None:
             from cara_tpu.models.merge import merge_cara
 

@@ -106,6 +106,24 @@ class CaraConfig:
     # Eval is identical for both (dropout off).  delta_impl="materialized"
     # always uses element-wise semantics.
     weight_dropout_impl: str = "element"
+    # Mixture-of-expert adapters (framework extension — the reference is a
+    # single-adapter method; this is the MoE-LoRA-style generalization, and
+    # the carrier of EXPERT PARALLELISM: the expert axis of the stacked
+    # adapter params shards over the mesh's ``expert`` axis).
+    # ``moe_experts > 1`` trains that many independent CaRA adapters plus a
+    # per-token linear router; each token's delta is the gate-weighted sum
+    # of its top-k experts' deltas at all four adapter sites.  Requires the
+    # factorized delta path, cp_order in {3,4,5}, and rank weight-dropout
+    # semantics (models/moe.py docs).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    # Switch-Transformer-style load-balance auxiliary loss coefficient
+    # (scaled dot of per-expert token fraction x mean router prob).
+    moe_aux_coef: float = 0.01
+
+    @property
+    def moe(self) -> bool:
+        return self.moe_experts > 1
 
     def trainable_param_count(self, model: ViTConfig) -> int:
         """Number of trainable CP parameters (excl. classifier head).

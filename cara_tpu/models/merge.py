@@ -52,6 +52,11 @@ def merge_cara(
     cara: CaraConfig,
 ) -> Dict[str, Any]:
     """Return a new backbone pytree with the adapter folded in."""
+    if cara.moe or ("experts" in cara_params and "router" in cara_params):
+        raise ValueError(
+            "MoE adapters cannot be merged into the dense backbone — the "
+            "delta is input-dependent (per-token routing); serve them "
+            "unmerged (adapter checkpoints work in eval/serving as-is)")
     e, mr, L = model.embed_dim, model.mlp_ratio, model.depth
     s = cara.scale
     a1, p1 = cara_lib.stacked_layer_slices(cara_params, model, cara)

@@ -315,6 +315,7 @@ def _block(
     dense_impl: str = "xla",
     tp_axis: Optional[str] = None,
     scale_override: Optional[jax.Array] = None,
+    moe_gates: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One transformer block with optional CaRA deltas (reference hot loop,
     SURVEY.md section 3.3).
@@ -328,6 +329,13 @@ def _block(
     reference semantics, ``cara.py:35`` — under data-parallel shard_map it
     must be shard-invariant); ``skey`` drives per-sample randomness
     (drop-path, activation/attention dropout — per-shard under shard_map).
+
+    ``moe_gates``: mixture-of-expert-adapters (``models.moe``).  When set,
+    ``cara_params`` is the EXPERT-STACKED factor tree (leading axis X on
+    every leaf) and ``f1``/``p1`` carry this layer's (X, rows, r) slices;
+    the four delta sites compute the gate-weighted expert sum on the XLA
+    path (``vit_forward`` forces ``dense_impl="xla"`` under MoE — the
+    fused Pallas factor kernels have no expert axis).
 
     ``tp_axis``: fused tensor parallelism.  The caller (``train.steps``
     under ``shard_map``) hands this block PER-SHARD weight slices —
@@ -542,10 +550,20 @@ def _block(
                 if npad != n else xa
             qkv = matk(xa_p, bp["qkv"]["kernel"]) + bp["qkv"]["bias"]
             if use_cara:
-                delta = cara_lib.qkv_delta(
-                    xa_p, cara_params, f1, cfg, cara_cfg,
-                    materialized=materialized or use_elem, drop_rng=k_wd_qkv,
-                ).reshape(b, npad, 3 * e)
+                if moe_gates is not None:
+                    from cara_tpu.models import moe as moe_lib
+
+                    g_p = jnp.pad(moe_gates, ((0, 0), (0, npad - n), (0, 0))) \
+                        if npad != n else moe_gates  # zero delta on pad rows
+                    delta = moe_lib.moe_qkv_delta(
+                        xa_p, cara_params, f1, g_p, cfg, cara_cfg,
+                        drop_rng=k_wd_qkv).reshape(b, npad, 3 * e)
+                else:
+                    delta = cara_lib.qkv_delta(
+                        xa_p, cara_params, f1, cfg, cara_cfg,
+                        materialized=materialized or use_elem,
+                        drop_rng=k_wd_qkv,
+                    ).reshape(b, npad, 3 * e)
                 qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
         if (fused_dense and _ATTNPROJ and not use_elem
                 and npad <= MAX_NP_FULL_SCORES):
@@ -569,10 +587,17 @@ def _block(
         qkv = matk(xa, bp["qkv"]["kernel"]) + bp["qkv"]["bias"]
         qkv = qkv.reshape(b, n, 3, h, d)
         if use_cara:
-            delta = cara_lib.qkv_delta(
-                xa, cara_params, f1, cfg, cara_cfg,
-                materialized=materialized or use_elem, drop_rng=k_wd_qkv,
-            )
+            if moe_gates is not None:
+                from cara_tpu.models import moe as moe_lib
+
+                delta = moe_lib.moe_qkv_delta(
+                    xa, cara_params, f1, moe_gates, cfg, cara_cfg,
+                    drop_rng=k_wd_qkv)
+            else:
+                delta = cara_lib.qkv_delta(
+                    xa, cara_params, f1, cfg, cara_cfg,
+                    materialized=materialized or use_elem, drop_rng=k_wd_qkv,
+                )
             qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B,H,N,Dh)
@@ -613,26 +638,38 @@ def _block(
     else:
       proj = matk(attn_out, bp["proj"]["kernel"]) + bp["proj"]["bias"]
       if use_cara:
-        if materialized or use_elem:
+        if moe_gates is not None:
+            from cara_tpu.models import moe as moe_lib
+
+            pd = moe_lib.moe_rows_delta_out(
+                attn_out, p1[:, 0:1], cara_params, moe_gates,
+                drop_rng=k_wd_proj, rate=cara_cfg.weight_dropout)
+            cb1 = moe_lib.moe_bias(moe_gates, cara_params["bias1"])
+        elif materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_proj, (e, e), cara_cfg.weight_dropout, x.dtype)
             pd = cp_ops.rows_delta_out_materialized(
                 attn_out, p1[0:1], cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], mask)
+            cb1 = cara_params["bias1"]
         else:
             comp = cp_ops.weight_dropout_mask(
                 k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
             pd = cp_ops.rows_delta_out_factorized(
                 attn_out, p1[0:1], cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp)
-        proj = proj + (pd + cara_params["bias1"]) * s  # cara.py:57-58
+            cb1 = cara_params["bias1"]
+        proj = proj + (pd + cb1) * s  # cara.py:57-58
     if not attn_mega:  # megakernel already emitted x + dpm*proj
         proj = dropout(proj, cfg.dropout_rate, k_do1)
         x = x + drop_path(proj, dpr, k_dp1)
 
     # --- MLP ---------------------------------------------------------------
     if use_cara:
-        p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
+        if moe_gates is not None:  # expert-stacked (X, rows, r) slices
+            p1_up, p1_down = p1[:, 1:1 + mr], p1[:, 1 + mr:1 + 2 * mr]
+        else:
+            p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
     if fused_plain and (_MLP_MEGA or tp > 1) and cfg.dropout_rate == 0.0:
         from cara_tpu.ops.pallas.cp_mlp import cp_mlp_block
 
@@ -746,19 +783,28 @@ def _block(
       xm = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
       up = matk(xm, bp["fc1"]["kernel"]) + bp["fc1"]["bias"]
       if use_cara:
-        if materialized or use_elem:
+        if moe_gates is not None:
+            from cara_tpu.models import moe as moe_lib
+
+            ud = moe_lib.moe_rows_delta_out(
+                xm, p1_up, cara_params, moe_gates,
+                drop_rng=k_wd_up, rate=cara_cfg.weight_dropout)
+            cb2 = moe_lib.moe_bias(moe_gates, cara_params["bias2"])
+        elif materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_up, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
             ud = cp_ops.rows_delta_out_materialized(
                 xm, p1_up, cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], mask)
+            cb2 = cara_params["bias2"]
         else:
             comp = cp_ops.weight_dropout_mask(
                 k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
             ud = cp_ops.rows_delta_out_factorized(
                 xm, p1_up, cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp)
-        up = up + (ud + cara_params["bias2"]) * s  # cara.py:81-82
+            cb2 = cara_params["bias2"]
+        up = up + (ud + cb2) * s  # cara.py:81-82
       if cfg.activation == "quick_gelu":  # CLIP: x * sigmoid(1.702 x)
         act = up * jax.nn.sigmoid(1.702 * up)
       else:
@@ -789,19 +835,28 @@ def _block(
     else:
       down = matk(act, bp["fc2"]["kernel"]) + bp["fc2"]["bias"]
       if use_cara:
-        if materialized or use_elem:
+        if moe_gates is not None:
+            from cara_tpu.models import moe as moe_lib
+
+            dd = moe_lib.moe_rows_delta_in(
+                act, p1_down, cara_params, moe_gates,
+                drop_rng=k_wd_down, rate=cara_cfg.weight_dropout)
+            cb3 = moe_lib.moe_bias(moe_gates, cara_params["bias3"])
+        elif materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_down, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
             dd = cp_ops.rows_delta_in_materialized(
                 act, p1_down, cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], mask)
+            cb3 = cara_params["bias3"]
         else:
             comp = cp_ops.weight_dropout_mask(
                 k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
             dd = cp_ops.rows_delta_in_factorized(
                 act, p1_down, cara_params["P2"], cara_params["P3"],
                 cara_params["R2"], comp)
-        down = down + (dd + cara_params["bias3"]) * s  # cara.py:92-93
+            cb3 = cara_params["bias3"]
+        down = down + (dd + cb3) * s  # cara.py:92-93
     down = dropout(down, cfg.dropout_rate, k_do3)
     x = x + drop_path(down, dpr, k_dp2)
     return x
@@ -845,8 +900,17 @@ def vit_forward(
     tp_axis: Optional[str] = None,
     scale_override: Optional[jax.Array] = None,
     token_sharding=None,
+    return_moe_aux: bool = False,
 ) -> jax.Array:
     """Full forward: images (B, H, W, C) NHWC -> logits (B, num_classes).
+
+    Mixture-of-expert adapters (``cara_cfg.moe_experts > 1``,
+    ``models.moe``): ``cara_params`` must be the ``{"experts", "router"}``
+    tree; the router runs once on the post-stem tokens and the gates ride
+    every block.  Forces ``dense_impl="xla"`` (the fused factor kernels
+    have no expert axis).  ``return_moe_aux=True`` returns
+    ``(logits, aux)`` where ``aux`` is the load-balance loss (0.0 when MoE
+    is off) — training adds ``moe_aux_coef * aux`` to the objective.
 
     ``token_sharding``: optional ``NamedSharding`` for the (B, NP, E) token
     activations — sequence parallelism.  Asserted after the stem and on
@@ -871,6 +935,21 @@ def vit_forward(
     """
     if (cara_params is None) != (cara_cfg is None):
         raise ValueError("cara_params and cara_cfg must be provided together")
+    moe = cara_cfg is not None and cara_cfg.moe
+    if moe:
+        from cara_tpu.models import moe as moe_lib
+
+        moe_lib.validate_moe(cara_cfg, train=train)
+        if not moe_lib.is_moe_params(cara_params):
+            raise ValueError(
+                "cara_cfg.moe_experts > 1 wants the {'experts', 'router'} "
+                "param tree from models.moe.init_moe_params; got keys "
+                f"{sorted(cara_params)}")
+        if dense_impl == "fused":
+            raise ValueError("MoE adapters require dense_impl='xla' — the "
+                             "fused Pallas factor kernels have no expert "
+                             "axis")
+        dense_impl = "xla"
     if attn_impl == "auto":
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
@@ -909,7 +988,16 @@ def vit_forward(
         tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)
 
     dpr = jnp.linspace(0.0, cfg.drop_path_rate, L)  # timm per-block rates
-    if cara_params is not None:
+    moe_gates = None
+    moe_aux = jnp.float32(0.0)
+    cara_blocks = cara_params
+    if moe:
+        moe_gates, moe_aux = moe_lib.route(
+            tokens, cara_params["router"], cara_cfg.moe_top_k)
+        cara_blocks = cara_params["experts"]
+        a1_stack, p1_stack = moe_lib.moe_stacked_layer_slices(
+            cara_blocks, cfg, cara_cfg)
+    elif cara_params is not None:
         a1_stack, p1_stack = cara_lib.stacked_layer_slices(
             cara_params, cfg, cara_cfg)
     else:
@@ -935,8 +1023,8 @@ def vit_forward(
             bp, f1, p1, dpr_l = xs
             key = skey = None
         out = _block(
-            carry, bp, f1, p1, dpr_l, key, skey, cfg, cara_params, cara_cfg,
-            attn_impl, dense_impl, tp_axis, scale_override
+            carry, bp, f1, p1, dpr_l, key, skey, cfg, cara_blocks, cara_cfg,
+            attn_impl, dense_impl, tp_axis, scale_override, moe_gates
         )
         if token_sharding is not None:
             out = jax.lax.with_sharding_constraint(out, token_sharding)
@@ -971,8 +1059,12 @@ def vit_forward(
     if cfg.proj_dim is not None:
         feat = feat @ params["proj_out"]["kernel"]
     if "head" not in params:
-        return feat
-    return feat @ params["head"]["kernel"] + params["head"]["bias"]
+        out = feat
+    else:
+        out = feat @ params["head"]["kernel"] + params["head"]["bias"]
+    if return_moe_aux:
+        return out, moe_aux
+    return out
 
 
 # Convenience: a jitted eval forward factory.

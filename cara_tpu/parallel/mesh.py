@@ -21,32 +21,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+EXPERT_AXIS = "expert"
+
+_AXIS_NAMES = (DATA_AXIS, MODEL_AXIS, SEQ_AXIS, EXPERT_AXIS)
 
 
 def make_mesh(shape=None, devices=None) -> Mesh:
-    """Create a (data, model) or (data, model, seq) mesh.
+    """Create a (data, model[, seq[, expert]]) mesh.
 
     Default: all devices on the data axis.  A 3-element shape adds a
     ``seq`` axis for sequence parallelism (token-axis activation sharding —
     high-resolution geometries where the (B, H, NP, NP) score tensor, not
     the batch, is the memory axis; see ``train.steps`` ``seq`` handling).
+    A 4-element shape adds an ``expert`` axis for MoE adapters
+    (``models.moe``): the expert-stacked factors shard over it, and the
+    batch shards over (data, expert) jointly so backbone compute stays
+    pure data parallelism (``batch_spec``).
     A 2-element shape builds the classic 2-axis mesh unchanged.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if shape is None:
         shape = (n, 1)
-    if len(shape) == 3:
-        d, m, s = shape
-        if d * m * s != n:
-            raise ValueError(f"mesh shape {shape} != {n} devices")
-        arr = np.asarray(devices).reshape(d, m, s)
-        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
-    d, m = shape
-    if d * m != n:
+    if len(shape) not in (2, 3, 4):
+        raise ValueError(f"mesh shape wants 2-4 axes, got {shape}")
+    if int(np.prod(shape)) != n:
         raise ValueError(f"mesh shape {shape} != {n} devices")
-    arr = np.asarray(devices).reshape(d, m)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, _AXIS_NAMES[:len(shape)])
 
 
 def make_hybrid_mesh(shape, dcn_shape, devices=None, slice_of=None) -> Mesh:
@@ -103,7 +105,7 @@ def make_hybrid_mesh(shape, dcn_shape, devices=None, slice_of=None) -> Mesh:
     k = len(shape)
     arr = arr.transpose(*[ax for i in range(k) for ax in (i, k + i)])
     arr = arr.reshape(tuple(shape))
-    names = (DATA_AXIS, MODEL_AXIS, SEQ_AXIS)[:k]
+    names = _AXIS_NAMES[:k]
     return Mesh(arr, names)
 
 
@@ -112,14 +114,42 @@ def seq_size(mesh) -> int:
     return mesh.shape.get(SEQ_AXIS, 1) if mesh is not None else 1
 
 
+def expert_size(mesh) -> int:
+    """Size of the expert axis (1 when the mesh doesn't carry one)."""
+    return mesh.shape.get(EXPERT_AXIS, 1) if mesh is not None else 1
+
+
 def token_spec() -> P:
     """Sharding for (B, NP, E) token activations under sequence parallelism:
     batch over data, tokens over seq, features replicated."""
     return P(DATA_AXIS, SEQ_AXIS, None)
 
 
-def batch_spec() -> P:
+def batch_spec(mesh=None) -> P:
+    """Leading-axis batch sharding.  On a mesh with an ``expert`` axis the
+    batch shards over (data, expert) jointly — the expert axis would
+    otherwise replicate backbone compute (the backbone has no expert
+    dimension; only the tiny adapter contraction does)."""
+    if mesh is not None and expert_size(mesh) > 1:
+        return P((DATA_AXIS, EXPERT_AXIS))
     return P(DATA_AXIS)
+
+
+def moe_param_specs(trainable_cara: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpecs for a ``models.moe`` param tree: every expert-stacked
+    factor shards its leading (X) axis over the ``expert`` mesh axis; the
+    router (and anything else) stays replicated.  XLA all-gathers the
+    ~100 KB/expert factors at use and reduce-scatters their grads home —
+    the storage/update form of expert parallelism that is roofline-correct
+    at this expert size (``models.moe`` module docs)."""
+    specs = {
+        "experts": jax.tree_util.tree_map(
+            lambda a: P(*((EXPERT_AXIS,) + (None,) * (a.ndim - 1))),
+            trainable_cara["experts"]),
+        "router": jax.tree_util.tree_map(lambda _: P(),
+                                         trainable_cara["router"]),
+    }
+    return specs
 
 
 def replicated_spec() -> P:
@@ -250,7 +280,7 @@ def put_batch(mesh: Mesh, batch):
     (``BatchLoader`` yields exactly that) and the global array is assembled
     from per-process shards — no host ever touches another host's rows.
     """
-    sh = NamedSharding(mesh, P(DATA_AXIS))
+    sh = NamedSharding(mesh, batch_spec(mesh))
     rep = NamedSharding(mesh, P())  # 0-d leaves (e.g. padded-class count)
 
     def _sh(x):
@@ -260,7 +290,7 @@ def put_batch(mesh: Mesh, batch):
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(_sh(x), x),
             batch)
-    ndata = mesh.shape[DATA_AXIS]
+    ndata = mesh.shape[DATA_AXIS] * expert_size(mesh)
     leaves = [x for x in jax.tree_util.tree_leaves(batch)
               if getattr(x, "ndim", 0)]
     if leaves and leaves[0].shape[0] % ndata:

@@ -173,8 +173,9 @@ def fit(
         lambda b: b)
     _tp_fused = _fsdp = False
     _tp = mesh is not None and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1
+    _ep = mesh_lib.expert_size(mesh) > 1
     if not custom_steps:
-        _, _, _, _tp_fused, _, _fsdp = steps_lib._resolve_impls(
+        _, _, _, _tp_fused, _, _fsdp, _ep = steps_lib._resolve_impls(
             attn_impl, dense_impl, cara_cfg, mesh,
             has_cara=cara_cfg is not None, cfg=cfg, fsdp=fsdp)
     elif fsdp:
@@ -184,6 +185,12 @@ def fit(
         _fsdp = mesh is not None and mesh.shape.get(mesh_lib.DATA_AXIS, 1) > 1
     if mesh is not None:
         state = mesh_lib.put_replicated(mesh, state)
+        if _ep:
+            # Expert parallelism: re-place the expert-stacked adapter
+            # factors sharded over the expert axis (opt state stays
+            # replicated — O(adapter); steps_lib.prepare_moe_trainable).
+            state = state._replace(trainable=steps_lib.prepare_moe_trainable(
+                state.trainable, mesh))
         # Frozen-backbone placement by strategy.  FSDP: BOTH the fp32
         # original and the compute copy carry the data-axis (ZeRO-3)
         # shardings — a replicated fp32 copy would defeat the memory win

@@ -129,16 +129,34 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
     parallelism.  Memory-for-speed tradeoff: per-device frozen bytes / dp,
     megakernel wins forfeited.
 
-    Returns (attn_impl, dense_impl, use_shard_map, tp_fused, sp, fsdp).
+    MoE adapters (``cara_cfg.moe``) force ``dense_impl="xla"`` — the fused
+    factor kernels have no expert axis.  On a mesh with an ``expert`` axis
+    (expert parallelism, ``models.moe``) everything stays in GSPMD-land:
+    XLA impls, no shard_map — the expert-stacked factors shard over that
+    axis (``mesh.moe_param_specs``), the batch over (data, expert) jointly.
+
+    Returns (attn_impl, dense_impl, use_shard_map, tp_fused, sp, fsdp, ep).
     """
     from cara_tpu.models.vit import resolve_dense_impl
     from cara_tpu.parallel.mesh import (
-        DATA_AXIS, MODEL_AXIS, seq_size as mesh_lib_seq_size)
+        DATA_AXIS, MODEL_AXIS, expert_size as mesh_lib_expert_size,
+        seq_size as mesh_lib_seq_size)
 
     if attn_impl == "auto":
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
         dense_impl = resolve_dense_impl(has_cara, cara_cfg)
+    moe = has_cara and cara_cfg is not None and cara_cfg.moe
+    if moe:
+        dense_impl = "xla"
+    ep = mesh_lib_expert_size(mesh) > 1
+    if ep:
+        if not moe:
+            raise ValueError(
+                "mesh has an expert axis but the adapter config is not MoE "
+                "(cara_cfg.moe_experts <= 1) — drop the axis or pass --moe")
+        attn_impl = "xla"
+        dense_impl = "xla"
     fsdp = bool(fsdp and mesh is not None
                 and mesh.shape.get(DATA_AXIS, 1) > 1)
     if fsdp:
@@ -167,10 +185,10 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
             attn_impl = "xla"
             dense_impl = "xla"
     use_shard_map = tp_fused or (
-        mesh is not None and not tp and not sp and not fsdp
+        mesh is not None and not tp and not sp and not fsdp and not ep
         and mesh.shape[DATA_AXIS] > 1
         and (attn_impl != "xla" or dense_impl == "fused"))
-    return attn_impl, dense_impl, use_shard_map, tp_fused, sp, fsdp
+    return attn_impl, dense_impl, use_shard_map, tp_fused, sp, fsdp, ep
 
 
 def mask_padded_classes(logits: jax.Array, batch) -> jax.Array:
@@ -236,6 +254,26 @@ def prepare_fsdp_frozen(frozen: Params, mesh, tensor_parallel: bool = False):
         frozen, specs, is_leaf=lambda x: isinstance(x, P))
 
 
+def prepare_moe_trainable(trainable: Params, mesh):
+    """Trainable tree -> expert-parallel placement: the expert-stacked CaRA
+    factors shard their leading (X) axis over the mesh's ``expert`` axis
+    (``mesh.moe_param_specs``); router and head stay replicated.  XLA
+    all-gathers the ~100 KB/expert factors at use and reduce-scatters
+    their grads home (``models.moe`` module docs for the roofline
+    argument).  Optimizer state stays replicated — it is O(adapter), and
+    GSPMD would otherwise re-gather it every update."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cara_tpu.parallel import mesh as mesh_lib
+
+    specs = {"cara": mesh_lib.moe_param_specs(trainable["cara"]),
+             "head": jax.tree_util.tree_map(lambda _: P(),
+                                            trainable["head"])}
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+        trainable, specs, is_leaf=lambda x: isinstance(x, P))
+
+
 def make_train_step(
     cfg: ViTConfig,
     cara_cfg: CaraConfig,
@@ -282,8 +320,10 @@ def make_train_step(
     if data_axis is not None and mesh is not None:
         raise ValueError("data_axis composes inside an outer shard_map; "
                          "pass either mesh or data_axis, not both")
-    attn_impl, dense_impl, use_shard_map, tp_fused, sp, _ = _resolve_impls(
+    (attn_impl, dense_impl, use_shard_map, tp_fused, sp, _,
+     _ep) = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh, cfg=cfg, fsdp=fsdp)
+    moe = cara_cfg is not None and cara_cfg.moe
     if remat == "auto":
         remat = dense_impl != "fused"
     tp_axis = None
@@ -311,10 +351,18 @@ def make_train_step(
                 attn_impl=attn_impl, dense_impl=dense_impl,
                 tp_axis=tp_axis, scale_override=mb.get("delta_scale"),
                 token_sharding=token_sharding,
-            ).astype(jnp.float32)
-            logits = mask_padded_classes(logits, mb)
+                return_moe_aux=moe,
+            )
+            maux = jnp.float32(0.0)
+            if moe:
+                logits, maux = logits
+            logits = mask_padded_classes(logits.astype(jnp.float32), mb)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, mb["label"]).mean()
+            if moe:
+                # Switch-style load-balance term keeps the router from
+                # collapsing onto one expert (models.moe.route docs).
+                loss = loss + cara_cfg.moe_aux_coef * maux
             acc = jnp.mean((jnp.argmax(logits, axis=-1)
                             == mb["label"]).astype(jnp.float32))
             return loss, acc
@@ -436,7 +484,8 @@ def make_eval_step(cfg: ViTConfig, cara_cfg: Optional[CaraConfig] = None,
         raise ValueError("data_axis composes inside an outer shard_map; "
                          "pass either mesh or data_axis, not both")
     auto_dense = dense_impl == "auto"
-    attn_impl, dense_impl, use_shard_map, tp_fused, sp, _ = _resolve_impls(
+    (attn_impl, dense_impl, use_shard_map, tp_fused, sp, _,
+     _ep) = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh,
         has_cara=cara_cfg is not None, cfg=cfg, fsdp=fsdp)
     tp_axis = None

@@ -49,6 +49,9 @@ class MetricLogger:
         """CP-weight diagnostics (vit_cp.py:30-44 equivalents): mean/std of
         the lambda vectors, plus optional 16-bin histograms (the stdout
         analog of the reference's wandb.Histogram telemetry)."""
+        if "experts" in cara_params and "R1" not in cara_params:
+            # MoE tree (models.moe): stats pool over all experts' lambdas.
+            cara_params = cara_params["experts"]
         r1 = np.asarray(cara_params["R1"])
         r2 = np.asarray(cara_params["R2"])
         out: Dict[str, Any] = {

@@ -97,7 +97,7 @@ def test_resolve_impls_fsdp_forces_xla(setup):
     mesh = mesh_lib.make_mesh((8, 1))
     out = steps_lib._resolve_impls("fused", "fused", cc, mesh, cfg=cfg,
                                    fsdp=True)
-    assert out == ("xla", "xla", False, False, False, True)
+    assert out == ("xla", "xla", False, False, False, True, False)
     # Without a >1 data axis fsdp is a no-op.
     out1 = steps_lib._resolve_impls("xla", "xla", cc, None, cfg=cfg,
                                     fsdp=True)

@@ -45,10 +45,10 @@ def test_seq_mesh_shape():
 def test_resolve_forces_xla(setup):
     cfg, cc, *_ = setup
     mesh = mesh_lib.make_mesh((1, 1, 8))
-    a, d, sm, tpf, sp, fsdp = steps_lib._resolve_impls(
+    a, d, sm, tpf, sp, fsdp, ep = steps_lib._resolve_impls(
         "fused", "fused", cc, mesh, cfg=cfg)
-    assert (a, d, sm, tpf, sp, fsdp) == ("xla", "xla", False, False, True,
-                                         False)
+    assert (a, d, sm, tpf, sp, fsdp, ep) == (
+        "xla", "xla", False, False, True, False, False)
 
 
 def test_seq_eval_matches_single_device(setup):
