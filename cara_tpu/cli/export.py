@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import argparse
 
-from cara_tpu.config import CaraConfig, get_model_config
+from cara_tpu.config import get_model_config
 from cara_tpu.train import checkpoint as ckpt_lib
 
 
@@ -108,10 +108,13 @@ def main(argv=None) -> str:
         cfg = get_model_config(model_name, num_classes=num_classes, **mo)
         cara_cfg = None
         if cara_params is not None:
-            rank = int(cara_params["R1"].shape[0])
-            cp_order = (args.cp_order if args.cp_order is not None
-                        else int(meta.get("cp_order", 4)))
-            cara_cfg = CaraConfig(rank=rank, scale=scale, cp_order=cp_order)
+            cara_cfg = ckpt_lib.infer_cara_cfg(
+                cara_params, meta, scale=scale, cp_order=args.cp_order)
+            if cara_cfg.moe and args.mode == "merged":
+                raise SystemExit(
+                    "MoE adapters cannot be merged (per-token routing is "
+                    "input-dependent); use --mode adapter/full, or "
+                    "--mode stablehlo which embeds the unmerged forward")
         if args.mode == "stablehlo":
             import jax.numpy as jnp
 

@@ -109,8 +109,13 @@ class Predictor:
         buckets="auto",
     ):
         if merge and cara_params is not None:
-            params = merge_cara(params, cara_params, cfg, cara_cfg)
-            cara_params = cara_cfg = None
+            if "router" in cara_params:
+                # MoE adapters are input-dependent (per-token routing) and
+                # cannot fold into the dense weights — serve unmerged.
+                merge = False
+            else:
+                params = merge_cara(params, cara_params, cfg, cara_cfg)
+                cara_params = cara_cfg = None
         if quantize is not None:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode {quantize!r}")
@@ -153,17 +158,9 @@ class Predictor:
 
         params, cara_params, meta = load_model(path)
         if cara_params is not None and cara_cfg is None:
-            if "scale" not in meta:
-                raise ValueError(
-                    f"checkpoint {path!r} has an adapter subtree but records "
-                    "no delta scale; pass cara_cfg= explicitly (per-task "
-                    "scales span 0.1-100 — defaulting would silently "
-                    "mis-apply the adapter)")
-            rank = int(cara_params["R1"].shape[0])
-            cara_cfg = CaraConfig(
-                rank=rank, scale=float(meta["scale"]),
-                cp_order=int(meta.get("cp_order", 4)),
-                weight_dropout=float(meta.get("weight_dropout", 0.1)))
+            from cara_tpu.train.checkpoint import infer_cara_cfg
+
+            cara_cfg = infer_cara_cfg(cara_params, meta)
         return cls(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
                    **kw)
 
@@ -188,17 +185,9 @@ class Predictor:
         cfg = get_model_config(model, num_classes=num_classes, **mo)
         cara_cfg = None
         if cara_params is not None:
-            if scale is None:
-                if "scale" not in meta:
-                    raise ValueError(
-                        "checkpoint records no delta scale and none was "
-                        "given; refusing to default to 1.0 (a wrong scale "
-                        "silently mis-applies the adapter)")
-                scale = float(meta["scale"])
-            cara_cfg = CaraConfig(
-                rank=int(cara_params["R1"].shape[0]), scale=scale,
-                cp_order=int(meta.get("cp_order", 4)),
-                weight_dropout=float(meta.get("weight_dropout", 0.1)))
+            from cara_tpu.train.checkpoint import infer_cara_cfg
+
+            cara_cfg = infer_cara_cfg(cara_params, meta, scale=scale)
         return cls(params, cfg, cara_params=cara_params, cara_cfg=cara_cfg,
                    **kw)
 
@@ -288,6 +277,11 @@ class MultiTaskPredictor:
 
         if not tasks:
             raise ValueError("no tasks given")
+        if any("router" in t["cara"] for t in tasks.values()):
+            raise ValueError(
+                "MoE adapter checkpoints cannot join a multi-task group "
+                "(the group step stacks plain factor trees); serve them "
+                "with their own Predictor")
         names = list(tasks)
         ranks = {int(t["cara"]["R1"].shape[0]) for t in tasks.values()}
         orders = {int(t.get("cp_order", 4)) for t in tasks.values()}
@@ -481,8 +475,11 @@ def export_serialized(
     from jax import export as jexport
 
     if merge and cara_params is not None:
-        params = merge_cara(params, cara_params, cfg, cara_cfg)
-        cara_params = cara_cfg = None
+        if "router" in cara_params:
+            merge = False  # MoE is input-dependent — export unmerged
+        else:
+            params = merge_cara(params, cara_params, cfg, cara_cfg)
+            cara_params = cara_cfg = None
     params = cast_floating(params, dtype)
     if cara_params is not None:
         cara_params = cast_floating(cara_params, dtype)

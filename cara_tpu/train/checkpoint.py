@@ -118,6 +118,45 @@ def load_adapter(path: str) -> Tuple[Dict, Optional[Dict], Dict]:
     return tree.get("cara", {}), tree.get("head"), meta
 
 
+def infer_cara_cfg(cara_params, meta, scale=None, cp_order=None):
+    """Rebuild the :class:`CaraConfig` a loaded adapter tree was trained
+    with, from the artifact meta (``loop.fit`` records
+    ``dataclasses.asdict(cara_cfg)``).
+
+    Handles both the plain factor tree and the MoE ``{"experts","router"}``
+    tree (``models.moe``): rank comes from the (possibly expert-stacked)
+    R1's last axis, the routing config from meta with the router shape as
+    fallback.  Raises when the delta scale is neither recorded nor given —
+    per-task scales span 0.1-100 (``vtab_config.py``) and a silent 1.0
+    default would mis-apply the adapter.
+    """
+    from cara_tpu.config import CaraConfig
+
+    moe = "router" in cara_params and "experts" in cara_params
+    r1 = cara_params["experts"]["R1"] if moe else cara_params["R1"]
+    if scale is None:
+        if "scale" not in meta:
+            raise ValueError(
+                "checkpoint records no delta scale and none was given; "
+                "refusing to default to 1.0 (a wrong scale silently "
+                "mis-applies the adapter)")
+        scale = float(meta["scale"])
+    kw = dict(
+        rank=int(r1.shape[-1]), scale=scale,
+        cp_order=int(cp_order if cp_order is not None
+                     else meta.get("cp_order", 4)),
+        weight_dropout=float(meta.get("weight_dropout", 0.1)))
+    if moe:
+        kw.update(
+            moe_experts=int(meta.get(
+                "moe_experts", cara_params["router"]["kernel"].shape[-1])),
+            moe_top_k=int(meta.get("moe_top_k", 2)),
+            moe_aux_coef=float(meta.get("moe_aux_coef", 0.01)),
+            weight_dropout_impl=str(meta.get("weight_dropout_impl",
+                                             "rank")))
+    return CaraConfig(**kw)
+
+
 class BestCheckpointKeeper:
     """Best-accuracy rotation with the reference filename convention
     (save new best, delete previous — ``vit_cp.py:61-66``).

@@ -296,6 +296,72 @@ def test_moe_checkpoint_roundtrip(setup, tmp_path):
             np.asarray(a), np.asarray(b)), mp, cara2)
 
 
+def test_moe_serving_predictor(setup, tmp_path):
+    """Predictor serves a MoE adapter checkpoint unmerged (merge auto-off)
+    with logits identical to the raw forward; config inferred from meta."""
+    cfg, cc, params, mp = setup
+    from cara_tpu import serving
+    from cara_tpu.train import checkpoint as ckpt_lib
+
+    path = str(tmp_path / "moe_full.npz")
+    ckpt_lib.save_model(path, params, mp, meta=dataclasses.asdict(cc))
+    pred = serving.Predictor.from_checkpoint(
+        path, cfg, merge=True, dtype=jnp.float32, batch_size=4)
+    assert pred._cara is not None  # merge auto-disabled for MoE
+    assert pred._cara_cfg.moe_experts == 4
+    imgs = np.asarray(_batch(jax.random.key(13), 3, cfg)["image"])
+    got = pred.logits(imgs)
+    want = np.asarray(vit_lib.vit_forward(
+        params, jnp.asarray(imgs), cfg, cara_params=mp, cara_cfg=cc,
+        train=False, attn_impl="xla", dense_impl="xla"))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_moe_stablehlo_export_roundtrip(setup, tmp_path):
+    """export_serialized embeds the UNMERGED MoE forward; the deserialized
+    artifact reproduces the adapter logits with no model code."""
+    cfg, cc, params, mp = setup
+    from cara_tpu import serving
+
+    blob = serving.export_serialized(
+        params, cfg, cara_params=mp, cara_cfg=cc, batch_size=2,
+        dtype=jnp.float32, platforms=("cpu",))
+    from jax import export as jexport
+
+    f = jexport.deserialize(bytearray(blob))
+    imgs = _batch(jax.random.key(14), 2, cfg)["image"]
+    got = np.asarray(f.call(jnp.asarray(imgs, jnp.float32)))
+    want = np.asarray(vit_lib.vit_forward(
+        params, imgs, cfg, cara_params=mp, cara_cfg=cc, train=False,
+        attn_impl="xla", dense_impl="xla"))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_moe_multitask_refused(setup):
+    cfg, cc, params, mp = setup
+    from cara_tpu import serving
+
+    with pytest.raises(ValueError, match="multi-task"):
+        serving.MultiTaskPredictor(
+            params, cfg,
+            tasks={"a": {"cara": mp, "head": params["head"], "scale": 1.0}})
+
+
+def test_infer_cara_cfg(setup):
+    cfg, cc, params, mp = setup
+    from cara_tpu.train import checkpoint as ckpt_lib
+
+    got = ckpt_lib.infer_cara_cfg(mp, dataclasses.asdict(cc))
+    assert got.moe_experts == 4 and got.moe_top_k == 2 and got.rank == 4
+    assert got.weight_dropout_impl == "rank"
+    # Plain tree still works; missing scale raises.
+    single = jax.tree_util.tree_map(lambda a: a[0], mp["experts"])
+    plain = ckpt_lib.infer_cara_cfg(single, {"scale": 2.0})
+    assert plain.rank == 4 and plain.scale == 2.0 and not plain.moe
+    with pytest.raises(ValueError, match="scale"):
+        ckpt_lib.infer_cara_cfg(single, {})
+
+
 def test_lambda_stats_moe(setup):
     from cara_tpu.utils.logging import MetricLogger
 
