@@ -50,6 +50,7 @@ class CaraModel:
 def build_model(
     model_name: str = "vit_base_patch16_224_in21k",
     *,
+    method: str = "cara",
     rank: int = 32,
     scale: float = 1.0,
     l_mu: float = 1.0,
@@ -76,6 +77,7 @@ def build_model(
     tree and training adds the load-balance auxiliary loss."""
     cfg = get_model_config(model_name, **(model_overrides or {}))
     cara_cfg = CaraConfig(
+        method=method,
         rank=rank, scale=scale, l_mu=l_mu, l_std=l_std,
         cp_order=cp_order, delta_impl=delta_impl,
         weight_dropout=weight_dropout,

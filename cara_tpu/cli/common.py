@@ -39,6 +39,18 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic", action="store_true",
                    help="Generated data (no VTAB files needed)")
     p.add_argument("--synthetic-size", default=1000, type=int)
+    p.add_argument("--method", default="cara", choices=["cara", "lora"],
+                   help="Adapter family: cara = the reference CP "
+                        "tensorisation; lora = per-matrix low-rank "
+                        "baseline at the same four sites (rides the same "
+                        "fused kernels / merge / serving stack)")
+    p.add_argument("--lora-alpha", default=None, type=float,
+                   help="LoRA scaling alpha; the delta scale becomes "
+                        "alpha/rank (default alpha = rank, i.e. scale 1)")
+    p.add_argument("--weight-dropout", default=None, type=float,
+                   help="Override the adapter weight-dropout rate "
+                        "(default: the per-task table value for CaRA, "
+                        "0.0 for LoRA)")
     p.add_argument("--delta-impl", default="factorized",
                    choices=["factorized", "materialized"],
                    help="CP delta path: factorized = rank-space chain "
@@ -147,9 +159,15 @@ def adapter_impl_kwargs(args) -> dict:
     and task-parallel sweeps build their own steps with no MoE routing.
     """
     kw = {"weight_dropout_impl": args.weight_dropout_impl}
+    method = getattr(args, "method", "cara")
+    if method != "cara":
+        kw["method"] = method
     spec = getattr(args, "moe", None)
     if not spec:
         return kw
+    if method == "lora":
+        raise SystemExit("--moe is CaRA-only (models.moe stacks CP factor "
+                         "trees); drop --method lora or --moe")
     try:
         parts = [int(v) for v in spec.split(",")]
     except ValueError:
@@ -171,6 +189,22 @@ def adapter_impl_kwargs(args) -> dict:
               "(MoE semantics, models/moe.py)")
         kw["weight_dropout_impl"] = "rank"
     return kw
+
+
+def adapter_scale_wd(args, hp_scale: float, hp_wd: float):
+    """Resolve (delta scale, weight-dropout rate) for the chosen method.
+
+    CaRA keeps the per-task table values (``vtab_config.py`` scales span
+    0.1-100 and the comment-documented dropout column); LoRA uses the
+    conventional ``alpha/rank`` scale (``--lora-alpha``, default
+    ``alpha = rank``) and dropout 0 unless ``--weight-dropout`` overrides.
+    """
+    wd_flag = getattr(args, "weight_dropout", None)
+    if getattr(args, "method", "cara") == "lora":
+        alpha = getattr(args, "lora_alpha", None)
+        alpha = float(args.dim) if alpha is None else float(alpha)
+        return alpha / args.dim, (0.0 if wd_flag is None else wd_flag)
+    return hp_scale, (hp_wd if wd_flag is None else wd_flag)
 
 
 def resolve_model_overrides(args) -> dict:

@@ -38,6 +38,10 @@ def parse_args(argv=None):
 
 def main(argv=None) -> float:
     args = parse_args(argv)
+    if getattr(args, "method", "cara") != "cara":
+        raise SystemExit("--method is fixed to cara here: the CP-order "
+                         "ablation (--dims) is CaRA-specific; LoRA has no "
+                         "order axis (use cli.vit_cp --method lora)")
     common.setup_runtime(args)
     print(args)
 

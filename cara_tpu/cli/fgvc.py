@@ -68,11 +68,13 @@ def main(argv=None) -> float:
     num_classes = fgvc_lib.get_classes_num(args.dataset)
 
     mo = common.resolve_model_overrides(args)
+    scale, weight_dropout = common.adapter_scale_wd(
+        args, args.scale, hp.weight_dropout)
     model = api.build_model(
-        args.model, rank=args.dim, scale=args.scale, l_mu=args.init_mean,
+        args.model, rank=args.dim, scale=scale, l_mu=args.init_mean,
         l_std=args.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hp.weight_dropout, model_overrides=mo,
+        weight_dropout=weight_dropout, model_overrides=mo,
         **common.adapter_impl_kwargs(args))
     train_loader, eval_loader = fgvc_lib.get_data(
         args.dataset, root=args.data_root, batch_size=args.batch_size,

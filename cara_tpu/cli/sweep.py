@@ -118,11 +118,13 @@ def run_task(task: str, args, results: dict,
     num_classes = max(args.pad_classes, num_real) if args.pad_classes \
         else num_real
     mo = common.resolve_model_overrides(args)
+    eff_scale, weight_dropout = common.adapter_scale_wd(
+        args, eff_scale, hp.weight_dropout)
     model = api.build_model(
         args.model, rank=args.dim, scale=eff_scale, l_mu=hp.init_mean,
         l_std=hp.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hp.weight_dropout, model_overrides=mo,
+        weight_dropout=weight_dropout, model_overrides=mo,
         **common.adapter_impl_kwargs(args))
     train_loader, eval_loader = vtab_lib.get_data(
         task, root=args.data_root, evaluate=True,
@@ -140,7 +142,7 @@ def run_task(task: str, args, results: dict,
     # the jitted step functions across tasks keyed on them.
     train_step = eval_step = None
     if args.pad_classes and step_cache is not None:
-        cache_key = (hp.weight_dropout, eff_lr)
+        cache_key = (weight_dropout, eff_lr)
         if cache_key not in step_cache:
             mesh = common.resolve_mesh(args.mesh, args.dcn_mesh)
             cd = common.resolve_dtype(args.dtype)
@@ -227,6 +229,12 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
     eff_lr = args.lr if combos[0][2] is None else combos[0][2]
     eff_scales = [c[3] if c[3] is not None else hp.scale
                   for c, hp in zip(combos, hps)]
+    # Method-aware scale/dropout (LoRA: alpha/rank, dropout 0 by default).
+    wds = []
+    for i, hp in enumerate(hps):
+        eff_scales[i], wd_i = common.adapter_scale_wd(
+            args, eff_scales[i], hp.weight_dropout)
+        wds.append(wd_i)
     num_real = [vtab_lib.get_classes_num(task) for task in group]
     if max(num_real) > args.pad_classes:
         raise ValueError(
@@ -235,11 +243,11 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
 
     mo = common.resolve_model_overrides(args)
     model = api.build_model(
-        args.model, rank=args.dim, scale=hps[0].scale,
+        args.model, rank=args.dim, scale=eff_scales[0],
         l_mu=hps[0].init_mean, l_std=hps[0].init_std,
         num_classes=args.pad_classes, seed=seeds[0],
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hps[0].weight_dropout, model_overrides=mo,
+        weight_dropout=wds[0], model_overrides=mo,
         **common.adapter_impl_kwargs(args))
     cfg, cara_cfg = model.cfg, model.cara_cfg
     frozen = {k: v for k, v in model.params.items() if k != "head"}
@@ -248,7 +256,7 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
     for i, (task, hp, seed) in enumerate(zip(group, hps, seeds)):
         cara_cfg_i = dataclasses.replace(
             cara_cfg, scale=eff_scales[i], l_mu=hp.init_mean,
-            l_std=hp.init_std, weight_dropout=hp.weight_dropout)
+            l_std=hp.init_std, weight_dropout=wds[i])
         if i == 0:
             trainable = {"cara": model.cara_params,
                          "head": model.params["head"]}
@@ -285,7 +293,7 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
     # One compiled pair per (group size, weight-dropout rate, lr) — all
     # VTAB tasks share rate 0.1, so typically one compile per group size
     # per lr value.
-    key = ("tp", t, hps[0].weight_dropout, eff_lr)
+    key = ("tp", t, wds[0], eff_lr)
     if key not in step_cache:
         cd = common.resolve_dtype(args.dtype)
         step_cache[key] = (

@@ -50,11 +50,13 @@ def main(argv=None) -> float:
 
     num_classes = vtab_lib.get_classes_num(args.dataset)
     mo = common.resolve_model_overrides(args)
+    scale, weight_dropout = common.adapter_scale_wd(
+        args, hp.scale, hp.weight_dropout)
     model = api.build_model(
-        args.model, rank=args.dim, scale=hp.scale, l_mu=hp.init_mean,
+        args.model, rank=args.dim, scale=scale, l_mu=hp.init_mean,
         l_std=hp.init_std, num_classes=num_classes, seed=seed,
         backbone_path=args.backbone, delta_impl=args.delta_impl,
-        weight_dropout=hp.weight_dropout, model_overrides=mo,
+        weight_dropout=weight_dropout, model_overrides=mo,
         **common.adapter_impl_kwargs(args))
     train_loader, eval_loader = vtab_lib.get_data(
         args.dataset, root=args.data_root, evaluate=True,
@@ -91,7 +93,11 @@ def main(argv=None) -> float:
                     cp_order=info["cp_order"])
         else:
             params, cara_params, meta = ckpt_lib.load_model(args.evaluate)
-            if cara_params is not None and "router" in cara_params:
+            if cara_params is not None and "qkv" in cara_params:
+                # LoRA checkpoint: rebuild method/rank/scale from the
+                # artifact meta so --method need not be repeated at eval.
+                cara_cfg = ckpt_lib.infer_cara_cfg(cara_params, meta)
+            elif cara_params is not None and "router" in cara_params:
                 # MoE checkpoint: rebuild the routing config from the
                 # artifact meta (fit() records dataclasses.asdict of the
                 # CaraConfig) so --moe need not be repeated at eval.

@@ -77,6 +77,12 @@ class CaraConfig:
     ablation CLI's ``--dims`` flag (``image_classification/dim_experiment.py:356-361``).
     """
 
+    # Adapter family: "cara" (the reference's CP tensorisation) or "lora"
+    # (per-matrix low-rank adapters at the same four sites — the baseline
+    # method the CaRA paper compares against).  Both ride the same training
+    # loop, fused Pallas kernels (the megakernels consume collapsed (U, V)
+    # factor pairs — LoRA's native form), merge/export, and serving stack.
+    method: str = "cara"
     rank: int = 32
     scale: float = 1.0
     l_mu: float = 1.0
@@ -121,6 +127,15 @@ class CaraConfig:
     # (scaled dot of per-expert token fraction x mean router prob).
     moe_aux_coef: float = 0.01
 
+    def __post_init__(self):
+        if self.method not in ("cara", "lora"):
+            raise ValueError(
+                f"method must be 'cara' or 'lora', got {self.method!r}")
+        if self.method == "lora" and self.moe_experts > 1:
+            raise ValueError(
+                "MoE adapters are CaRA-only (models.moe stacks CP factor "
+                "trees); use method='cara' with --moe")
+
     @property
     def moe(self) -> bool:
         return self.moe_experts > 1
@@ -131,7 +146,16 @@ class CaraConfig:
         For ViT-B/16 order-4 this reproduces the reference's printed count
         ``2526*rank + 4608`` (shapes ``src/cara/cara.py:112-125``, print
         ``image_classification/vit_cp.py:175-183``): rank 32 -> 85,440.
+        For ``method="lora"`` the count covers the per-layer A/B factor
+        pairs at the same four sites.
         """
+        if self.method == "lora":
+            from cara_tpu.models.lora import lora_param_shapes
+
+            shapes = lora_param_shapes(model, self)
+            return sum(
+                int(_prod(s))
+                for site in shapes.values() for s in site.values())
         from cara_tpu.models.cara import cara_param_shapes
 
         shapes = cara_param_shapes(model, self)

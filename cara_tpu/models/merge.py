@@ -51,7 +51,15 @@ def merge_cara(
     model: ViTConfig,
     cara: CaraConfig,
 ) -> Dict[str, Any]:
-    """Return a new backbone pytree with the adapter folded in."""
+    """Return a new backbone pytree with the adapter folded in.
+
+    Dispatches on the adapter family: LoRA trees (``cara.method == "lora"``
+    or the per-site {a, b} shape) fold via ``lora.merge_lora``.
+    """
+    from cara_tpu.models import lora as lora_lib
+
+    if cara.method == "lora" or lora_lib.is_lora_params(cara_params):
+        return lora_lib.merge_lora(params, cara_params, model, cara)
     if cara.moe or ("experts" in cara_params and "router" in cara_params):
         raise ValueError(
             "MoE adapters cannot be merged into the dense backbone — the "

@@ -369,6 +369,7 @@ def _block(
 
     use_cara = cara_params is not None
     use_elem = False
+    lora = use_cara and cara_cfg.method == "lora"
     if use_cara:
         s = (cara_cfg.scale if scale_override is None
              else scale_override.astype(x.dtype))
@@ -380,6 +381,38 @@ def _block(
         use_elem = (not materialized
                     and cara_cfg.weight_dropout_impl == "element"
                     and key is not None and cara_cfg.weight_dropout > 0.0)
+        if lora:
+            from cara_tpu.models import lora as lora_lib
+
+            # LoRA adds no bias terms — the fused kernels' adapter-bias
+            # operands ride as zeros (XLA folds the adds).
+            cb_proj = jnp.zeros((e,), x.dtype)
+            cb_up = jnp.zeros((cfg.hidden_dim,), x.dtype)
+            cb_down = jnp.zeros((e,), x.dtype)
+        else:
+            cb_proj = cara_params["bias1"]
+            cb_up = cara_params["bias2"]
+            cb_down = cara_params["bias3"]
+
+        def _adapter_uv(site, comp=None):
+            """This layer's collapsed (U, V) delta factors for one of the
+            four injection sites — the common currency of the fused
+            kernels.  LoRA's per-layer A/B pairs ARE that form; CaRA
+            collapses its shared CP factors into it."""
+            if lora:
+                sp = f1 if site == "qkv" else p1[site]
+                return lora_lib.site_uv(sp, comp)
+            if site == "qkv":
+                return cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg, comp)
+            p2_, p3_, r2_ = (cara_params["P2"], cara_params["P3"],
+                             cara_params["R2"])
+            if site == "proj":
+                return cara_lib.rows_out_uv(p1[0:1], p2_, p3_, r2_, comp)
+            if site == "fc1":
+                return cara_lib.rows_out_uv(p1[1:1 + mr], p2_, p3_, r2_,
+                                            comp)
+            return cara_lib.rows_in_uv(p1[1 + mr:1 + 2 * mr], p2_, p3_,
+                                       r2_, comp)
     fused_dense = (dense_impl == "fused" and use_cara and not materialized
                    and cara_cfg.cp_order != 2)
     # Plain / merged-weight backbone (no adapter): the megakernels still pay
@@ -460,11 +493,9 @@ def _block(
                 comp_p = cp_ops.weight_dropout_mask(
                     k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
                     x.dtype)
-            u1, v1 = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg, comp_q)
-            u2, v2 = cara_lib.rows_out_uv(
-                p1[0:1], cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp_p)
-            cb2 = cara_params["bias1"]
+            u1, v1 = _adapter_uv("qkv", comp_q)
+            u2, v2 = _adapter_uv("proj", comp_p)
+            cb2 = cb_proj
             if tp > 1:
                 v1 = _tp_slice_qkv_cols(v1, h, d, h_loc, tp_idx)
                 u2 = jax.lax.dynamic_slice_in_dim(
@@ -522,7 +553,7 @@ def _block(
             x_p = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0))) \
                 if npad != n else x
             if use_elem:
-                u, vmat = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg)
+                u, vmat = _adapter_uv("qkv")
                 qkv = cp_dense_ln_wd(
                     x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
                     u.astype(x.dtype), (vmat * s).astype(x.dtype),
@@ -534,8 +565,7 @@ def _block(
                 comp = cp_ops.weight_dropout_mask(
                     k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout,
                     x.dtype)
-                u, vmat = cara_lib.qkv_uv(cara_params, f1, cfg, cara_cfg,
-                                          comp)
+                u, vmat = _adapter_uv("qkv", comp)
                 qkv = cp_dense_ln(
                     x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
                     u.astype(x.dtype), (vmat * s).astype(x.dtype),
@@ -558,6 +588,11 @@ def _block(
                     delta = moe_lib.moe_qkv_delta(
                         xa_p, cara_params, f1, g_p, cfg, cara_cfg,
                         drop_rng=k_wd_qkv).reshape(b, npad, 3 * e)
+                elif lora:
+                    delta = lora_lib.delta(
+                        xa_p, f1, rate=cara_cfg.weight_dropout,
+                        drop_rng=k_wd_qkv,
+                        element=materialized or use_elem)
                 else:
                     delta = cara_lib.qkv_delta(
                         xa_p, cara_params, f1, cfg, cara_cfg,
@@ -573,13 +608,11 @@ def _block(
             comp = cp_ops.weight_dropout_mask(
                 k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
                 x.dtype)
-            u, vmat = cara_lib.rows_out_uv(
-                p1[0:1], cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp)
+            u, vmat = _adapter_uv("proj", comp)
             proj = fused_qkv_attention_proj(
                 qkv, bp["proj"]["kernel"], bp["proj"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
-                (cara_params["bias1"] * s).astype(x.dtype),
+                (cb_proj * s).astype(x.dtype),
                 h, d ** -0.5, n, 1.0)[:, :n, :]
         else:
             attn_out = attn_fn(qkv)[:, :n, :]
@@ -593,6 +626,11 @@ def _block(
                 delta = moe_lib.moe_qkv_delta(
                     xa, cara_params, f1, moe_gates, cfg, cara_cfg,
                     drop_rng=k_wd_qkv)
+            elif lora:
+                delta = lora_lib.delta(
+                    xa, f1, rate=cara_cfg.weight_dropout,
+                    drop_rng=k_wd_qkv, element=materialized or use_elem,
+                ).reshape(b, n, 3, h, d)
             else:
                 delta = cara_lib.qkv_delta(
                     xa, cara_params, f1, cfg, cara_cfg,
@@ -615,25 +653,21 @@ def _block(
         pass  # attention (+ residual) already fused in one kernel above
     elif fused_dense:
         if use_elem:
-            u, vmat = cara_lib.rows_out_uv(
-                p1[0:1], cara_params["P2"], cara_params["P3"],
-                cara_params["R2"])
+            u, vmat = _adapter_uv("proj")
             proj = cp_dense_wd(
                 attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
-                (cara_params["bias1"] * s).astype(x.dtype),
+                (cb_proj * s).astype(x.dtype),
                 _wd_seed(k_wd_proj), 1.0, cara_cfg.weight_dropout)
         else:
             comp = cp_ops.weight_dropout_mask(
                 k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
                 x.dtype)
-            u, vmat = cara_lib.rows_out_uv(
-                p1[0:1], cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp)
+            u, vmat = _adapter_uv("proj", comp)
             proj = cp_dense(
                 attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
-                (cara_params["bias1"] * s).astype(x.dtype), 1.0,
+                (cb_proj * s).astype(x.dtype), 1.0,
                 512, e, 768)  # cara.py:57-58
     else:
       proj = matk(attn_out, bp["proj"]["kernel"]) + bp["proj"]["bias"]
@@ -645,6 +679,11 @@ def _block(
                 attn_out, p1[:, 0:1], cara_params, moe_gates,
                 drop_rng=k_wd_proj, rate=cara_cfg.weight_dropout)
             cb1 = moe_lib.moe_bias(moe_gates, cara_params["bias1"])
+        elif lora:
+            pd = lora_lib.delta(
+                attn_out, p1["proj"], rate=cara_cfg.weight_dropout,
+                drop_rng=k_wd_proj, element=materialized or use_elem)
+            cb1 = cb_proj
         elif materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_proj, (e, e), cara_cfg.weight_dropout, x.dtype)
@@ -666,7 +705,10 @@ def _block(
 
     # --- MLP ---------------------------------------------------------------
     if use_cara:
-        if moe_gates is not None:  # expert-stacked (X, rows, r) slices
+        if lora:
+            p1_up = p1_down = None  # LoRA per-site factors live in the
+            # p1 dict; the fc1/fc2 branches go through _adapter_uv/delta.
+        elif moe_gates is not None:  # expert-stacked (X, rows, r) slices
             p1_up, p1_down = p1[:, 1:1 + mr], p1[:, 1 + mr:1 + 2 * mr]
         else:
             p1_up, p1_down = p1[1:1 + mr], p1[1 + mr:1 + 2 * mr]
@@ -707,13 +749,9 @@ def _block(
             comp_down = cp_ops.weight_dropout_mask(
                 k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout,
                 x.dtype)
-        u1, v1 = cara_lib.rows_out_uv(
-            p1_up, cara_params["P2"], cara_params["P3"],
-            cara_params["R2"], comp_up)
-        u2, v2 = cara_lib.rows_in_uv(
-            p1_down, cara_params["P2"], cara_params["P3"],
-            cara_params["R2"], comp_down)
-        cb1, cb2 = cara_params["bias2"], cara_params["bias3"]
+        u1, v1 = _adapter_uv("fc1", comp_up)
+        u2, v2 = _adapter_uv("fc2", comp_down)
+        cb1, cb2 = cb_up, cb_down
         x_in, b2 = x, bp["fc2"]["bias"]
         if tp > 1:
             # Hidden-axis shard: v1 columns / cb1 (bias2) / u2 rows local;
@@ -757,26 +795,22 @@ def _block(
         # the normalized input nor the (B,N,4E) pre-activation round-trips
         # HBM (cara.py:81-84 in one pass).
         if use_elem:
-            u, vmat = cara_lib.rows_out_uv(
-                p1_up, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"])
+            u, vmat = _adapter_uv("fc1")
             act = cp_dense_ln_wd(
                 x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
-                (cara_params["bias2"] * s).astype(x.dtype),
+                (cb_up * s).astype(x.dtype),
                 bp["ln2_scale"], bp["ln2_bias"], _wd_seed(k_wd_up),
                 1.0, cara_cfg.weight_dropout, 256, 1024, 768, None,
                 cfg.activation, cfg.layernorm_eps)
         else:
             comp = cp_ops.weight_dropout_mask(
                 k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
-            u, vmat = cara_lib.rows_out_uv(
-                p1_up, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp)
+            u, vmat = _adapter_uv("fc1", comp)
             act = cp_dense_ln(
                 x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
-                (cara_params["bias2"] * s).astype(x.dtype),
+                (cb_up * s).astype(x.dtype),
                 bp["ln2_scale"], bp["ln2_bias"], 1.0,
                 512, mr * e, 768, None, cfg.activation, cfg.layernorm_eps)
     else:
@@ -790,6 +824,11 @@ def _block(
                 xm, p1_up, cara_params, moe_gates,
                 drop_rng=k_wd_up, rate=cara_cfg.weight_dropout)
             cb2 = moe_lib.moe_bias(moe_gates, cara_params["bias2"])
+        elif lora:
+            ud = lora_lib.delta(
+                xm, p1["fc1"], rate=cara_cfg.weight_dropout,
+                drop_rng=k_wd_up, element=materialized or use_elem)
+            cb2 = cb_up
         elif materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_up, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
@@ -812,25 +851,21 @@ def _block(
     act = dropout(act, cfg.dropout_rate, k_do2)
     if fused_dense:
         if use_elem:
-            u, vmat = cara_lib.rows_in_uv(
-                p1_down, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"])
+            u, vmat = _adapter_uv("fc2")
             down = cp_dense_wd(
                 act, bp["fc2"]["kernel"], bp["fc2"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
-                (cara_params["bias3"] * s).astype(x.dtype),
+                (cb_down * s).astype(x.dtype),
                 _wd_seed(k_wd_down), 1.0, cara_cfg.weight_dropout)
         else:
             comp = cp_ops.weight_dropout_mask(
                 k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout,
                 x.dtype)
-            u, vmat = cara_lib.rows_in_uv(
-                p1_down, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp)
+            u, vmat = _adapter_uv("fc2", comp)
             down = cp_dense(
                 act, bp["fc2"]["kernel"], bp["fc2"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
-                (cara_params["bias3"] * s).astype(x.dtype),
+                (cb_down * s).astype(x.dtype),
                 1.0)  # cara.py:92-93
     else:
       down = matk(act, bp["fc2"]["kernel"]) + bp["fc2"]["bias"]
@@ -842,6 +877,11 @@ def _block(
                 act, p1_down, cara_params, moe_gates,
                 drop_rng=k_wd_down, rate=cara_cfg.weight_dropout)
             cb3 = moe_lib.moe_bias(moe_gates, cara_params["bias3"])
+        elif lora:
+            dd = lora_lib.delta(
+                act, p1["fc2"], rate=cara_cfg.weight_dropout,
+                drop_rng=k_wd_down, element=materialized or use_elem)
+            cb3 = cb_down
         elif materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
                 k_wd_down, (mr * e, e), cara_cfg.weight_dropout, x.dtype)
@@ -997,7 +1037,24 @@ def vit_forward(
         cara_blocks = cara_params["experts"]
         a1_stack, p1_stack = moe_lib.moe_stacked_layer_slices(
             cara_blocks, cfg, cara_cfg)
+    elif cara_params is not None and cara_cfg.method == "lora":
+        from cara_tpu.models import lora as lora_lib
+
+        if not lora_lib.is_lora_params(cara_params):
+            raise ValueError(
+                "cara_cfg.method='lora' wants the per-site {a, b} tree "
+                "from models.lora.init_lora_params; got keys "
+                f"{sorted(cara_params)}")
+        # LoRA state is fully per-layer: the two scan operand slots carry
+        # the layer-stacked qkv pair and the {proj, fc1, fc2} dict.
+        a1_stack, p1_stack = lora_lib.layer_stacks(cara_params)
     elif cara_params is not None:
+        if not isinstance(cara_params, dict) or "A1" not in cara_params:
+            raise ValueError(
+                "cara_cfg.method='cara' wants the CP factor tree "
+                "(A1..., P1-P3, R1/R2, bias1-3); got keys "
+                f"{sorted(cara_params) if isinstance(cara_params, dict) else type(cara_params)}"
+                " — did you load a LoRA checkpoint without method='lora'?")
         a1_stack, p1_stack = cara_lib.stacked_layer_slices(
             cara_params, cfg, cara_cfg)
     else:

@@ -213,7 +213,14 @@ def pp_vit_forward(
 
     dpr = jnp.linspace(0.0, cfg.drop_path_rate, L)
     use_cara = cara_params is not None
-    if use_cara:
+    if use_cara and cara_cfg.method == "lora":
+        # LoRA state is fully per-layer — the stacks ARE the param tree
+        # (models.lora.layer_stacks); every downstream stage shard /
+        # circular reorder / per-tick slice is tree-generic.
+        from cara_tpu.models import lora as lora_lib
+
+        a1, p1 = lora_lib.layer_stacks(cara_params)
+    elif use_cara:
         a1, p1 = cara_lib.stacked_layer_slices(cara_params, cfg, cara_cfg)
     else:
         a1 = p1 = jnp.zeros((L, 1, 1), tokens.dtype)

@@ -283,8 +283,22 @@ class MultiTaskPredictor:
                 "(the group step stacks plain factor trees); serve them "
                 "with their own Predictor")
         names = list(tasks)
-        ranks = {int(t["cara"]["R1"].shape[0]) for t in tasks.values()}
-        orders = {int(t.get("cp_order", 4)) for t in tasks.values()}
+        from cara_tpu.models.lora import is_lora_params
+
+        loras = [is_lora_params(t["cara"]) for t in tasks.values()]
+        if any(loras) and not all(loras):
+            raise ValueError(
+                "cannot stack CaRA and LoRA adapters in one multi-task "
+                "group (the trees differ in structure); serve each family "
+                "in its own group")
+        lora = all(loras)
+        if lora:
+            ranks = {int(t["cara"]["qkv"]["a"].shape[-1])
+                     for t in tasks.values()}
+            orders = {4}  # unused for LoRA
+        else:
+            ranks = {int(t["cara"]["R1"].shape[0]) for t in tasks.values()}
+            orders = {int(t.get("cp_order", 4)) for t in tasks.values()}
         if len(ranks) != 1 or len(orders) != 1:
             raise ValueError(
                 f"adapters must share CP rank/order to stack; got ranks="
@@ -312,8 +326,10 @@ class MultiTaskPredictor:
         base = {k: v for k, v in params.items() if k != "head"}
         base = cast_floating(base, dtype)
         cfg = dataclasses.replace(cfg, num_classes=cmax)
-        cara_cfg = CaraConfig(rank=ranks.pop(), scale=1.0,
-                              cp_order=orders.pop())
+        cara_cfg = CaraConfig(method="lora" if lora else "cara",
+                              rank=ranks.pop(), scale=1.0,
+                              cp_order=orders.pop(),
+                              weight_dropout=0.0 if lora else 0.1)
         self.cfg = cfg
         self.batch_size = batch_size
         self.buckets = _resolve_buckets(buckets, batch_size, mesh)

@@ -131,9 +131,11 @@ def infer_cara_cfg(cara_params, meta, scale=None, cp_order=None):
     default would mis-apply the adapter.
     """
     from cara_tpu.config import CaraConfig
+    from cara_tpu.models.lora import is_lora_params
 
     moe = "router" in cara_params and "experts" in cara_params
-    r1 = cara_params["experts"]["R1"] if moe else cara_params["R1"]
+    lora = meta.get("method") == "lora" or (
+        not moe and is_lora_params(cara_params))
     if scale is None:
         if "scale" not in meta:
             raise ValueError(
@@ -141,6 +143,14 @@ def infer_cara_cfg(cara_params, meta, scale=None, cp_order=None):
                 "refusing to default to 1.0 (a wrong scale silently "
                 "mis-applies the adapter)")
         scale = float(meta["scale"])
+    if lora:
+        return CaraConfig(
+            method="lora", scale=scale,
+            rank=int(cara_params["qkv"]["a"].shape[-1]),
+            weight_dropout=float(meta.get("weight_dropout", 0.0)),
+            weight_dropout_impl=str(
+                meta.get("weight_dropout_impl", "element")))
+    r1 = cara_params["experts"]["R1"] if moe else cara_params["R1"]
     kw = dict(
         rank=int(r1.shape[-1]), scale=scale,
         cp_order=int(cp_order if cp_order is not None

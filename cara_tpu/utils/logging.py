@@ -52,6 +52,15 @@ class MetricLogger:
         if "experts" in cara_params and "R1" not in cara_params:
             # MoE tree (models.moe): stats pool over all experts' lambdas.
             cara_params = cara_params["experts"]
+        if "R1" not in cara_params:
+            # LoRA trees have no CP weights — report the delta-factor
+            # norms instead (the analogous drift diagnostic).
+            out = {}
+            for site, ab in sorted(cara_params.items()):
+                if isinstance(ab, dict) and "b" in ab:
+                    out[f"{site}_b_norm"] = float(
+                        np.linalg.norm(np.asarray(ab["b"])))
+            return out
         r1 = np.asarray(cara_params["R1"])
         r2 = np.asarray(cara_params["R2"])
         out: Dict[str, Any] = {

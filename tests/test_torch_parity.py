@@ -71,9 +71,19 @@ def torch_reference_logits(tparams, tcara, x, cfg, cara_cfg):
         return th.nn.functional.layer_norm(
             v, (e,), t(scale), t(bias), eps=cfg.layernorm_eps)
 
-    P1, P2, P3 = (t(cara[k]) for k in ("P1", "P2", "P3"))
-    R1, R2 = t(cara["R1"]), t(cara["R2"])
-    b1, b2, b3 = t(cara["bias1"]), t(cara["bias2"]), t(cara["bias3"])
+    lora = "qkv" in cara and "A1" not in cara  # models.lora tree
+    if lora:
+        def site_T(li, site):
+            """Dense per-layer LoRA delta weight A @ B (models/lora.py)."""
+            return t(cara[site]["a"][li]) @ t(cara[site]["b"][li])
+
+        b1 = th.zeros(e, dtype=th.float64)
+        b2 = th.zeros(mr * e, dtype=th.float64)
+        b3 = th.zeros(e, dtype=th.float64)
+    else:
+        P1, P2, P3 = (t(cara[k]) for k in ("P1", "P2", "P3"))
+        R1, R2 = t(cara["R1"]), t(cara["R2"])
+        b1, b2, b3 = t(cara["bias1"]), t(cara["bias2"]), t(cara["bias3"])
 
     def qkv_T(li):
         """This layer's materialized (3, E, E) QKV delta tensor, per CP
@@ -103,8 +113,12 @@ def torch_reference_logits(tparams, tcara, x, cfg, cara_cfg):
     for li in range(L):
         hin = ln(x, bp["ln1_scale"][li], bp["ln1_bias"][li])
         qkv = hin @ t(bp["qkv"]["kernel"][li]) + t(bp["qkv"]["bias"][li])
-        # CP delta, materialized exactly like cara.py:26-35 (order per qkv_T).
-        T = qkv_T(li)
+        # CP delta, materialized exactly like cara.py:26-35 (order per qkv_T);
+        # LoRA: dense A @ B in the same fused-qkv column layout.
+        if lora:
+            T = site_T(li, "qkv").reshape(e, 3, e).permute(1, 0, 2)
+        else:
+            T = qkv_T(li)
         delta = th.einsum("bne,keo->bnko", hin, T)     # (B,N,3,E)
         qkv = qkv.reshape(b, n, 3, h, d) + delta.reshape(b, n, 3, h, d) * s
         q, k, v = (qkv[:, :, i].transpose(1, 2) for i in range(3))
@@ -112,20 +126,31 @@ def torch_reference_logits(tparams, tcara, x, cfg, cara_cfg):
         att = att.softmax(-1)
         o = (att @ v).transpose(1, 2).reshape(b, n, e)
         proj = o @ t(bp["proj"]["kernel"][li]) + t(bp["proj"]["bias"][li])
-        p1 = P1[(1 + 2 * mr) * li:(1 + 2 * mr) * li + 1]
-        T2 = th.einsum("r,ir,er,fr->ief", R2, p1, P2, P3).reshape(e, e)
+        if lora:
+            T2 = site_T(li, "proj").T
+        else:
+            p1 = P1[(1 + 2 * mr) * li:(1 + 2 * mr) * li + 1]
+            T2 = th.einsum("r,ir,er,fr->ief", R2, p1, P2, P3).reshape(e, e)
         proj = proj + (o @ T2.T + b1) * s              # cara.py:57-58
         x = x + proj
         h2 = ln(x, bp["ln2_scale"][li], bp["ln2_bias"][li])
         up = h2 @ t(bp["fc1"]["kernel"][li]) + t(bp["fc1"]["bias"][li])
-        base = (1 + 2 * mr) * li
-        p1u = P1[base + 1:base + 1 + mr]
-        Tu = th.einsum("r,ir,er,fr->ief", R2, p1u, P2, P3).reshape(mr * e, e)
+        if lora:
+            Tu = site_T(li, "fc1").T
+        else:
+            base = (1 + 2 * mr) * li
+            p1u = P1[base + 1:base + 1 + mr]
+            Tu = th.einsum("r,ir,er,fr->ief", R2, p1u, P2,
+                           P3).reshape(mr * e, e)
         up = up + (h2 @ Tu.T + b2) * s                 # cara.py:81-82
         act = th.nn.functional.gelu(up)
         down = act @ t(bp["fc2"]["kernel"][li]) + t(bp["fc2"]["bias"][li])
-        p1d = P1[base + 1 + mr:base + 1 + 2 * mr]
-        Td = th.einsum("r,ir,er,fr->ief", R2, p1d, P2, P3).reshape(mr * e, e)
+        if lora:
+            Td = site_T(li, "fc2")
+        else:
+            p1d = P1[base + 1 + mr:base + 1 + 2 * mr]
+            Td = th.einsum("r,ir,er,fr->ief", R2, p1d, P2,
+                           P3).reshape(mr * e, e)
         down = down + (act @ Td + b3) * s              # cara.py:92-93 (no .T)
         x = x + down
 
