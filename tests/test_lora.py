@@ -225,6 +225,71 @@ def test_data_parallel_matches_single_device(setup):
         st1.trainable, stm.trainable)
 
 
+def test_task_parallel_matches_sequential_lora(setup):
+    """The task-parallel sweep stacks adapter trees generically — LoRA
+    trees must keep the bit-identical-to-sequential guarantee."""
+    from cara_tpu.train import task_parallel as tp_lib
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    params, _, _ = setup
+    frozen = {k: v for k, v in params.items() if k != "head"}
+    cc = dataclasses.replace(LCFG, weight_dropout=0.2,
+                             weight_dropout_impl="rank")
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=2)
+    T, seeds, num_real = 2, [11, 22], [3, 4]
+    tasks = []
+    for seed, n in zip(seeds, num_real):
+        p = vit_lib.init_vit_params(jax.random.key(seed), CFG)
+        lp0 = cara_lib.init_cara_params(jax.random.key(seed + 1), CFG, cc)
+        lp0 = {s: dict(d, b=0.02 * jax.random.normal(
+            jax.random.key(seed + 2), d["b"].shape))
+            for s, d in lp0.items()}
+        kx, ky = jax.random.split(jax.random.key(seed + 3))
+        batches = [{
+            "image": np.asarray(jax.random.normal(
+                jax.random.fold_in(kx, i), (4, 16, 16, 3), np.float32)),
+            "label": np.asarray(jax.random.randint(
+                jax.random.fold_in(ky, i), (4,), 0, n)),
+            "valid": np.ones(4, np.float32),
+            "num_classes": np.int32(n),
+            "delta_scale": np.float32(1.0 + seed / 100),
+        } for i in range(2)]
+        tasks.append(({"cara": lp0, "head": p["head"]}, batches))
+
+    step_fn = jax.jit(steps_lib.make_train_step(CFG, cc, tx))
+    seq = []
+    for (trainable, batches), seed in zip(tasks, seeds):
+        st = steps_lib.TrainState(
+            jnp.zeros((), jnp.int32), trainable, tx.init(trainable))
+        for b in batches:
+            st, _ = step_fn(st, frozen, b, jax.random.key(seed))
+        seq.append(jax.device_get(st).trainable)
+
+    mesh = tp_lib.make_task_mesh(T, jax.devices()[:T])
+    train_step = jax.jit(
+        tp_lib.make_task_train_step(CFG, cc, tx, mesh),
+        donate_argnums=(0,))
+    states = [steps_lib.TrainState(
+        jnp.zeros((), jnp.int32), tr, tx.init(tr)) for tr, _ in tasks]
+    state = tp_lib.put_stacked(mesh, tp_lib.stack_trees(states))
+    seeds_dev = jax.device_put(
+        np.asarray(seeds, np.int32),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(tp_lib.TASK_AXIS)))
+    for i in range(2):
+        stacked = {k: np.stack([t[1][i][k] for t in tasks])
+                   for k in tasks[0][1][0].keys()}
+        state, _ = train_step(
+            state, frozen, tp_lib.put_stacked(mesh, stacked), seeds_dev)
+    host = jax.device_get(state)
+    for i in range(T):
+        jax.tree_util.tree_map(
+            lambda a_, b_: np.testing.assert_array_equal(
+                np.asarray(a_), np.asarray(b_)),
+            tp_lib.index_tree(host.trainable, i), seq[i])
+
+
 def test_multitask_predictor_stacks_lora(setup):
     from cara_tpu.serving import MultiTaskPredictor, Predictor
 
