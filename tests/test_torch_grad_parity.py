@@ -184,6 +184,134 @@ def test_gradients_match_torch_other_cp_orders(order, impl):
             rtol=1e-8, atol=1e-13, err_msg=f"head grad {name}")
 
 
+def test_gradients_match_torch_lora():
+    """fp64 gradient parity for the LoRA method (``models/lora.py``):
+    every per-site A/B leaf plus the head vs ``torch.autograd`` — the
+    same evidence bar the CP factors get."""
+    import dataclasses
+
+    import optax
+
+    cfg, cara_cfg, params, _, x, y = _small_setup()
+    cara_cfg = dataclasses.replace(cara_cfg, method="lora", l_mu=1.0,
+                                   l_std=0.0)
+    lp = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    # Nonzero B so gradients flow through every site's A factor too.
+    lp = {s: dict(d, b=0.1 * jax.random.normal(
+        jax.random.key(i + 30), d["b"].shape))
+        for i, (s, d) in enumerate(lp.items())}
+    lp = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float64), jax.device_get(lp))
+
+    tparams = to_torch_tree(params)
+    tcara = to_torch_tree(lp, requires_grad=True)
+    for leaf in tparams["head"].values():
+        leaf.requires_grad_(True)
+    loss_t = _torch_loss(tparams, tcara, torch.tensor(x, dtype=torch.float64),
+                         torch.tensor(y), cfg, cara_cfg)
+    loss_t.backward()
+
+    with jax.enable_x64():
+        def loss_fn(trainable):
+            p = dict(params)
+            p["head"] = trainable["head"]
+            logits = vit_lib.vit_forward(
+                p, jnp.asarray(x), cfg, cara_params=trainable["cara"],
+                cara_cfg=cara_cfg, train=False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.asarray(y)).mean()
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(
+            {"cara": lp, "head": params["head"]})
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-12)
+    for site in sorted(tcara):
+        for fac in ("a", "b"):
+            np.testing.assert_allclose(
+                np.asarray(grads["cara"][site][fac]),
+                tcara[site][fac].grad.numpy(),
+                rtol=1e-8, atol=1e-13, err_msg=f"lora grad {site}/{fac}")
+    for name in ("kernel", "bias"):
+        np.testing.assert_allclose(
+            np.asarray(grads["head"][name]),
+            tparams["head"][name].grad.numpy(),
+            rtol=1e-8, atol=1e-13, err_msg=f"head grad {name}")
+
+
+def test_training_dynamics_match_torch_lora():
+    """15 production AdamW steps with the LoRA tree vs the torch replica —
+    per-step loss parity (the short-horizon version of the 50-step CaRA
+    trajectory test below; the optimizer path is shared, this pins the
+    method-specific VJPs inside a real descent)."""
+    import dataclasses
+
+    from cara_tpu.train import schedule as sched_lib
+    from cara_tpu.train import steps as steps_lib
+
+    cfg, cara_cfg, params, _, _, _ = _small_setup()
+    cara_cfg = dataclasses.replace(cara_cfg, method="lora", scale=2.0)
+    lp = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    lp = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float64), jax.device_get(lp))
+
+    n_classes = cfg.num_classes
+    tmpl = np.random.RandomState(99).randn(n_classes, 16, 16, 3)
+    r = np.random.RandomState(21)
+    y_train = r.randint(0, n_classes, size=(16,))
+    x_train = 0.3 * r.randn(16, 16, 16, 3) + tmpl[y_train]
+
+    n_steps, steps_per_epoch = 15, 1
+    base_lr, wd = 2e-2, 1e-4
+    sched = sched_lib.cara_cosine_schedule(base_lr, steps_per_epoch)
+
+    tparams = to_torch_tree(params)
+    tcara = to_torch_tree(lp, requires_grad=True)
+    for leaf in tparams["head"].values():
+        leaf.requires_grad_(True)
+    leaves = [tcara[s][f] for s in sorted(tcara) for f in ("a", "b")] + [
+        tparams["head"]["bias"], tparams["head"]["kernel"]]
+    opt = torch.optim.AdamW(leaves, lr=base_lr, weight_decay=wd,
+                            betas=(0.9, 0.999), eps=1e-8)
+    tx_ = torch.tensor(x_train, dtype=torch.float64)
+    ty = torch.tensor(y_train)
+    torch_losses = []
+    for i in range(n_steps):
+        for gr in opt.param_groups:
+            gr["lr"] = float(sched(i))
+        opt.zero_grad()
+        loss = _torch_loss(tparams, tcara, tx_, ty, cfg, cara_cfg,
+                           cast_f32=True)
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    with jax.enable_x64():
+        tx = steps_lib.make_optimizer(base_lr, steps_per_epoch,
+                                      weight_decay=wd)
+        frozen, state = steps_lib.init_train_state(
+            tx, jax.tree_util.tree_map(jnp.asarray, params),
+            jax.tree_util.tree_map(jnp.asarray, lp))
+        train_step = steps_lib.make_train_step(cfg, cara_cfg, tx)
+        batch = {"image": jnp.asarray(x_train),
+                 "label": jnp.asarray(y_train)}
+        key = jax.random.key(11)
+        jax_losses = []
+        for _ in range(n_steps):
+            state, metrics = train_step(state, frozen, batch, key)
+            jax_losses.append(float(metrics["loss"]))
+        final = jax.device_get(state.trainable)
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6)
+    assert jax_losses[-1] < jax_losses[0]
+    for site in tcara:
+        for fac in ("a", "b"):
+            np.testing.assert_allclose(
+                np.asarray(final["cara"][site][fac]),
+                tcara[site][fac].detach().numpy(),
+                rtol=1e-5, atol=1e-6, err_msg=f"final lora {site}/{fac}")
+
+
 def test_full_training_run_learns_and_matches_torch():
     """A complete (tiny) LEARNING run agrees across frameworks.
 
