@@ -67,8 +67,12 @@ def parse_args(argv=None):
                         "executable (first request pays it instead)")
     p.add_argument("--no-merge", action="store_true",
                    help="Keep the adapter path instead of folding weights")
-    p.add_argument("--quantize", default=None, choices=[None, "int8"],
-                   help="Weight-only int8 (opt-in; ~7%% win at bs4-16 only)")
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "w8a8"],
+                   help="int8 = weight-only (opt-in; ~7%% win at bs4-16 "
+                        "only); w8a8 = full int8 with dynamic per-token "
+                        "activation quant on the 2x-rate int8 MXU path "
+                        "(bounded accuracy cost — models/quant.py)")
     return p.parse_args(argv)
 
 

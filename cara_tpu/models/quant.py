@@ -1,24 +1,35 @@
-"""Weight-only int8 quantization for serving.
+"""int8 quantization for serving: weight-only (w8) and full int8 (w8a8).
 
-Measured scope (benchmarks/RESULTS.md round 3): ViT serving is NOT
-weight-bound even at batch 1 — each image carries 197 tokens, so the
-per-layer GEMMs run at arithmetic intensity ~197, far above the MXU
-byte/FLOP breakeven, and the weight stream is only ~25-30% of the bs1
-latency.  Halving it therefore bounds the int8 win at ~13%; measured, the
-XLA path realizes a ~7-8% win at bs4-16 and loses at bs1 (convert
-overhead at matvec-ish shapes), which is why int8 stays OPT-IN.  (The
-"weight-bound small-batch" framing applies to M=1 decode workloads like
-LLMs, not to 197-token ViT images.)
+Two modes, both per-output-channel symmetric on the stacked block
+kernels (qkv/proj/fc1/fc2 — the ~85M-param bulk); embed, head, LN and
+positional parameters stay full precision either way:
 
-Storing the stacked transformer-block kernels (the ~85M-param bulk) as
-per-output-channel symmetric int8 halves that stream; the dequant
-multiply rides inside the per-layer GEMM (``models.vit.matk``), so the
-bf16 weights are never materialized in HBM.
+* ``mode="w8"`` (weight-only): int8 codes dequantize to the activation
+  dtype inside the per-layer GEMM, the MXU still runs bf16.  Measured
+  scope (benchmarks/RESULTS.md round 3): ViT serving is NOT weight-bound
+  even at batch 1 — each image carries 197 tokens (arithmetic intensity
+  ~197, far above the MXU byte/FLOP breakeven), the weight stream is only
+  ~25-30% of bs1 latency, so the win caps at ~13% and measures ~7-8% at
+  bs4-16 (losing at bs1 to convert overhead).  OPT-IN.  (The
+  "weight-bound small-batch" framing applies to M=1 decode workloads
+  like LLMs, not 197-token ViT images.)
 
-Quality: per-channel symmetric weight-only int8 on ViT classifiers is a
-well-characterized <=0.5 top-1 technique; here the scales are exact
-per-(layer, out-channel) maxima and the embed/head/LN parameters stay in
-full precision.  ``tests/test_quant.py`` bounds the logit deviation.
+* ``mode="w8a8"`` (full int8): activations additionally quantize
+  per-token symmetric int8 at runtime (dynamic scales — exact row
+  maxima, no calibration set needed) and the GEMM runs int8 x int8 ->
+  int32 on the MXU, which on v5e executes at 2x the bf16 rate
+  (measured 284 TOPS vs 161 TF on this chip, benchmarks/RESULTS.md).
+  This attacks the COMPUTE bound that makes w8 pointless: the dense
+  sites carry most of the forward FLOPs, so serving throughput improves
+  even where weight streaming never mattered.  Dequant is exact-form
+  ``y = y_int32 * (ax_row x scale_col)``; the attention score/value
+  GEMMs and everything nonlinear stay bf16/f32.
+
+Quality: per-channel symmetric weight int8 is a well-characterized
+<=0.5 top-1 technique on ViT classifiers; dynamic per-token activation
+int8 adds bounded error (exact row maxima, so |x - q*ax| <= ax/2
+elementwise).  ``tests/test_quant.py`` bounds logit deviation for both
+modes.
 """
 
 from __future__ import annotations
@@ -46,18 +57,33 @@ def quantize_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 
 def dequantize_kernel(k: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    return k["q"].astype(k["scale"].dtype) * k["scale"]
+    q = k["qa"] if "qa" in k else k["q"]
+    return q.astype(k["scale"].dtype) * k["scale"]
 
 
-def quantize_block_weights(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_block_weights(params: Dict[str, Any],
+                           mode: str = "w8") -> Dict[str, Any]:
     """Quantize the stacked block kernels (qkv/proj/fc1/fc2) to int8 quant
     dicts consumed by ``vit.matk``; biases, LayerNorms, embed, head and
-    positional parameters stay in full precision."""
+    positional parameters stay in full precision.
+
+    ``mode="w8"`` stores the codes under key ``"q"`` (weight-only dequant
+    GEMM); ``"w8a8"`` stores them under ``"qa"``, which ``matk`` reads as
+    "also quantize the activations and run the int8 MXU path".  The key
+    name carries the mode because the dict rides the ``lax.scan`` over
+    layers, where every leaf must be a sliceable array — a bool marker
+    leaf would break the scan.
+    """
+    if mode not in ("w8", "w8a8"):
+        raise ValueError(f"quantize mode must be 'w8' or 'w8a8', got "
+                         f"{mode!r}")
     blocks = dict(params["blocks"])
     for name in QUANT_NAMES:
         lin = blocks[name]
-        blocks[name] = {"kernel": quantize_kernel(lin["kernel"]),
-                        "bias": lin["bias"]}
+        k = quantize_kernel(lin["kernel"])
+        if mode == "w8a8":
+            k = {"qa": k["q"], "scale": k["scale"]}
+        blocks[name] = {"kernel": k, "bias": lin["bias"]}
     out = dict(params)
     out["blocks"] = blocks
     return out

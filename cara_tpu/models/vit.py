@@ -133,6 +133,24 @@ def matk(x, kernel):
     body, so XLA folds the int8->bf16 convert into the GEMM and the weight
     streams HBM->VMEM at half the bytes — the win for weight-bound
     (small-batch serving) shapes.  Produced by ``models.quant``."""
+    if isinstance(kernel, dict) and "qa" in kernel:
+        # Full int8 (w8a8, models.quant mode="w8a8"): dynamic per-token
+        # symmetric activation quant, then an int8 x int8 -> int32 MXU
+        # GEMM — 2x the bf16 MXU rate on v5e (measured 284 TOPS vs
+        # 161 TF, benchmarks/RESULTS.md), attacking the compute bound
+        # that caps weight-only int8 at ~13%.  Exact dequant:
+        # y = y32 * (row_scale x col_scale); row maxima are exact so the
+        # activation codes never clip.
+        wq, s = kernel["qa"], kernel["scale"]
+        x32 = x.astype(jnp.float32)
+        ax = jnp.maximum(
+            jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0, 1e-12)
+        xq = jnp.round(x32 / ax).astype(jnp.int8)
+        y32 = jax.lax.dot_general(
+            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (y32.astype(jnp.float32) * ax
+                * s.astype(jnp.float32)).astype(x.dtype)
     if isinstance(kernel, dict) and "q" in kernel:
         wq, s = kernel["q"], kernel["scale"]
         # An untuned dequant-fused Pallas GEMM (ops/pallas/int8_dense)

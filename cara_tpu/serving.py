@@ -117,7 +117,7 @@ class Predictor:
                 params = merge_cara(params, cara_params, cfg, cara_cfg)
                 cara_params = cara_cfg = None
         if quantize is not None:
-            if quantize != "int8":
+            if quantize not in ("int8", "w8a8"):
                 raise ValueError(f"unknown quantize mode {quantize!r}")
             if cara_params is not None:
                 raise ValueError(
@@ -125,7 +125,11 @@ class Predictor:
                     "adapter) — the adapter kernels consume dense arrays")
             from cara_tpu.models.quant import quantize_block_weights
 
-            params = quantize_block_weights(params)
+            # "int8" = weight-only (w8, the legacy name); "w8a8" also
+            # quantizes activations per-token and runs the 2x-rate int8
+            # MXU path (models/quant.py module docs).
+            params = quantize_block_weights(
+                params, mode="w8a8" if quantize == "w8a8" else "w8")
         self.cfg = cfg
         self.batch_size = batch_size
         self.buckets = _resolve_buckets(buckets, batch_size, mesh)

@@ -71,6 +71,59 @@ def test_predictor_quantized():
                   cara_cfg=model.cara_cfg, merge=False, quantize="int8")
 
 
+def test_matk_w8a8_matches_exact_quant_reference():
+    """The int8 x int8 path == the explicit quantize-both-sides reference
+    (same codes, same scales, f32 accumulation mirror of the int32 MXU)."""
+    w = jax.random.normal(jax.random.key(1), (96, 128)) * 0.05
+    x = jax.random.normal(jax.random.key(2), (4, 7, 96))
+    q = quantize_kernel(w)
+    qa = {"qa": q["q"], "scale": q["scale"]}
+    got = vit_lib.matk(x, qa)
+    x32 = np.asarray(x, np.float64)
+    ax = np.maximum(np.abs(x32).max(-1, keepdims=True) / 127.0, 1e-12)
+    xq = np.round(x32 / ax)
+    assert np.abs(xq).max() <= 127  # exact row maxima never clip
+    ref = (xq @ np.asarray(q["q"], np.float64)) * ax * np.asarray(
+        q["scale"], np.float64)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-4)
+    # and the result approximates the unquantized GEMM
+    dense = np.asarray(x32 @ np.asarray(w, np.float64))
+    assert np.abs(np.asarray(got) - dense).max() < 0.05
+
+
+def test_w8a8_forward_close_and_agrees():
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=10, seed=0)
+    merged = model.merged()
+    x = jax.random.normal(jax.random.key(3), (8, 32, 32, 3))
+    ref = vit_lib.vit_forward(merged, x, model.cfg, attn_impl="xla",
+                              dense_impl="xla")
+    qp = quantize_block_weights(merged, mode="w8a8")
+    got = vit_lib.vit_forward(qp, x, model.cfg, attn_impl="xla",
+                              dense_impl="xla")
+    spread = float(jnp.std(ref))
+    # activation quant adds error on top of w8; still small vs the spread
+    assert float(jnp.abs(got - ref).max()) < 0.25 * spread + 0.1
+    assert (np.asarray(jnp.argmax(got, -1))
+            == np.asarray(jnp.argmax(ref, -1))).mean() >= 0.8
+
+
+def test_predictor_w8a8():
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=10, seed=0)
+    rng = np.random.RandomState(0)
+    x = rng.randn(5, 32, 32, 3).astype(np.float32)
+    p_bf = Predictor(model.params, model.cfg, cara_params=model.cara_params,
+                     cara_cfg=model.cara_cfg, batch_size=4,
+                     dtype=jnp.float32)
+    p_q = Predictor(model.params, model.cfg, cara_params=model.cara_params,
+                    cara_cfg=model.cara_cfg, batch_size=4,
+                    dtype=jnp.float32, quantize="w8a8")
+    lb, lq = p_bf.logits(x), p_q.logits(x)
+    assert lq.shape == lb.shape
+    assert np.abs(lq - lb).max() < 0.25 * np.std(lb) + 0.1
+
+
 def test_int8_dense_kernel_matches():
     """Dequant-fused Pallas GEMM == XLA dequant reference (interpret)."""
     from cara_tpu.ops.pallas.int8_dense import int8_dense
