@@ -122,9 +122,9 @@ def main(argv=None):
                   f"{pred.batch_size}; --max-batch {args.max_batch} "
                   f"ignored (fixed-shape executable)", flush=True)
     elif len(args.ckpt) > 1:
-        if args.quantize or args.no_merge:
-            raise SystemExit("--quantize/--no-merge are single-task "
-                             "options (multi-task serving runs the "
+        if args.no_merge:
+            raise SystemExit("--no-merge is a single-task option "
+                             "(multi-task serving always runs the "
                              "shared-backbone adapter path)")
         if args.scale is not None or args.num_classes is not None:
             raise SystemExit("--scale/--num-classes are single-task "
@@ -142,7 +142,8 @@ def main(argv=None):
                 "explicit name=path specs")
         pred = MultiTaskPredictor.from_checkpoints(
             ckpts, args.model, backbone=args.backbone,
-            batch_size=args.max_batch, buckets=_parse_buckets(args.buckets))
+            batch_size=args.max_batch, quantize=args.quantize,
+            buckets=_parse_buckets(args.buckets))
         print(f"multi-task: {len(ckpts)} adapters over one backbone "
               f"({', '.join(ckpts)})", flush=True)
     else:

@@ -1012,6 +1012,14 @@ def vit_forward(
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
         dense_impl = resolve_dense_impl(cara_params is not None, cara_cfg)
+        if (dense_impl == "fused"
+                and isinstance(params["blocks"]["qkv"]["kernel"], dict)):
+            # int8-quantized blocks: the fused Pallas kernels consume
+            # dense kernel arrays, so auto falls back to the XLA dense
+            # path — matk handles the quant dicts there (both the w8
+            # dequant GEMM and the w8a8 int8 MXU path), and adapter
+            # deltas still add on top (`qkv + delta`, cara.py:42).
+            dense_impl = "xla"
     if (dense_impl == "fused"
             and isinstance(params["blocks"]["qkv"]["kernel"], dict)):
         raise ValueError(

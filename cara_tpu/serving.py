@@ -119,15 +119,16 @@ class Predictor:
         if quantize is not None:
             if quantize not in ("int8", "w8a8"):
                 raise ValueError(f"unknown quantize mode {quantize!r}")
-            if cara_params is not None:
-                raise ValueError(
-                    "quantize requires merged weights (merge=True or no "
-                    "adapter) — the adapter kernels consume dense arrays")
             from cara_tpu.models.quant import quantize_block_weights
 
             # "int8" = weight-only (w8, the legacy name); "w8a8" also
             # quantizes activations per-token and runs the 2x-rate int8
-            # MXU path (models/quant.py module docs).
+            # MXU path (models/quant.py module docs).  Composes with the
+            # unmerged adapter path too: on the XLA dense path the delta
+            # adds ON TOP of the frozen matk GEMM (`qkv + delta`,
+            # models/vit.py), so only the frozen backbone quantizes and
+            # vit_forward's auto resolution drops the fused Pallas
+            # kernels (they consume dense arrays).
             params = quantize_block_weights(
                 params, mode="w8a8" if quantize == "w8a8" else "w8")
         self.cfg = cfg
@@ -271,12 +272,18 @@ class MultiTaskPredictor:
         batch_size: int = 64,
         dtype=jnp.bfloat16,
         mesh=None,
+        quantize: Optional[str] = None,
         buckets="auto",
     ):
         """``tasks``: ordered ``{name: {"cara": pytree, "head": {kernel,
         bias}, "scale": float, "cp_order": int}}``.  ``mesh``: optional
         device mesh — backbone + stacked adapters replicate, request
-        batches shard over the ``data`` axis (same as ``Predictor``)."""
+        batches shard over the ``data`` axis (same as ``Predictor``).
+        ``quantize``: "int8" (weight-only) or "w8a8" (full int8) on the
+        SHARED frozen backbone's block kernels — the per-task adapter
+        deltas and heads stay full precision and add on top of the
+        quantized GEMMs (models/vit.py matk), so one int8 backbone
+        serves every task."""
         import dataclasses
 
         if not tasks:
@@ -328,6 +335,13 @@ class MultiTaskPredictor:
         scales = jnp.asarray([float(t["scale"]) for t in tasks.values()],
                              jnp.float32)
         base = {k: v for k, v in params.items() if k != "head"}
+        if quantize is not None:
+            if quantize not in ("int8", "w8a8"):
+                raise ValueError(f"unknown quantize mode {quantize!r}")
+            from cara_tpu.models.quant import quantize_block_weights
+
+            base = quantize_block_weights(
+                base, mode="w8a8" if quantize == "w8a8" else "w8")
         base = cast_floating(base, dtype)
         cfg = dataclasses.replace(cfg, num_classes=cmax)
         cara_cfg = CaraConfig(method="lora" if lora else "cara",

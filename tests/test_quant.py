@@ -64,11 +64,53 @@ def test_predictor_quantized():
     lb, lq = p_bf.logits(x), p_q.logits(x)
     assert lq.shape == lb.shape
     assert np.abs(lq - lb).max() < 0.1 * np.std(lb) + 0.05
-    # adapter path (merge=False) refuses quantize
-    import pytest
-    with pytest.raises(ValueError):
-        Predictor(model.params, model.cfg, cara_params=model.cara_params,
-                  cara_cfg=model.cara_cfg, merge=False, quantize="int8")
+
+
+def test_predictor_quantized_adapter_path():
+    """Unmerged (adapter) serving composes with backbone quantization:
+    the delta adds on top of the quantized frozen GEMM (vit.py matk), so
+    logits stay close to the unquantized adapter path."""
+    model = api.build_model("vit_tiny_test", rank=4, scale=1.0,
+                            num_classes=10, seed=0)
+    rng = np.random.RandomState(0)
+    x = rng.randn(5, 32, 32, 3).astype(np.float32)
+    p_bf = Predictor(model.params, model.cfg, cara_params=model.cara_params,
+                     cara_cfg=model.cara_cfg, merge=False, batch_size=4,
+                     dtype=jnp.float32)
+    for mode, tol in (("int8", 0.1), ("w8a8", 0.25)):
+        p_q = Predictor(model.params, model.cfg,
+                        cara_params=model.cara_params,
+                        cara_cfg=model.cara_cfg, merge=False, batch_size=4,
+                        dtype=jnp.float32, quantize=mode)
+        lb, lq = p_bf.logits(x), p_q.logits(x)
+        assert np.abs(lq - lb).max() < tol * np.std(lb) + 0.1, mode
+
+
+def test_multitask_predictor_quantized():
+    """One int8 backbone shared by N tasks: per-task logits stay close to
+    the unquantized multi-task group (both modes)."""
+    from cara_tpu.serving import MultiTaskPredictor
+
+    tasks = {}
+    for i, name in enumerate(["taskA", "taskB"]):
+        m = api.build_model("vit_tiny_test", rank=4, scale=1.0 + i,
+                            num_classes=5 + 3 * i, seed=i)
+        tasks[name] = {"cara": m.cara_params, "head": m.params["head"],
+                       "scale": 1.0 + i, "cp_order": 4}
+        backbone_params, cfg = m.params, m.cfg
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 32, 32, 3).astype(np.float32)
+    p0 = MultiTaskPredictor(backbone_params, cfg, tasks, batch_size=4,
+                            dtype=jnp.float32)
+    for mode in ("int8", "w8a8"):
+        pq = MultiTaskPredictor(backbone_params, cfg, tasks, batch_size=4,
+                                dtype=jnp.float32, quantize=mode)
+        for name in tasks:
+            l0 = p0.logits(x, task=name)
+            lq = pq.logits(x, task=name)
+            assert lq.shape == l0.shape
+            assert np.abs(lq - l0).max() < 0.25 * np.std(l0) + 0.1, (
+                mode, name)
 
 
 def test_matk_w8a8_matches_exact_quant_reference():
