@@ -42,6 +42,10 @@ def parse_args(argv=None):
                         "artifact's I/O is always float32)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="stablehlo only: comma-separated lowering targets")
+    p.add_argument("--quantize", default=None, choices=[None, "int8", "w8a8"],
+                   help="stablehlo only: store block kernels as int8 module "
+                        "constants (~4x smaller artifact); w8a8 also runs "
+                        "the int8 MXU GEMM path (models/quant.py)")
     p.add_argument("--model", default=None,
                    help="Model name (default: from checkpoint meta)")
     p.add_argument("--dim", default=32, type=int, help="CP rank")
@@ -58,6 +62,11 @@ def parse_args(argv=None):
 
 def main(argv=None) -> str:
     args = parse_args(argv)
+    if args.quantize and args.mode != "stablehlo":
+        raise SystemExit(
+            "--quantize only applies to --mode stablehlo (npz modes keep "
+            "full-precision weights; quantize at serve time instead: "
+            "serve --quantize)")
     from cara_tpu.models import torch_import
 
     if torch_import.is_torch_checkpoint(args.ckpt):
@@ -125,7 +134,8 @@ def main(argv=None) -> str:
                 batch_size=args.batch_size,
                 dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                 else jnp.float32,
-                platforms=tuple(args.platforms.split(",")))
+                platforms=tuple(args.platforms.split(",")),
+                quantize=args.quantize)
             with open(args.out, "wb") as f:
                 f.write(blob)
         else:

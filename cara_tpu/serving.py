@@ -494,6 +494,7 @@ def export_serialized(
     batch_size: int = 64,
     dtype=jnp.bfloat16,
     platforms=("cpu", "tpu"),
+    quantize: Optional[str] = None,
 ) -> bytes:
     """Serialize the eval forward as a self-contained StableHLO artifact.
 
@@ -505,6 +506,9 @@ def export_serialized(
     serves any request size with no padding (each distinct size still
     compiles once at call time; fixed-size padding remains the right
     choice for latency-critical TPU serving).
+    ``quantize``: "int8"/"w8a8" stores the block kernels as int8 module
+    constants (models/quant.py) — the artifact shrinks ~4x at the
+    weight bulk and w8a8 runs the int8 MXU path wherever it lowers.
     """
     from jax import export as jexport
 
@@ -514,6 +518,13 @@ def export_serialized(
         else:
             params = merge_cara(params, cara_params, cfg, cara_cfg)
             cara_params = cara_cfg = None
+    if quantize is not None:
+        if quantize not in ("int8", "w8a8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        from cara_tpu.models.quant import quantize_block_weights
+
+        params = quantize_block_weights(
+            params, mode="w8a8" if quantize == "w8a8" else "w8")
     params = cast_floating(params, dtype)
     if cara_params is not None:
         cara_params = cast_floating(cara_params, dtype)

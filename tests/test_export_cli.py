@@ -70,6 +70,54 @@ def test_export_modes(tmp_path, monkeypatch):
                                atol=2e-4)
 
 
+def test_export_stablehlo_quantized(tmp_path):
+    """--quantize int8/w8a8 on stablehlo export: the artifact stores the
+    block kernels as int8 module constants — it loads with only jax, its
+    logits stay within quantization error of the float artifact, and the
+    flag is rejected for npz modes (quantize at serve time instead)."""
+    import dataclasses
+
+    import pytest
+
+    from cara_tpu.serving import ExportedPredictor
+
+    cfg = dataclasses.replace(
+        MODEL_REGISTRY["vit_tiny_test"], num_classes=7, drop_path_rate=0.0)
+    cara_cfg = CaraConfig(rank=4, scale=2.0)
+    params = vit_lib.init_vit_params(jax.random.key(0), cfg)
+    cara_params = cara_lib.init_cara_params(jax.random.key(1), cfg, cara_cfg)
+    cara_params["A2"] = 0.05 * jax.random.normal(
+        jax.random.key(2), cara_params["A2"].shape)
+    src = str(tmp_path / "full.npz")
+    ckpt_lib.save_model(src, params, cara_params, {"scale": 2.0})
+
+    base_args = ["--ckpt", src, "--mode", "stablehlo",
+                 "--model", "vit_tiny_test", "--dim", "4",
+                 "--batch-size", "4", "--dtype", "float32",
+                 "--platforms", "cpu"]
+    out_f = str(tmp_path / "f32.stablehlo")
+    export_cli.main(base_args + ["--out", out_f])
+    imgs = np.asarray(jax.random.normal(jax.random.key(4), (4, 32, 32, 3)),
+                      np.float32)
+    ref = ExportedPredictor.from_file(out_f).logits(imgs)
+
+    for mode in ("int8", "w8a8"):
+        out_q = str(tmp_path / f"{mode}.stablehlo")
+        export_cli.main(base_args + ["--out", out_q, "--quantize", mode])
+        got = ExportedPredictor.from_file(out_q).logits(imgs)
+        # per-channel int8 on a tiny random model: loose but meaningful
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 0.12, (mode, err)
+        # the int8 artifact must actually be smaller than the f32 one
+        import os
+        assert os.path.getsize(out_q) < 0.55 * os.path.getsize(out_f), mode
+
+    with pytest.raises(SystemExit):
+        export_cli.main(["--ckpt", src, "--out", str(tmp_path / "m.npz"),
+                         "--mode", "merged", "--model", "vit_tiny_test",
+                         "--dim", "4", "--quantize", "int8"])
+
+
 def test_export_honors_model_overrides_meta(tmp_path):
     """A checkpoint trained with --model-override records the geometry in
     meta; merged export and Predictor.from_checkpoint_auto rebuild the
