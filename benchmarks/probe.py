@@ -98,6 +98,28 @@ def run_variant(variant):
             donate_argnums=(0,))
         dt, cs = bench_async(
             lambda s: step_fn(s, frozen, batch, jax.random.key(0))[0], state)
+    elif variant.startswith("tome"):
+        # Merged-serving forward with ToMe token merging: tome:<r>, where
+        # r=-1 is the baseline (standard merged vit_forward, default
+        # impls — the serving configuration ToMe competes against).
+        _, r = variant.split(":")
+        r = int(r)
+        model, p, c, x, y = build()
+        merged = jax.device_put(
+            steps_lib.cast_floating(model.merged(), jnp.bfloat16))
+        if r < 0:
+            f = jax.jit(lambda p_, x_: vit_forward(
+                p_, x_, model.cfg, train=False).astype(jnp.float32).sum())
+        else:
+            from cara_tpu.models.tome import tome_forward
+
+            f = jax.jit(lambda p_, x_: tome_forward(
+                p_, x_, model.cfg, r).astype(jnp.float32).sum())
+
+        def step(carry):
+            l, = carry
+            return (f(merged, x + (l * 1e-24).astype(x.dtype)),)
+        dt, cs = bench_async(step, (jnp.float32(0),))
     else:
         kind, mode, impl = variant.split(":")
         model, p, c, x, y = build()

@@ -46,6 +46,10 @@ def parse_args(argv=None):
                    help="stablehlo only: store block kernels as int8 module "
                         "constants (~4x smaller artifact); w8a8 also runs "
                         "the int8 MXU GEMM path (models/quant.py)")
+    p.add_argument("--tome-r", default=0, type=int,
+                   help="stablehlo only: bake ToMe token merging (r pairs "
+                        "per layer) into the artifact — training-free FLOP "
+                        "cut at a small accuracy cost (models/tome.py)")
     p.add_argument("--model", default=None,
                    help="Model name (default: from checkpoint meta)")
     p.add_argument("--dim", default=32, type=int, help="CP rank")
@@ -67,6 +71,10 @@ def main(argv=None) -> str:
             "--quantize only applies to --mode stablehlo (npz modes keep "
             "full-precision weights; quantize at serve time instead: "
             "serve --quantize)")
+    if args.tome_r and args.mode != "stablehlo":
+        raise SystemExit(
+            "--tome-r only applies to --mode stablehlo (npz modes keep the "
+            "exact forward; merge at serve time instead: serve --tome-r)")
     from cara_tpu.models import torch_import
 
     if torch_import.is_torch_checkpoint(args.ckpt):
@@ -135,7 +143,7 @@ def main(argv=None) -> str:
                 dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                 else jnp.float32,
                 platforms=tuple(args.platforms.split(",")),
-                quantize=args.quantize)
+                quantize=args.quantize, tome_r=args.tome_r)
             with open(args.out, "wb") as f:
                 f.write(blob)
         else:

@@ -40,6 +40,10 @@ def parse_args(argv=None):
                    help="Delta scale (default: from checkpoint meta; "
                         "required if the checkpoint records none)")
     p.add_argument("--top", default=1, type=int, help="Top-k to report")
+    p.add_argument("--tome-r", default=0, type=int,
+                   help="ToMe token merging: merge this many token pairs "
+                        "per layer (training-free FLOP cut, small accuracy "
+                        "cost — models/tome.py); merged path only")
     return p.parse_args(argv)
 
 
@@ -50,11 +54,15 @@ def main(argv=None):
     if args.exported and (
             args.model != _MODEL_DEFAULT or args.num_classes is not None
             or args.scale is not None or args.no_merge
-            or args.batch_size != 64):
+            or args.batch_size != 64 or args.tome_r):
         raise SystemExit(
-            "--model/--num-classes/--scale/--no-merge/--batch-size have no "
-            "effect with --exported: the artifact bakes in the merged "
-            "weights, head and batch size at export time")
+            "--model/--num-classes/--scale/--no-merge/--batch-size/--tome-r "
+            "have no effect with --exported: the artifact bakes in the "
+            "merged weights, head, batch size and any token merging at "
+            "export time")
+    if args.tome_r and args.no_merge:
+        raise SystemExit("--tome-r needs the merged dense forward; drop "
+                         "--no-merge")
     if args.exported:
         from cara_tpu.serving import ExportedPredictor
 
@@ -65,7 +73,7 @@ def main(argv=None):
             pred = Predictor.from_checkpoint_auto(
                 args.ckpt, args.model, num_classes=args.num_classes,
                 scale=args.scale, merge=not args.no_merge,
-                batch_size=args.batch_size)
+                batch_size=args.batch_size, tome_r=args.tome_r)
         except ValueError as exc:  # e.g. missing delta scale
             raise SystemExit(str(exc))
         image_size = pred.cfg.image_size

@@ -73,6 +73,11 @@ def parse_args(argv=None):
                         "only); w8a8 = full int8 with dynamic per-token "
                         "activation quant on the 2x-rate int8 MXU path "
                         "(bounded accuracy cost — models/quant.py)")
+    p.add_argument("--tome-r", default=0, type=int,
+                   help="ToMe token merging: merge this many token pairs "
+                        "per layer (training-free FLOP cut; small paper-"
+                        "characterized accuracy cost — models/tome.py). "
+                        "Single-task merged serving only")
     return p.parse_args(argv)
 
 
@@ -111,6 +116,11 @@ def main(argv=None):
     args = parse_args(argv)
     if bool(args.exported) == bool(args.ckpt):
         raise SystemExit("pass exactly one of --ckpt / --exported")
+    if args.tome_r and (args.exported or args.no_merge
+                        or (args.ckpt and len(args.ckpt) > 1)):
+        raise SystemExit("--tome-r serves a single merged checkpoint (not "
+                         "--exported / --no-merge / multi-task: token "
+                         "merging needs the dense in-process forward)")
     if args.exported:
         from cara_tpu.serving import ExportedPredictor
 
@@ -151,7 +161,7 @@ def main(argv=None):
             args.ckpt[0], args.model, num_classes=args.num_classes,
             scale=args.scale, merge=not args.no_merge,
             batch_size=args.max_batch, quantize=args.quantize,
-            buckets=_parse_buckets(args.buckets))
+            buckets=_parse_buckets(args.buckets), tome_r=args.tome_r)
 
     from cara_tpu.server import InferenceServer
 

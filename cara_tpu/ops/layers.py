@@ -57,16 +57,22 @@ def mha(
     scale: float,
     attn_drop_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
+    key_bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Reference attention math (``src/cara/cara.py:44-48``): returns (B, N, E).
 
     Softmax statistics in fp32 for TPU numerical safety even under bf16 inputs.
+    ``key_bias``: optional additive pre-softmax bias broadcastable to
+    (B, H, N, N), applied in fp32 — e.g. ToMe's proportional-attention
+    ``log(token_size)`` term (models/tome.py).  ``None`` leaves the math
+    bit-identical to the unbiased path.
     """
     b, h, n, d = q.shape
     attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-    attn = jax.nn.softmax(
-        attn.astype(jnp.promote_types(q.dtype, jnp.float32)), axis=-1
-    ).astype(q.dtype)
+    attn = attn.astype(jnp.promote_types(q.dtype, jnp.float32))
+    if key_bias is not None:
+        attn = attn + key_bias.astype(attn.dtype)
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
     attn = dropout(attn, attn_drop_rate, rng)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     return out.transpose(0, 2, 1, 3).reshape(b, n, h * d)

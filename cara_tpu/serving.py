@@ -107,6 +107,7 @@ class Predictor:
         mesh=None,
         quantize: Optional[str] = None,
         buckets="auto",
+        tome_r: int = 0,
     ):
         if merge and cara_params is not None:
             if "router" in cara_params:
@@ -148,11 +149,36 @@ class Predictor:
         self._params = params
         self._cara = cara_params
         self._cara_cfg = cara_cfg
+        self.tome_r = int(tome_r)
 
-        def fwd(params, cara, x):
-            return vit_forward(
-                params, x, cfg, cara_params=cara,
-                cara_cfg=cara_cfg if cara is not None else None, train=False)
+        if self.tome_r > 0:
+            # ToMe (models/tome.py): training-free token merging — fewer
+            # tokens per layer, ~proportionally fewer eval FLOPs, at the
+            # paper's small off-the-shelf accuracy cost.  Dense math only:
+            # unmerged adapters (merge=False / MoE) would need the CP delta
+            # re-derived per shrinking token set.
+            if cara_params is not None:
+                raise ValueError(
+                    "tome_r requires a dense forward — merge the adapter "
+                    "first (merge=True; MoE adapters cannot merge and do "
+                    "not compose with ToMe)")
+            if mesh is not None:
+                raise ValueError(
+                    "tome_r does not compose with a serving mesh: the "
+                    "argsort/gather merge indices are per-example — shard "
+                    "the batch outside the Predictor instead")
+            from cara_tpu.models.tome import tome_forward
+
+            tr = self.tome_r
+
+            def fwd(params, cara, x):
+                return tome_forward(params, x, cfg, tr)
+        else:
+            def fwd(params, cara, x):
+                return vit_forward(
+                    params, x, cfg, cara_params=cara,
+                    cara_cfg=cara_cfg if cara is not None else None,
+                    train=False)
 
         self._fwd = jax.jit(fwd)
 
@@ -495,6 +521,7 @@ def export_serialized(
     dtype=jnp.bfloat16,
     platforms=("cpu", "tpu"),
     quantize: Optional[str] = None,
+    tome_r: int = 0,
 ) -> bytes:
     """Serialize the eval forward as a self-contained StableHLO artifact.
 
@@ -509,6 +536,9 @@ def export_serialized(
     ``quantize``: "int8"/"w8a8" stores the block kernels as int8 module
     constants (models/quant.py) — the artifact shrinks ~4x at the
     weight bulk and w8a8 runs the int8 MXU path wherever it lowers.
+    ``tome_r``: bake ToMe token merging into the artifact (models/tome.py)
+    — the unrolled shrinking-token graph is static, so it serializes and
+    lowers like any other; requires a merged (dense) forward.
     """
     from jax import export as jexport
 
@@ -529,12 +559,23 @@ def export_serialized(
     if cara_params is not None:
         cara_params = cast_floating(cara_params, dtype)
 
-    def fwd(x):
-        out = vit_forward(
-            params, x.astype(dtype), cfg, cara_params=cara_params,
-            cara_cfg=cara_cfg, train=False,
-            attn_impl="xla", dense_impl="xla")
-        return out.astype(jnp.float32)
+    if tome_r > 0:
+        if cara_params is not None:
+            raise ValueError(
+                "tome_r requires a dense export — merge the adapter first "
+                "(MoE adapters cannot merge and do not compose with ToMe)")
+        from cara_tpu.models.tome import tome_forward
+
+        def fwd(x):
+            return tome_forward(
+                params, x.astype(dtype), cfg, tome_r).astype(jnp.float32)
+    else:
+        def fwd(x):
+            out = vit_forward(
+                params, x.astype(dtype), cfg, cara_params=cara_params,
+                cara_cfg=cara_cfg, train=False,
+                attn_impl="xla", dense_impl="xla")
+            return out.astype(jnp.float32)
 
     bdim = (jexport.symbolic_shape("b")[0] if batch_size == 0
             else batch_size)
