@@ -40,13 +40,40 @@ def _check(results, name, fn, required=True):
     return ok
 
 
+def _arm_watchdog(seconds: float) -> None:
+    """Hard-exit UNHEALTHY if a check wedges (same rationale as bench.py:
+    the tunneled PJRT backend can block ``jax.devices()`` in C++ forever,
+    below any Python-level exception).  Tune via CARA_DOCTOR_TIMEOUT
+    (seconds; 0 disables)."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "ok": False,
+            "checks": [{"check": "watchdog", "ok": False, "required": True,
+                        "detail": f"doctor did not complete within "
+                                  f"{seconds:.0f}s — accelerator/tunnel "
+                                  "unresponsive", "seconds": seconds}]}),
+            flush=True)
+        os._exit(1)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernels", action="store_true",
                     help="Also compile+run a tiny fused Pallas block on "
                          "the active backend (Mosaic lowering check)")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--timeout", type=float, default=float(
+        os.environ.get("CARA_DOCTOR_TIMEOUT", "300")),
+        help="Hard wall-clock cap for the whole doctor run (s; 0 off)")
     args = ap.parse_args(argv)
+    if args.timeout > 0:
+        _arm_watchdog(args.timeout)
     results = []
 
     def backend():
