@@ -65,6 +65,7 @@ def build_model(
     moe_experts: int = 0,
     moe_top_k: int = 2,
     moe_aux_coef: float = 0.01,
+    fact_core_rank: int = 0,
     dtype=jnp.float32,
     model_overrides: Optional[Dict[str, Any]] = None,
 ) -> CaraModel:
@@ -83,7 +84,7 @@ def build_model(
         weight_dropout=weight_dropout,
         weight_dropout_impl=weight_dropout_impl,
         moe_experts=moe_experts, moe_top_k=moe_top_k,
-        moe_aux_coef=moe_aux_coef,
+        moe_aux_coef=moe_aux_coef, fact_core_rank=fact_core_rank,
     )
     root = jax.random.key(seed)
     k_backbone, k_cara, k_head = jax.random.split(root, 3)

@@ -39,14 +39,24 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic", action="store_true",
                    help="Generated data (no VTAB files needed)")
     p.add_argument("--synthetic-size", default=1000, type=int)
-    p.add_argument("--method", default="cara", choices=["cara", "lora"],
+    p.add_argument("--method", default="cara",
+                   choices=["cara", "lora", "fact_tt", "fact_tk"],
                    help="Adapter family: cara = the reference CP "
                         "tensorisation; lora = per-matrix low-rank "
-                        "baseline at the same four sites (rides the same "
-                        "fused kernels / merge / serving stack)")
+                        "baseline at the same four sites; fact_tt / "
+                        "fact_tk = FacT tensor-train / Tucker factor "
+                        "tuning (shared cross-layer factors, the family "
+                        "CaRA generalizes).  All ride the same fused "
+                        "kernels / merge / serving stack")
     p.add_argument("--lora-alpha", default=None, type=float,
                    help="LoRA scaling alpha; the delta scale becomes "
                         "alpha/rank (default alpha = rank, i.e. scale 1)")
+    p.add_argument("--fact-scale", default=None, type=float,
+                   help="FacT delta scale s (default 1.0; the paper tunes "
+                        "it per task like CaRA's per-dataset scale)")
+    p.add_argument("--fact-core-rank", default=0, type=int,
+                   help="FacT-TK Tucker block-mode rank rl (0 = same as "
+                        "--dim)")
     p.add_argument("--weight-dropout", default=None, type=float,
                    help="Override the adapter weight-dropout rate "
                         "(default: the per-task table value for CaRA, "
@@ -162,12 +172,14 @@ def adapter_impl_kwargs(args) -> dict:
     method = getattr(args, "method", "cara")
     if method != "cara":
         kw["method"] = method
+    if method == "fact_tk" and getattr(args, "fact_core_rank", 0):
+        kw["fact_core_rank"] = args.fact_core_rank
     spec = getattr(args, "moe", None)
     if not spec:
         return kw
-    if method == "lora":
+    if method != "cara":
         raise SystemExit("--moe is CaRA-only (models.moe stacks CP factor "
-                         "trees); drop --method lora or --moe")
+                         f"trees); drop --method {method} or --moe")
     try:
         parts = [int(v) for v in spec.split(",")]
     except ValueError:
@@ -197,13 +209,20 @@ def adapter_scale_wd(args, hp_scale: float, hp_wd: float):
     CaRA keeps the per-task table values (``vtab_config.py`` scales span
     0.1-100 and the comment-documented dropout column); LoRA uses the
     conventional ``alpha/rank`` scale (``--lora-alpha``, default
-    ``alpha = rank``) and dropout 0 unless ``--weight-dropout`` overrides.
+    ``alpha = rank``); FacT uses ``--fact-scale`` (default 1.0 — the
+    per-task table was tuned for CaRA's CP deltas, not FacT's).  Both
+    baselines default to dropout 0 unless ``--weight-dropout`` overrides.
     """
     wd_flag = getattr(args, "weight_dropout", None)
-    if getattr(args, "method", "cara") == "lora":
+    method = getattr(args, "method", "cara")
+    if method == "lora":
         alpha = getattr(args, "lora_alpha", None)
         alpha = float(args.dim) if alpha is None else float(alpha)
         return alpha / args.dim, (0.0 if wd_flag is None else wd_flag)
+    if method.startswith("fact"):
+        s = getattr(args, "fact_scale", None)
+        return (1.0 if s is None else float(s)), (
+            0.0 if wd_flag is None else wd_flag)
     return hp_scale, (hp_wd if wd_flag is None else wd_flag)
 
 

@@ -77,11 +77,14 @@ class CaraConfig:
     ablation CLI's ``--dims`` flag (``image_classification/dim_experiment.py:356-361``).
     """
 
-    # Adapter family: "cara" (the reference's CP tensorisation) or "lora"
+    # Adapter family: "cara" (the reference's CP tensorisation), "lora"
     # (per-matrix low-rank adapters at the same four sites — the baseline
-    # method the CaRA paper compares against).  Both ride the same training
-    # loop, fused Pallas kernels (the megakernels consume collapsed (U, V)
-    # factor pairs — LoRA's native form), merge/export, and serving stack.
+    # method the CaRA paper compares against), or "fact_tt"/"fact_tk"
+    # (FacT tensor-train / Tucker factor-tuning, AAAI 2023 — the published
+    # tensorisation family CaRA generalizes; models/fact.py).  All ride the
+    # same training loop, fused Pallas kernels (the megakernels consume
+    # collapsed (U, V) factor pairs — FacT/LoRA trees collapse to that form
+    # in rank space), merge/export, and serving stack.
     method: str = "cara"
     rank: int = 32
     scale: float = 1.0
@@ -126,12 +129,17 @@ class CaraConfig:
     # Switch-Transformer-style load-balance auxiliary loss coefficient
     # (scaled dot of per-expert token fraction x mean router prob).
     moe_aux_coef: float = 0.01
+    # FacT-TK Tucker block-mode rank rl (the leading axis of the shared
+    # core stack C: (rl, r, r)); 0 means "same as rank".  Ignored by every
+    # other method.
+    fact_core_rank: int = 0
 
     def __post_init__(self):
-        if self.method not in ("cara", "lora"):
+        if self.method not in ("cara", "lora", "fact_tt", "fact_tk"):
             raise ValueError(
-                f"method must be 'cara' or 'lora', got {self.method!r}")
-        if self.method == "lora" and self.moe_experts > 1:
+                "method must be one of 'cara', 'lora', 'fact_tt', "
+                f"'fact_tk'; got {self.method!r}")
+        if self.method != "cara" and self.moe_experts > 1:
             raise ValueError(
                 "MoE adapters are CaRA-only (models.moe stacks CP factor "
                 "trees); use method='cara' with --moe")
@@ -156,6 +164,11 @@ class CaraConfig:
             return sum(
                 int(_prod(s))
                 for site in shapes.values() for s in site.values())
+        if self.method.startswith("fact"):
+            from cara_tpu.models.fact import fact_param_shapes
+
+            return sum(int(_prod(s))
+                       for s in fact_param_shapes(model, self).values())
         from cara_tpu.models.cara import cara_param_shapes
 
         shapes = cara_param_shapes(model, self)

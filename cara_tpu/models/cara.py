@@ -108,13 +108,18 @@ def init_cara_params(
     """Initialize the adapter pytree with the reference's exact scheme.
 
     Dispatches on ``cara.method``: ``"lora"`` builds the per-site A/B tree
-    (:mod:`cara_tpu.models.lora`) so every caller (CLI, api, sweep,
-    planner) gains the method switch for free.
+    (:mod:`cara_tpu.models.lora`), ``"fact_tt"``/``"fact_tk"`` the shared
+    FacT factor tree (:mod:`cara_tpu.models.fact`) — so every caller
+    (CLI, api, sweep, planner) gains the method switch for free.
     """
     if cara.method == "lora":
         from cara_tpu.models.lora import init_lora_params
 
         return init_lora_params(rng, model, cara, dtype)
+    if cara.method.startswith("fact"):
+        from cara_tpu.models.fact import init_fact_params
+
+        return init_fact_params(rng, model, cara, dtype)
     shapes = cara_param_shapes(model, cara)
     inits = dict(_QKV_INITS[cara.cp_order])
     inits.update(P1="xavier", P2="zeros", P3="orthogonal")

@@ -54,10 +54,16 @@ def merge_cara(
     """Return a new backbone pytree with the adapter folded in.
 
     Dispatches on the adapter family: LoRA trees (``cara.method == "lora"``
-    or the per-site {a, b} shape) fold via ``lora.merge_lora``.
+    or the per-site {a, b} shape) fold via ``lora.merge_lora``; FacT trees
+    (``method.startswith("fact")`` or the shared U/V factor shape) expand
+    then fold via ``fact.merge_fact``.
     """
+    from cara_tpu.models import fact as fact_lib
     from cara_tpu.models import lora as lora_lib
 
+    if cara.method.startswith("fact") or fact_lib.is_fact_params(
+            cara_params):
+        return fact_lib.merge_fact(params, cara_params, model, cara)
     if cara.method == "lora" or lora_lib.is_lora_params(cara_params):
         return lora_lib.merge_lora(params, cara_params, model, cara)
     if cara.moe or ("experts" in cara_params and "router" in cara_params):

@@ -22,6 +22,7 @@ head_dim) to match the timm fused-qkv layout the npz converter produces.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import os
 from functools import partial
@@ -993,6 +994,22 @@ def vit_forward(
     """
     if (cara_params is None) != (cara_cfg is None):
         raise ValueError("cara_params and cara_cfg must be provided together")
+    if cara_cfg is not None and cara_cfg.method.startswith("fact"):
+        # FacT (models/fact.py): collapse the shared TT/Tucker factors
+        # into the per-site layer-stacked LoRA tree IN-TRACE (rank-space
+        # einsums), then run the whole forward as method="lora" — every
+        # downstream consumer (fused megakernels, TP slicing, weight
+        # dropout, pipeline) sees its native collapsed-(U, V) form while
+        # gradients flow to the shared factors.
+        from cara_tpu.models import fact as fact_lib
+
+        if not fact_lib.is_fact_params(cara_params):
+            raise ValueError(
+                f"cara_cfg.method={cara_cfg.method!r} wants the shared "
+                "factor tree from models.fact.init_fact_params (U/V + "
+                f"G or P/C); got keys {sorted(cara_params)}")
+        cara_params = fact_lib.expand_to_lora(cara_params, cfg, cara_cfg)
+        cara_cfg = dataclasses.replace(cara_cfg, method="lora")
     moe = cara_cfg is not None and cara_cfg.moe
     if moe:
         from cara_tpu.models import moe as moe_lib

@@ -136,6 +136,16 @@ def pp_vit_forward(
     """
     if (cara_params is None) != (cara_cfg is None):
         raise ValueError("cara_params and cara_cfg must be provided together")
+    if cara_cfg is not None and cara_cfg.method.startswith("fact"):
+        # Same in-trace normalization as vit_forward: FacT's shared
+        # factors collapse to the per-layer LoRA tree (models/fact.py),
+        # which the stage sharding below handles tree-generically.
+        import dataclasses
+
+        from cara_tpu.models import fact as fact_lib
+
+        cara_params = fact_lib.expand_to_lora(cara_params, cfg, cara_cfg)
+        cara_cfg = dataclasses.replace(cara_cfg, method="lora")
     T = mesh.shape.get(MODEL_AXIS, 1)
     # Same auto-resolution as vit_forward: the megakernels run per-device
     # inside the shard_map exactly like the fused data-parallel path.  A

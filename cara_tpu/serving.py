@@ -320,19 +320,29 @@ class MultiTaskPredictor:
                 "(the group step stacks plain factor trees); serve them "
                 "with their own Predictor")
         names = list(tasks)
+        from cara_tpu.models.fact import detect_method
         from cara_tpu.models.lora import is_lora_params
 
-        loras = [is_lora_params(t["cara"]) for t in tasks.values()]
-        if any(loras) and not all(loras):
+        def family(tree):
+            if is_lora_params(tree):
+                return "lora"
+            return detect_method(tree) or "cara"
+
+        families = {family(t["cara"]) for t in tasks.values()}
+        if len(families) > 1:
             raise ValueError(
-                "cannot stack CaRA and LoRA adapters in one multi-task "
-                "group (the trees differ in structure); serve each family "
-                "in its own group")
-        lora = all(loras)
+                "cannot stack adapters of different families "
+                f"({sorted(families)}) in one multi-task group (the trees "
+                "differ in structure); serve each family in its own group")
+        method = families.pop()
+        lora = method == "lora"
         if lora:
             ranks = {int(t["cara"]["qkv"]["a"].shape[-1])
                      for t in tasks.values()}
             orders = {4}  # unused for LoRA
+        elif method.startswith("fact"):
+            ranks = {int(t["cara"]["U"].shape[-1]) for t in tasks.values()}
+            orders = {4}  # unused for FacT
         else:
             ranks = {int(t["cara"]["R1"].shape[0]) for t in tasks.values()}
             orders = {int(t.get("cp_order", 4)) for t in tasks.values()}
@@ -370,10 +380,14 @@ class MultiTaskPredictor:
                 base, mode="w8a8" if quantize == "w8a8" else "w8")
         base = cast_floating(base, dtype)
         cfg = dataclasses.replace(cfg, num_classes=cmax)
-        cara_cfg = CaraConfig(method="lora" if lora else "cara",
+        fact_rl = (int(next(iter(tasks.values()))["cara"]["C"].shape[0])
+                   if method == "fact_tk" else 0)
+        cara_cfg = CaraConfig(method=method,
                               rank=ranks.pop(), scale=1.0,
                               cp_order=orders.pop(),
-                              weight_dropout=0.0 if lora else 0.1)
+                              fact_core_rank=fact_rl,
+                              weight_dropout=0.1 if method == "cara"
+                              else 0.0)
         self.cfg = cfg
         self.batch_size = batch_size
         self.buckets = _resolve_buckets(buckets, batch_size, mesh)

@@ -131,11 +131,14 @@ def infer_cara_cfg(cara_params, meta, scale=None, cp_order=None):
     default would mis-apply the adapter.
     """
     from cara_tpu.config import CaraConfig
+    from cara_tpu.models.fact import detect_method
     from cara_tpu.models.lora import is_lora_params
 
     moe = "router" in cara_params and "experts" in cara_params
+    fact = meta.get("method", "").startswith("fact") or (
+        not moe and detect_method(cara_params) is not None)
     lora = meta.get("method") == "lora" or (
-        not moe and is_lora_params(cara_params))
+        not moe and not fact and is_lora_params(cara_params))
     if scale is None:
         if "scale" not in meta:
             raise ValueError(
@@ -143,6 +146,16 @@ def infer_cara_cfg(cara_params, meta, scale=None, cp_order=None):
                 "refusing to default to 1.0 (a wrong scale silently "
                 "mis-applies the adapter)")
         scale = float(meta["scale"])
+    if fact:
+        method = meta.get("method") or detect_method(cara_params)
+        return CaraConfig(
+            method=method, scale=scale,
+            rank=int(cara_params["U"].shape[-1]),
+            fact_core_rank=(int(cara_params["C"].shape[0])
+                            if "C" in cara_params else 0),
+            weight_dropout=float(meta.get("weight_dropout", 0.0)),
+            weight_dropout_impl=str(
+                meta.get("weight_dropout_impl", "element")))
     if lora:
         return CaraConfig(
             method="lora", scale=scale,
