@@ -60,12 +60,13 @@ def build_model(
     backbone_path: Optional[str] = None,
     cp_order: int = 4,
     delta_impl: str = "factorized",
-    weight_dropout: float = 0.1,
+    weight_dropout: Optional[float] = None,
     weight_dropout_impl: str = "element",
     moe_experts: int = 0,
     moe_top_k: int = 2,
     moe_aux_coef: float = 0.01,
     fact_core_rank: int = 0,
+    vpt_tokens: int = 8,
     dtype=jnp.float32,
     model_overrides: Optional[Dict[str, Any]] = None,
 ) -> CaraModel:
@@ -73,10 +74,17 @@ def build_model(
     (``vit_cp.py:155-166``): create model (npz checkpoint if available),
     apply CaRA, reset classifier.
 
+    ``weight_dropout=None`` resolves to the method default: the
+    reference's 0.1 for CaRA (``cara.py:148,158``), 0.0 for every other
+    family (LoRA/FacT conventionally train undropped; VPT/SSF/BitFit have
+    no delta weight and reject a nonzero rate).
+
     ``moe_experts > 1`` builds the mixture-of-expert-adapters variant
     (``models.moe``): ``cara_params`` becomes the ``{"experts", "router"}``
     tree and training adds the load-balance auxiliary loss."""
     cfg = get_model_config(model_name, **(model_overrides or {}))
+    if weight_dropout is None:
+        weight_dropout = 0.1 if method == "cara" else 0.0
     cara_cfg = CaraConfig(
         method=method,
         rank=rank, scale=scale, l_mu=l_mu, l_std=l_std,
@@ -85,6 +93,7 @@ def build_model(
         weight_dropout_impl=weight_dropout_impl,
         moe_experts=moe_experts, moe_top_k=moe_top_k,
         moe_aux_coef=moe_aux_coef, fact_core_rank=fact_core_rank,
+        vpt_tokens=vpt_tokens,
     )
     root = jax.random.key(seed)
     k_backbone, k_cara, k_head = jax.random.split(root, 3)

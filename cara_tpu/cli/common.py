@@ -40,14 +40,21 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="Generated data (no VTAB files needed)")
     p.add_argument("--synthetic-size", default=1000, type=int)
     p.add_argument("--method", default="cara",
-                   choices=["cara", "lora", "fact_tt", "fact_tk"],
+                   choices=["cara", "lora", "fact_tt", "fact_tk",
+                            "vpt_deep", "vpt_shallow", "ssf", "bitfit"],
                    help="Adapter family: cara = the reference CP "
                         "tensorisation; lora = per-matrix low-rank "
                         "baseline at the same four sites; fact_tt / "
                         "fact_tk = FacT tensor-train / Tucker factor "
                         "tuning (shared cross-layer factors, the family "
-                        "CaRA generalizes).  All ride the same fused "
-                        "kernels / merge / serving stack")
+                        "CaRA generalizes); vpt_deep / vpt_shallow = "
+                        "Visual Prompt Tuning (learnable prompt tokens); "
+                        "ssf = scale-and-shift feature adaptation; "
+                        "bitfit = bias-only tuning.  All ride the same "
+                        "training loop / checkpoint / serving stack "
+                        "(low-rank families also the fused kernels and "
+                        "merged export; ssf/bitfit fold exactly into the "
+                        "frozen weights)")
     p.add_argument("--lora-alpha", default=None, type=float,
                    help="LoRA scaling alpha; the delta scale becomes "
                         "alpha/rank (default alpha = rank, i.e. scale 1)")
@@ -57,6 +64,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fact-core-rank", default=0, type=int,
                    help="FacT-TK Tucker block-mode rank rl (0 = same as "
                         "--dim)")
+    p.add_argument("--vpt-tokens", default=8, type=int,
+                   help="VPT prompt-token count P per insertion point "
+                        "(methods vpt_deep / vpt_shallow)")
     p.add_argument("--weight-dropout", default=None, type=float,
                    help="Override the adapter weight-dropout rate "
                         "(default: the per-task table value for CaRA, "
@@ -174,6 +184,8 @@ def adapter_impl_kwargs(args) -> dict:
         kw["method"] = method
     if method == "fact_tk" and getattr(args, "fact_core_rank", 0):
         kw["fact_core_rank"] = args.fact_core_rank
+    if method.startswith("vpt"):
+        kw["vpt_tokens"] = getattr(args, "vpt_tokens", 8)
     spec = getattr(args, "moe", None)
     if not spec:
         return kw
@@ -211,7 +223,9 @@ def adapter_scale_wd(args, hp_scale: float, hp_wd: float):
     conventional ``alpha/rank`` scale (``--lora-alpha``, default
     ``alpha = rank``); FacT uses ``--fact-scale`` (default 1.0 — the
     per-task table was tuned for CaRA's CP deltas, not FacT's).  Both
-    baselines default to dropout 0 unless ``--weight-dropout`` overrides.
+    default to dropout 0 unless ``--weight-dropout`` overrides.
+    VPT/SSF/BitFit have no delta weight at all: scale is 1.0 and
+    ``--weight-dropout`` is rejected.
     """
     wd_flag = getattr(args, "weight_dropout", None)
     method = getattr(args, "method", "cara")
@@ -223,6 +237,12 @@ def adapter_scale_wd(args, hp_scale: float, hp_wd: float):
         s = getattr(args, "fact_scale", None)
         return (1.0 if s is None else float(s)), (
             0.0 if wd_flag is None else wd_flag)
+    if method.startswith("vpt") or method in ("ssf", "bitfit"):
+        if wd_flag:
+            raise SystemExit(
+                f"--weight-dropout does not apply to --method {method} "
+                "(no delta weight to drop)")
+        return 1.0, 0.0
     return hp_scale, (hp_wd if wd_flag is None else wd_flag)
 
 

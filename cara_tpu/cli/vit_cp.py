@@ -93,11 +93,11 @@ def main(argv=None) -> float:
                     cp_order=info["cp_order"])
         else:
             params, cara_params, meta = ckpt_lib.load_model(args.evaluate)
-            if cara_params is not None and (
-                    "qkv" in cara_params or "U" in cara_params):
-                # LoRA / FacT checkpoint: rebuild method/rank/scale from
-                # the artifact meta so --method need not be repeated at
-                # eval.
+            if (cara_params is not None and "A1" not in cara_params
+                    and "router" not in cara_params):
+                # Non-CaRA family (LoRA / FacT / VPT / SSF / BitFit):
+                # rebuild method/rank/scale from the artifact meta + tree
+                # structure so --method need not be repeated at eval.
                 cara_cfg = ckpt_lib.infer_cara_cfg(cara_params, meta)
             elif cara_params is not None and "router" in cara_params:
                 # MoE checkpoint: rebuild the routing config from the

@@ -133,16 +133,36 @@ class CaraConfig:
     # core stack C: (rl, r, r)); 0 means "same as rank".  Ignored by every
     # other method.
     fact_core_rank: int = 0
+    # VPT prompt-token count P per insertion point (methods "vpt_deep" /
+    # "vpt_shallow", models/vpt.py).  Ignored by every other method.
+    vpt_tokens: int = 8
+
+    #: The full adapter-family set the framework dispatches on.  Beyond
+    #: the reference's CaRA and its CP-order ablations, this covers the
+    #: published PEFT baselines the CaRA paper compares against:
+    #: LoRA (models/lora.py), FacT TT/TK (models/fact.py), VPT deep /
+    #: shallow prompt tuning (models/vpt.py), SSF scale-and-shift
+    #: (models/ssf.py), and BitFit bias tuning (models/bitfit.py).
+    METHODS = ("cara", "lora", "fact_tt", "fact_tk",
+               "vpt_deep", "vpt_shallow", "ssf", "bitfit")
 
     def __post_init__(self):
-        if self.method not in ("cara", "lora", "fact_tt", "fact_tk"):
+        if self.method not in self.METHODS:
             raise ValueError(
-                "method must be one of 'cara', 'lora', 'fact_tt', "
-                f"'fact_tk'; got {self.method!r}")
+                f"method must be one of {self.METHODS}; got {self.method!r}")
         if self.method != "cara" and self.moe_experts > 1:
             raise ValueError(
                 "MoE adapters are CaRA-only (models.moe stacks CP factor "
                 "trees); use method='cara' with --moe")
+        if (self.method in ("vpt_deep", "vpt_shallow", "ssf", "bitfit")
+                and self.weight_dropout > 0.0):
+            raise ValueError(
+                f"method={self.method!r} has no delta weight to drop — "
+                "weight_dropout applies to the low-rank delta families "
+                "(cara/lora/fact); set weight_dropout=0.0")
+        if self.method.startswith("vpt") and self.vpt_tokens < 1:
+            raise ValueError(
+                f"vpt_tokens must be >= 1, got {self.vpt_tokens}")
 
     @property
     def moe(self) -> bool:
@@ -169,10 +189,35 @@ class CaraConfig:
 
             return sum(int(_prod(s))
                        for s in fact_param_shapes(model, self).values())
+        if self.method.startswith("vpt"):
+            from cara_tpu.models.vpt import vpt_param_shapes
+
+            return sum(int(_prod(s))
+                       for s in vpt_param_shapes(model, self).values())
+        if self.method == "ssf":
+            from cara_tpu.models.ssf import ssf_param_shapes
+
+            return sum(int(_prod(s))
+                       for s in _shape_leaves(ssf_param_shapes(model)))
+        if self.method == "bitfit":
+            from cara_tpu.models.bitfit import bitfit_param_shapes
+
+            return sum(int(_prod(s))
+                       for s in _shape_leaves(bitfit_param_shapes(model)))
         from cara_tpu.models.cara import cara_param_shapes
 
         shapes = cara_param_shapes(model, self)
         return sum(int(_prod(s)) for s in shapes.values())
+
+
+def _shape_leaves(tree):
+    """Flatten a nested dict of shape tuples (no jax import at config
+    level)."""
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _shape_leaves(v)
+    else:
+        yield tree
 
 
 def _prod(xs: Tuple[int, ...]) -> int:

@@ -109,8 +109,12 @@ def init_cara_params(
 
     Dispatches on ``cara.method``: ``"lora"`` builds the per-site A/B tree
     (:mod:`cara_tpu.models.lora`), ``"fact_tt"``/``"fact_tk"`` the shared
-    FacT factor tree (:mod:`cara_tpu.models.fact`) — so every caller
-    (CLI, api, sweep, planner) gains the method switch for free.
+    FacT factor tree (:mod:`cara_tpu.models.fact`), ``"vpt_deep"``/
+    ``"vpt_shallow"`` the prompt stack (:mod:`cara_tpu.models.vpt`),
+    ``"ssf"`` the scale/shift pairs (:mod:`cara_tpu.models.ssf`),
+    ``"bitfit"`` the bias deltas (:mod:`cara_tpu.models.bitfit`) — so
+    every caller (CLI, api, sweep, planner) gains the method switch for
+    free.
     """
     if cara.method == "lora":
         from cara_tpu.models.lora import init_lora_params
@@ -120,6 +124,18 @@ def init_cara_params(
         from cara_tpu.models.fact import init_fact_params
 
         return init_fact_params(rng, model, cara, dtype)
+    if cara.method.startswith("vpt"):
+        from cara_tpu.models.vpt import init_vpt_params
+
+        return init_vpt_params(rng, model, cara, dtype)
+    if cara.method == "ssf":
+        from cara_tpu.models.ssf import init_ssf_params
+
+        return init_ssf_params(rng, model, cara, dtype)
+    if cara.method == "bitfit":
+        from cara_tpu.models.bitfit import init_bitfit_params
+
+        return init_bitfit_params(rng, model, cara, dtype)
     shapes = cara_param_shapes(model, cara)
     inits = dict(_QKV_INITS[cara.cp_order])
     inits.update(P1="xavier", P2="zeros", P3="orthogonal")

@@ -56,11 +56,27 @@ def merge_cara(
     Dispatches on the adapter family: LoRA trees (``cara.method == "lora"``
     or the per-site {a, b} shape) fold via ``lora.merge_lora``; FacT trees
     (``method.startswith("fact")`` or the shared U/V factor shape) expand
-    then fold via ``fact.merge_fact``.
+    then fold via ``fact.merge_fact``; SSF folds into the adjacent
+    linear/LN weights (``ssf.merge_ssf``); BitFit adds its bias deltas
+    (``bitfit.merge_bitfit``).  VPT cannot merge (prompt tokens are
+    architectural) and raises.
     """
+    from cara_tpu.models import bitfit as bitfit_lib
     from cara_tpu.models import fact as fact_lib
     from cara_tpu.models import lora as lora_lib
+    from cara_tpu.models import ssf as ssf_lib
+    from cara_tpu.models import vpt as vpt_lib
 
+    if cara.method.startswith("vpt") or vpt_lib.is_vpt_params(cara_params):
+        raise ValueError(
+            "VPT is architectural (learnable prompt tokens, not a weight "
+            "delta) and cannot fold into dense weights — serve the "
+            "adapter path (Predictor(merge=False) does this automatically "
+            "for prompt trees)")
+    if cara.method == "ssf" or ssf_lib.is_ssf_params(cara_params):
+        return ssf_lib.merge_ssf(params, cara_params, model, cara)
+    if cara.method == "bitfit" or bitfit_lib.is_bitfit_params(cara_params):
+        return bitfit_lib.merge_bitfit(params, cara_params, model, cara)
     if cara.method.startswith("fact") or fact_lib.is_fact_params(
             cara_params):
         return fact_lib.merge_fact(params, cara_params, model, cara)

@@ -938,6 +938,14 @@ def resolve_dense_impl(has_cara: bool, cara_cfg) -> str:
         # zero-rank GEMMs and coarser grids only cost.  dense_impl="fused"
         # opts in explicitly.
         return "xla"
+    if cara_cfg.method.startswith("vpt") or cara_cfg.method in (
+            "ssf", "bitfit"):
+        # No low-rank delta to fuse: VPT lengthens the sequence and
+        # SSF/BitFit fold into the frozen weights in-trace — all three run
+        # the plain block math, where XLA dense + fused attention wins
+        # (same measurement as the merged backbone above).  This also
+        # keeps fused-TP (which slices factor trees) disengaged.
+        return "xla"
     if cara_cfg.delta_impl == "factorized" and cara_cfg.cp_order != 2:
         return "fused"
     return "xla"
@@ -1010,6 +1018,51 @@ def vit_forward(
                 f"G or P/C); got keys {sorted(cara_params)}")
         cara_params = fact_lib.expand_to_lora(cara_params, cfg, cara_cfg)
         cara_cfg = dataclasses.replace(cara_cfg, method="lora")
+    if cara_cfg is not None and cara_cfg.method in ("ssf", "bitfit"):
+        # SSF / BitFit (models/ssf.py, models/bitfit.py): both methods
+        # fold EXACTLY into the frozen weights, so apply them IN-TRACE to
+        # the param pytree and run the plain (delta-less) forward — every
+        # downstream consumer (fused megakernels, TP/GSPMD, pipeline,
+        # quantized backbones) is untouched while gradients flow through
+        # the fold to the adapter tree.
+        if cara_cfg.method == "ssf":
+            from cara_tpu.models import ssf as ssf_lib
+
+            if not ssf_lib.is_ssf_params(cara_params):
+                raise ValueError(
+                    "cara_cfg.method='ssf' wants the (gamma, beta) tree "
+                    "from models.ssf.init_ssf_params; got keys "
+                    f"{sorted(cara_params)}")
+            params = ssf_lib.apply_ssf(params, cara_params)
+        else:
+            from cara_tpu.models import bitfit as bitfit_lib
+
+            if not bitfit_lib.is_bitfit_params(cara_params):
+                raise ValueError(
+                    "cara_cfg.method='bitfit' wants the bias-delta tree "
+                    "from models.bitfit.init_bitfit_params; got keys "
+                    f"{sorted(cara_params)}")
+            params = bitfit_lib.apply_bitfit(params, cara_params)
+        cara_params = cara_cfg = None
+    vpt_prompts = None
+    vpt_pos0 = 1 if cfg.use_cls_token else 0
+    if cara_cfg is not None and cara_cfg.method.startswith("vpt"):
+        # VPT (models/vpt.py): extract the prompt stack, then run the
+        # plain block path on the lengthened sequence.  Deep mode threads
+        # the per-layer prompts through the same lax.scan operand slots as
+        # every other per-layer quantity.
+        from cara_tpu.models import vpt as vpt_lib
+
+        if not vpt_lib.is_vpt_params(cara_params):
+            raise ValueError(
+                f"cara_cfg.method={cara_cfg.method!r} wants the "
+                "{'prompts'} tree from models.vpt.init_vpt_params; got "
+                f"keys {sorted(cara_params)}")
+        vpt_lib.check_geometry(cara_params, cfg, cara_cfg)
+        vpt_prompts = cara_params["prompts"]
+        vpt_deep = cara_cfg.method == "vpt_deep"
+        vpt_n = vpt_prompts.shape[1]
+        cara_params = cara_cfg = None
     moe = cara_cfg is not None and cara_cfg.moe
     if moe:
         from cara_tpu.models import moe as moe_lib
@@ -1067,6 +1120,10 @@ def vit_forward(
     if cfg.ln_pre:
         tokens = layer_norm(tokens, params["ln_pre"]["scale"],
                             params["ln_pre"]["bias"], cfg.layernorm_eps)
+    if vpt_prompts is not None:
+        # Prompts sit between cls and patch tokens, after pos-embed/ln_pre
+        # (the paper's placement); no positional embedding on prompts.
+        tokens = vpt_lib.insert_prompts(tokens, vpt_prompts[0], vpt_pos0)
     if token_sharding is not None:
         tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)
 
@@ -1116,7 +1173,15 @@ def vit_forward(
     else:
         keys = skeys = None
 
+    vpt_deep_stack = (vpt_prompts if vpt_prompts is not None and vpt_deep
+                      else None)
+
     def body(carry, xs):
+        if vpt_deep_stack is not None:
+            # VPT-Deep: replace the prompt slots with this layer's fresh
+            # learnable tokens before the block runs (models/vpt.py).
+            carry = vpt_lib.set_prompts(carry, xs[-1], vpt_pos0)
+            xs = xs[:-1]
         if use_rng:
             bp, f1, p1, dpr_l, key, skey = xs
         else:
@@ -1141,7 +1206,13 @@ def vit_forward(
     xs = (params["blocks"], a1_stack, p1_stack, dpr)
     if use_rng:
         xs = xs + (keys, skeys)
+    if vpt_deep_stack is not None:
+        xs = xs + (vpt_deep_stack,)
     tokens, _ = jax.lax.scan(body, tokens, xs)
+    if vpt_prompts is not None and not cfg.use_cls_token:
+        # Mean-pool models average the PATCH tokens only; cls models read
+        # position 0, which prompts never occupy (they sit at 1..P).
+        tokens = vpt_lib.strip_prompts(tokens, vpt_n, vpt_pos0)
 
     if cfg.use_cls_token:
         # LayerNorm is per-token: LN(tokens)[:, 0] == LN(tokens[:, 0]).

@@ -146,6 +146,24 @@ def pp_vit_forward(
 
         cara_params = fact_lib.expand_to_lora(cara_params, cfg, cara_cfg)
         cara_cfg = dataclasses.replace(cara_cfg, method="lora")
+    if cara_cfg is not None and cara_cfg.method in ("ssf", "bitfit"):
+        # Same in-trace fold as vit_forward (models/ssf.py, bitfit.py):
+        # the modified layer-stacked block leaves flow through the stage
+        # slicing below unchanged, gradients reach the adapter tree.
+        if cara_cfg.method == "ssf":
+            from cara_tpu.models import ssf as ssf_lib
+
+            params = ssf_lib.apply_ssf(params, cara_params)
+        else:
+            from cara_tpu.models import bitfit as bitfit_lib
+
+            params = bitfit_lib.apply_bitfit(params, cara_params)
+        cara_params = cara_cfg = None
+    if cara_cfg is not None and cara_cfg.method.startswith("vpt"):
+        raise ValueError(
+            "VPT is not supported under pipeline parallelism yet (the "
+            "deep prompt stack would need stage-local slices); train VPT "
+            "with data/tensor parallelism")
     T = mesh.shape.get(MODEL_AXIS, 1)
     # Same auto-resolution as vit_forward: the megakernels run per-device
     # inside the shard_map exactly like the fused data-parallel path.  A

@@ -131,13 +131,26 @@ def infer_cara_cfg(cara_params, meta, scale=None, cp_order=None):
     default would mis-apply the adapter.
     """
     from cara_tpu.config import CaraConfig
+    from cara_tpu.models import bitfit as bitfit_lib
+    from cara_tpu.models import ssf as ssf_lib
+    from cara_tpu.models import vpt as vpt_lib
     from cara_tpu.models.fact import detect_method
     from cara_tpu.models.lora import is_lora_params
 
     moe = "router" in cara_params and "experts" in cara_params
-    fact = meta.get("method", "").startswith("fact") or (
+    meta_method = str(meta.get("method", ""))
+    if meta_method.startswith("vpt") or vpt_lib.is_vpt_params(cara_params):
+        return CaraConfig(
+            method=meta_method or vpt_lib.detect_method(cara_params),
+            scale=1.0, weight_dropout=0.0,
+            vpt_tokens=int(cara_params["prompts"].shape[1]))
+    if meta_method == "ssf" or ssf_lib.is_ssf_params(cara_params):
+        return CaraConfig(method="ssf", scale=1.0, weight_dropout=0.0)
+    if meta_method == "bitfit" or bitfit_lib.is_bitfit_params(cara_params):
+        return CaraConfig(method="bitfit", scale=1.0, weight_dropout=0.0)
+    fact = meta_method.startswith("fact") or (
         not moe and detect_method(cara_params) is not None)
-    lora = meta.get("method") == "lora" or (
+    lora = meta_method == "lora" or (
         not moe and not fact and is_lora_params(cara_params))
     if scale is None:
         if "scale" not in meta:
