@@ -67,6 +67,7 @@ def build_model(
     moe_aux_coef: float = 0.01,
     fact_core_rank: int = 0,
     vpt_tokens: int = 8,
+    adapter_dropout: Optional[float] = None,
     dtype=jnp.float32,
     model_overrides: Optional[Dict[str, Any]] = None,
 ) -> CaraModel:
@@ -85,6 +86,10 @@ def build_model(
     cfg = get_model_config(model_name, **(model_overrides or {}))
     if weight_dropout is None:
         weight_dropout = 0.1 if method == "cara" else 0.0
+    if adapter_dropout is None:
+        # AdaptFormer's official release trains with 0.1 internal dropout;
+        # Houlsby-style sequential adapters conventionally use none.
+        adapter_dropout = 0.1 if method == "adaptformer" else 0.0
     cara_cfg = CaraConfig(
         method=method,
         rank=rank, scale=scale, l_mu=l_mu, l_std=l_std,
@@ -93,7 +98,7 @@ def build_model(
         weight_dropout_impl=weight_dropout_impl,
         moe_experts=moe_experts, moe_top_k=moe_top_k,
         moe_aux_coef=moe_aux_coef, fact_core_rank=fact_core_rank,
-        vpt_tokens=vpt_tokens,
+        vpt_tokens=vpt_tokens, adapter_dropout=adapter_dropout,
     )
     root = jax.random.key(seed)
     k_backbone, k_cara, k_head = jax.random.split(root, 3)

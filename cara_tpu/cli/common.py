@@ -41,7 +41,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic-size", default=1000, type=int)
     p.add_argument("--method", default="cara",
                    choices=["cara", "lora", "fact_tt", "fact_tk",
-                            "vpt_deep", "vpt_shallow", "ssf", "bitfit"],
+                            "vpt_deep", "vpt_shallow", "ssf", "bitfit",
+                            "adapter", "adaptformer"],
                    help="Adapter family: cara = the reference CP "
                         "tensorisation; lora = per-matrix low-rank "
                         "baseline at the same four sites; fact_tt / "
@@ -50,11 +51,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "CaRA generalizes); vpt_deep / vpt_shallow = "
                         "Visual Prompt Tuning (learnable prompt tokens); "
                         "ssf = scale-and-shift feature adaptation; "
-                        "bitfit = bias-only tuning.  All ride the same "
-                        "training loop / checkpoint / serving stack "
-                        "(low-rank families also the fused kernels and "
-                        "merged export; ssf/bitfit fold exactly into the "
-                        "frozen weights)")
+                        "bitfit = bias-only tuning; adapter / adaptformer "
+                        "= Houlsby sequential / AdaptFormer parallel "
+                        "bottleneck modules (width = --dim).  All ride "
+                        "the same training loop / checkpoint / serving "
+                        "stack (low-rank families also the fused kernels "
+                        "and merged export; ssf/bitfit fold exactly into "
+                        "the frozen weights)")
     p.add_argument("--lora-alpha", default=None, type=float,
                    help="LoRA scaling alpha; the delta scale becomes "
                         "alpha/rank (default alpha = rank, i.e. scale 1)")
@@ -67,6 +70,16 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--vpt-tokens", default=8, type=int,
                    help="VPT prompt-token count P per insertion point "
                         "(methods vpt_deep / vpt_shallow)")
+    p.add_argument("--adapter-scale", default=None, type=float,
+                   help="Bottleneck-adapter output scale s (methods "
+                        "adapter / adaptformer; default 1.0 for the "
+                        "sequential Houlsby form, 0.1 for AdaptFormer's "
+                        "parallel branch — the official release value)")
+    p.add_argument("--adapter-dropout", default=None, type=float,
+                   help="Bottleneck-adapter internal activation dropout "
+                        "(between the nonlinearity and the up projection; "
+                        "default 0.0 for adapter, 0.1 for adaptformer — "
+                        "the official release value)")
     p.add_argument("--weight-dropout", default=None, type=float,
                    help="Override the adapter weight-dropout rate "
                         "(default: the per-task table value for CaRA, "
@@ -186,6 +199,11 @@ def adapter_impl_kwargs(args) -> dict:
         kw["fact_core_rank"] = args.fact_core_rank
     if method.startswith("vpt"):
         kw["vpt_tokens"] = getattr(args, "vpt_tokens", 8)
+    if method in ("adapter", "adaptformer"):
+        rate = getattr(args, "adapter_dropout", None)
+        if rate is None:
+            rate = 0.1 if method == "adaptformer" else 0.0
+        kw["adapter_dropout"] = float(rate)
     spec = getattr(args, "moe", None)
     if not spec:
         return kw
@@ -225,7 +243,9 @@ def adapter_scale_wd(args, hp_scale: float, hp_wd: float):
     per-task table was tuned for CaRA's CP deltas, not FacT's).  Both
     default to dropout 0 unless ``--weight-dropout`` overrides.
     VPT/SSF/BitFit have no delta weight at all: scale is 1.0 and
-    ``--weight-dropout`` is rejected.
+    ``--weight-dropout`` is rejected.  Bottleneck adapters use
+    ``--adapter-scale`` (default 1.0 sequential / 0.1 AdaptFormer) and
+    reject ``--weight-dropout`` too (``--adapter-dropout`` instead).
     """
     wd_flag = getattr(args, "weight_dropout", None)
     method = getattr(args, "method", "cara")
@@ -243,6 +263,15 @@ def adapter_scale_wd(args, hp_scale: float, hp_wd: float):
                 f"--weight-dropout does not apply to --method {method} "
                 "(no delta weight to drop)")
         return 1.0, 0.0
+    if method in ("adapter", "adaptformer"):
+        if wd_flag:
+            raise SystemExit(
+                f"--weight-dropout does not apply to --method {method} "
+                "(bottleneck adapters regularize via --adapter-dropout)")
+        s = getattr(args, "adapter_scale", None)
+        if s is None:
+            s = 0.1 if method == "adaptformer" else 1.0
+        return float(s), 0.0
     return hp_scale, (hp_wd if wd_flag is None else wd_flag)
 
 

@@ -136,15 +136,23 @@ class CaraConfig:
     # VPT prompt-token count P per insertion point (methods "vpt_deep" /
     # "vpt_shallow", models/vpt.py).  Ignored by every other method.
     vpt_tokens: int = 8
+    # Internal activation-dropout rate of the bottleneck adapters
+    # (methods "adapter"/"adaptformer", models/adapter.py — between the
+    # nonlinearity and the up projection; AdaptFormer's official default
+    # is 0.1).  Ignored by every other method.
+    adapter_dropout: float = 0.0
 
     #: The full adapter-family set the framework dispatches on.  Beyond
     #: the reference's CaRA and its CP-order ablations, this covers the
     #: published PEFT baselines the CaRA paper compares against:
     #: LoRA (models/lora.py), FacT TT/TK (models/fact.py), VPT deep /
     #: shallow prompt tuning (models/vpt.py), SSF scale-and-shift
-    #: (models/ssf.py), and BitFit bias tuning (models/bitfit.py).
+    #: (models/ssf.py), BitFit bias tuning (models/bitfit.py), and the
+    #: bottleneck-module pair — Houlsby sequential ("adapter") and
+    #: AdaptFormer parallel ("adaptformer") (models/adapter.py).
     METHODS = ("cara", "lora", "fact_tt", "fact_tk",
-               "vpt_deep", "vpt_shallow", "ssf", "bitfit")
+               "vpt_deep", "vpt_shallow", "ssf", "bitfit",
+               "adapter", "adaptformer")
 
     def __post_init__(self):
         if self.method not in self.METHODS:
@@ -154,15 +162,21 @@ class CaraConfig:
             raise ValueError(
                 "MoE adapters are CaRA-only (models.moe stacks CP factor "
                 "trees); use method='cara' with --moe")
-        if (self.method in ("vpt_deep", "vpt_shallow", "ssf", "bitfit")
+        if (self.method in ("vpt_deep", "vpt_shallow", "ssf", "bitfit",
+                            "adapter", "adaptformer")
                 and self.weight_dropout > 0.0):
             raise ValueError(
                 f"method={self.method!r} has no delta weight to drop — "
                 "weight_dropout applies to the low-rank delta families "
-                "(cara/lora/fact); set weight_dropout=0.0")
+                "(cara/lora/fact); set weight_dropout=0.0 (bottleneck "
+                "adapters regularize via adapter_dropout instead)")
         if self.method.startswith("vpt") and self.vpt_tokens < 1:
             raise ValueError(
                 f"vpt_tokens must be >= 1, got {self.vpt_tokens}")
+        if not 0.0 <= self.adapter_dropout < 1.0:
+            raise ValueError(
+                f"adapter_dropout must be in [0, 1), got "
+                f"{self.adapter_dropout}")
 
     @property
     def moe(self) -> bool:
@@ -204,6 +218,11 @@ class CaraConfig:
 
             return sum(int(_prod(s))
                        for s in _shape_leaves(bitfit_param_shapes(model)))
+        if self.method in ("adapter", "adaptformer"):
+            from cara_tpu.models.adapter import adapter_param_shapes
+
+            return sum(int(_prod(s)) for s in _shape_leaves(
+                adapter_param_shapes(model, self)))
         from cara_tpu.models.cara import cara_param_shapes
 
         shapes = cara_param_shapes(model, self)

@@ -112,9 +112,10 @@ def init_cara_params(
     FacT factor tree (:mod:`cara_tpu.models.fact`), ``"vpt_deep"``/
     ``"vpt_shallow"`` the prompt stack (:mod:`cara_tpu.models.vpt`),
     ``"ssf"`` the scale/shift pairs (:mod:`cara_tpu.models.ssf`),
-    ``"bitfit"`` the bias deltas (:mod:`cara_tpu.models.bitfit`) — so
-    every caller (CLI, api, sweep, planner) gains the method switch for
-    free.
+    ``"bitfit"`` the bias deltas (:mod:`cara_tpu.models.bitfit`),
+    ``"adapter"``/``"adaptformer"`` the bottleneck stacks
+    (:mod:`cara_tpu.models.adapter`) — so every caller (CLI, api, sweep,
+    planner) gains the method switch for free.
     """
     if cara.method == "lora":
         from cara_tpu.models.lora import init_lora_params
@@ -136,6 +137,10 @@ def init_cara_params(
         from cara_tpu.models.bitfit import init_bitfit_params
 
         return init_bitfit_params(rng, model, cara, dtype)
+    if cara.method in ("adapter", "adaptformer"):
+        from cara_tpu.models.adapter import init_adapter_params
+
+        return init_adapter_params(rng, model, cara, dtype)
     shapes = cara_param_shapes(model, cara)
     inits = dict(_QKV_INITS[cara.cp_order])
     inits.update(P1="xavier", P2="zeros", P3="orthogonal")

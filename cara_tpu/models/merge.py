@@ -61,6 +61,7 @@ def merge_cara(
     (``bitfit.merge_bitfit``).  VPT cannot merge (prompt tokens are
     architectural) and raises.
     """
+    from cara_tpu.models import adapter as adapter_lib
     from cara_tpu.models import bitfit as bitfit_lib
     from cara_tpu.models import fact as fact_lib
     from cara_tpu.models import lora as lora_lib
@@ -73,6 +74,13 @@ def merge_cara(
             "delta) and cannot fold into dense weights — serve the "
             "adapter path (Predictor(merge=False) does this automatically "
             "for prompt trees)")
+    if cara.method in ("adapter", "adaptformer") \
+            or adapter_lib.is_adapter_params(cara_params):
+        raise ValueError(
+            "bottleneck adapters are nonlinear (gelu/relu between the "
+            "down/up projections) and cannot fold into dense weights — "
+            "serve the adapter path (Predictor(merge=False) does this "
+            "automatically for bottleneck trees)")
     if cara.method == "ssf" or ssf_lib.is_ssf_params(cara_params):
         return ssf_lib.merge_ssf(params, cara_params, model, cara)
     if cara.method == "bitfit" or bitfit_lib.is_bitfit_params(cara_params):

@@ -380,13 +380,36 @@ def _block(
         inv_tp = 1.0 / tp
     if key is not None:
         k_wd_qkv, k_wd_proj, k_wd_up, k_wd_down = jax.random.split(key, 4)
-        (k_dp1, k_dp2, k_attn, k_do1, k_do2, k_do3) = jax.random.split(
-            skey, 6)
+        # split(skey, 6) is an exact prefix of split(skey, 7)
+        # (partitionable threefry — see vit_forward's stream note), so the
+        # extra bottleneck-adapter key leaves every other stream intact.
+        (k_dp1, k_dp2, k_attn, k_do1, k_do2, k_do3,
+         k_ad) = jax.random.split(skey, 7)
     else:
         k_wd_qkv = k_wd_proj = k_wd_up = k_wd_down = k_dp1 = k_dp2 = None
-        k_attn = k_do1 = k_do2 = k_do3 = None
+        k_attn = k_do1 = k_do2 = k_do3 = k_ad = None
 
     use_cara = cara_params is not None
+    # Bottleneck adapters (models/adapter.py): this layer's {site: {kernel,
+    # bias}} dict rides the p1 scan slot; the block then runs the PLAIN
+    # XLA path (resolve_dense_impl pins "xla") with the bottleneck modules
+    # injected at the method's insertion points below.
+    ad = ad_s = None
+    ad_seq = False
+    if use_cara and cara_cfg.method in ("adapter", "adaptformer"):
+        from cara_tpu.models import adapter as adapter_lib
+
+        ad = p1
+        ad_seq = cara_cfg.method == "adapter"
+        ad_s = (cara_cfg.scale if scale_override is None
+                else scale_override.astype(x.dtype))
+        ad_rate = cara_cfg.adapter_dropout
+        if k_ad is not None:
+            k_ad_attn, k_ad_mlp = jax.random.split(k_ad)
+        else:
+            k_ad_attn = k_ad_mlp = None
+        use_cara = False
+        cara_params = None
     use_elem = False
     lora = use_cara and cara_cfg.method == "lora"
     if use_cara:
@@ -718,11 +741,27 @@ def _block(
                 cara_params["R2"], comp)
             cb1 = cara_params["bias1"]
         proj = proj + (pd + cb1) * s  # cara.py:57-58
+      if ad is not None and ad_seq:
+        # Houlsby: internal-skip bottleneck on the attention sublayer
+        # output, inside the block dropout / drop-path / residual.
+        proj = proj + adapter_lib.bottleneck(
+            proj, ad["attn_down"], ad["attn_up"], "gelu", k_ad_attn,
+            ad_rate)
     if not attn_mega:  # megakernel already emitted x + dpm*proj
         proj = dropout(proj, cfg.dropout_rate, k_do1)
         x = x + drop_path(proj, dpr, k_dp1)
 
     # --- MLP ---------------------------------------------------------------
+    ad_par = None
+    if ad is not None and not ad_seq:
+        # AdaptFormer: parallel bottleneck reading the PRE-LN2 residual
+        # stream, scaled by s; joins the residual below NEXT TO the
+        # drop-pathed MLP branch (the adapter output itself is neither
+        # drop-pathed nor output-dropped — it carries its own internal
+        # dropout, matching the official release).
+        ad_par = adapter_lib.bottleneck(
+            x, ad["mlp_down"], ad["mlp_up"], "relu", k_ad_mlp,
+            ad_rate) * ad_s
     if use_cara:
         if lora:
             p1_up = p1_down = None  # LoRA per-site factors live in the
@@ -916,8 +955,14 @@ def _block(
                 cara_params["R2"], comp)
             cb3 = cara_params["bias3"]
         down = down + (dd + cb3) * s  # cara.py:92-93
+      if ad is not None and ad_seq:
+        # Houlsby: internal-skip bottleneck on the MLP sublayer output.
+        down = down + adapter_lib.bottleneck(
+            down, ad["mlp_down"], ad["mlp_up"], "gelu", k_ad_mlp, ad_rate)
     down = dropout(down, cfg.dropout_rate, k_do3)
     x = x + drop_path(down, dpr, k_dp2)
+    if ad_par is not None:
+        x = x + ad_par
     return x
 
 
@@ -939,11 +984,12 @@ def resolve_dense_impl(has_cara: bool, cara_cfg) -> str:
         # opts in explicitly.
         return "xla"
     if cara_cfg.method.startswith("vpt") or cara_cfg.method in (
-            "ssf", "bitfit"):
-        # No low-rank delta to fuse: VPT lengthens the sequence and
-        # SSF/BitFit fold into the frozen weights in-trace — all three run
-        # the plain block math, where XLA dense + fused attention wins
-        # (same measurement as the merged backbone above).  This also
+            "ssf", "bitfit", "adapter", "adaptformer"):
+        # No low-rank delta to fuse: VPT lengthens the sequence, SSF/BitFit
+        # fold into the frozen weights in-trace, and the bottleneck
+        # adapters are nonlinear modules injected on the XLA block path —
+        # all run the plain block math, where XLA dense + fused attention
+        # wins (same measurement as the merged backbone above).  This also
         # keeps fused-TP (which slices factor trees) disengaged.
         return "xla"
     if cara_cfg.delta_impl == "factorized" and cara_cfg.cp_order != 2:
@@ -1063,6 +1109,26 @@ def vit_forward(
         vpt_deep = cara_cfg.method == "vpt_deep"
         vpt_n = vpt_prompts.shape[1]
         cara_params = cara_cfg = None
+    if cara_cfg is not None and cara_cfg.method in ("adapter",
+                                                    "adaptformer"):
+        # Bottleneck adapters (models/adapter.py): per-layer nonlinear
+        # modules — they ride the p1 scan slot as a layer-stacked dict
+        # (the LoRA precedent) and inject on the XLA block path.
+        from cara_tpu.models import adapter as adapter_lib
+
+        if not adapter_lib.is_adapter_params(cara_params):
+            raise ValueError(
+                f"cara_cfg.method={cara_cfg.method!r} wants the "
+                "layer-stacked bottleneck tree from "
+                "models.adapter.init_adapter_params; got keys "
+                f"{sorted(cara_params)}")
+        adapter_lib.check_geometry(cara_params, cfg, cara_cfg)
+        if dense_impl == "fused":
+            raise ValueError(
+                "bottleneck adapters are nonlinear modules on the XLA "
+                "block path — the fused megakernels have no insertion "
+                "point for them (dense_impl='fused' would silently skip "
+                "the adapters); use dense_impl='auto' or 'xla'")
     moe = cara_cfg is not None and cara_cfg.moe
     if moe:
         from cara_tpu.models import moe as moe_lib
@@ -1100,7 +1166,9 @@ def vit_forward(
     if train and rng is None and (
             cfg.dropout_rate > 0.0 or cfg.attn_dropout_rate > 0.0
             or cfg.drop_path_rate > 0.0
-            or (cara_cfg is not None and cara_cfg.weight_dropout > 0.0)):
+            or (cara_cfg is not None and (cara_cfg.weight_dropout > 0.0
+                                          or cara_cfg.adapter_dropout
+                                          > 0.0))):
         raise ValueError(
             "train=True with a nonzero dropout/drop-path/weight-dropout "
             "rate requires an rng — refusing to silently skip "
@@ -1148,6 +1216,12 @@ def vit_forward(
         # LoRA state is fully per-layer: the two scan operand slots carry
         # the layer-stacked qkv pair and the {proj, fc1, fc2} dict.
         a1_stack, p1_stack = lora_lib.layer_stacks(cara_params)
+    elif cara_params is not None and cara_cfg.method in ("adapter",
+                                                         "adaptformer"):
+        # Bottleneck-adapter state is fully per-layer too: the whole tree
+        # (every leaf (L, ...)) rides the p1 slot; the a1 slot is unused.
+        a1_stack = jnp.zeros((L, 1, 1), tokens.dtype)
+        p1_stack = cara_params
     elif cara_params is not None:
         if not isinstance(cara_params, dict) or "A1" not in cara_params:
             raise ValueError(

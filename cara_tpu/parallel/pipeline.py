@@ -164,7 +164,14 @@ def pp_vit_forward(
             "VPT is not supported under pipeline parallelism yet (the "
             "deep prompt stack would need stage-local slices); train VPT "
             "with data/tensor parallelism")
+    bottleneck_ad = (cara_cfg is not None
+                     and cara_cfg.method in ("adapter", "adaptformer"))
     T = mesh.shape.get(MODEL_AXIS, 1)
+    if bottleneck_ad and T > 1:
+        raise ValueError(
+            "bottleneck adapters run the XLA block path — pipeline x "
+            "tensor parallelism is megakernel-only and has no insertion "
+            "point for them; use --pipeline S,M (model axis 1)")
     # Same auto-resolution as vit_forward: the megakernels run per-device
     # inside the shard_map exactly like the fused data-parallel path.  A
     # model axis forces fused — _block's tp math is megakernel-only.
@@ -222,7 +229,9 @@ def pp_vit_forward(
     if train and rng is None and (
             cfg.dropout_rate > 0.0 or cfg.attn_dropout_rate > 0.0
             or cfg.drop_path_rate > 0.0
-            or (cara_cfg is not None and cara_cfg.weight_dropout > 0.0)):
+            or (cara_cfg is not None and (cara_cfg.weight_dropout > 0.0
+                                          or cara_cfg.adapter_dropout
+                                          > 0.0))):
         raise ValueError("train=True with nonzero regularization needs rng")
 
     # --- Stem (GSPMD-land: batch shards over the data axis) ---------------
@@ -248,6 +257,16 @@ def pp_vit_forward(
         from cara_tpu.models import lora as lora_lib
 
         a1, p1 = lora_lib.layer_stacks(cara_params)
+    elif use_cara and bottleneck_ad:
+        # Bottleneck adapters: the whole tree is per-layer (every leaf
+        # (L, ...)) and rides the p1 slot tree-generically through the
+        # stage shard / circular reorder / per-tick slice, exactly like
+        # the LoRA dict (models/adapter.py).
+        from cara_tpu.models import adapter as adapter_lib
+
+        adapter_lib.check_geometry(cara_params, cfg, cara_cfg)
+        a1 = jnp.zeros((L, 1, 1), tokens.dtype)
+        p1 = cara_params
     elif use_cara:
         a1, p1 = cara_lib.stacked_layer_slices(cara_params, cfg, cara_cfg)
     else:

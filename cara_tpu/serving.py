@@ -110,10 +110,12 @@ class Predictor:
         tome_r: int = 0,
     ):
         if merge and cara_params is not None:
-            if "router" in cara_params or "prompts" in cara_params:
-                # MoE adapters are input-dependent (per-token routing) and
-                # VPT is architectural (learnable prompt tokens) — neither
-                # folds into dense weights; serve unmerged.
+            if ("router" in cara_params or "prompts" in cara_params
+                    or "mlp_down" in cara_params):
+                # MoE adapters are input-dependent (per-token routing),
+                # VPT is architectural (learnable prompt tokens), and
+                # bottleneck adapters are nonlinear — none fold into dense
+                # weights; serve unmerged.
                 merge = False
             else:
                 params = merge_cara(params, cara_params, cfg, cara_cfg)
@@ -321,6 +323,7 @@ class MultiTaskPredictor:
                 "(the group step stacks plain factor trees); serve them "
                 "with their own Predictor")
         names = list(tasks)
+        from cara_tpu.models.adapter import is_adapter_params
         from cara_tpu.models.bitfit import is_bitfit_params
         from cara_tpu.models.fact import detect_method
         from cara_tpu.models.lora import is_lora_params
@@ -331,11 +334,11 @@ class MultiTaskPredictor:
             if is_lora_params(tree):
                 return "lora"
             if is_vpt_params(tree) or is_ssf_params(tree) \
-                    or is_bitfit_params(tree):
+                    or is_bitfit_params(tree) or is_adapter_params(tree):
                 raise ValueError(
                     "multi-task groups stack low-rank factor trees "
-                    "(cara/lora/fact); serve VPT/SSF/BitFit adapters with "
-                    "their own Predictor each")
+                    "(cara/lora/fact); serve VPT/SSF/BitFit/bottleneck-"
+                    "adapter checkpoints with their own Predictor each")
             return detect_method(tree) or "cara"
 
         families = {family(t["cara"]) for t in tasks.values()}

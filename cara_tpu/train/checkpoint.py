@@ -131,6 +131,7 @@ def infer_cara_cfg(cara_params, meta, scale=None, cp_order=None):
     default would mis-apply the adapter.
     """
     from cara_tpu.config import CaraConfig
+    from cara_tpu.models import adapter as adapter_lib
     from cara_tpu.models import bitfit as bitfit_lib
     from cara_tpu.models import ssf as ssf_lib
     from cara_tpu.models import vpt as vpt_lib
@@ -148,6 +149,24 @@ def infer_cara_cfg(cara_params, meta, scale=None, cp_order=None):
         return CaraConfig(method="ssf", scale=1.0, weight_dropout=0.0)
     if meta_method == "bitfit" or bitfit_lib.is_bitfit_params(cara_params):
         return CaraConfig(method="bitfit", scale=1.0, weight_dropout=0.0)
+    if (meta_method in ("adapter", "adaptformer")
+            or adapter_lib.is_adapter_params(cara_params)):
+        method = meta_method or adapter_lib.detect_method(cara_params)
+        if scale is None:
+            if "scale" in meta:
+                scale = float(meta["scale"])
+            elif method == "adapter":
+                scale = 1.0  # Houlsby adapters are unscaled by definition
+            else:
+                raise ValueError(
+                    "adaptformer checkpoint records no delta scale and "
+                    "none was given — the parallel-branch scale (official "
+                    "default 0.1) changes the forward; pass scale= "
+                    "explicitly")
+        return CaraConfig(
+            method=method, scale=scale, weight_dropout=0.0,
+            rank=int(cara_params["mlp_down"]["kernel"].shape[-1]),
+            adapter_dropout=float(meta.get("adapter_dropout", 0.0)))
     fact = meta_method.startswith("fact") or (
         not moe and detect_method(cara_params) is not None)
     lora = meta_method == "lora" or (
