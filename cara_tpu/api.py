@@ -43,7 +43,11 @@ class CaraModel:
     @property
     def trainable_count(self) -> int:
         """CP params only, head excluded — matches the reference's printed
-        "Total parameters" (``vit_cp.py:175-183``)."""
+        "Total parameters" (``vit_cp.py:175-183``).  The non-adapter
+        control rows have no adapter tree: ``linear`` reports the head
+        (what actually trains), ``full`` the whole model."""
+        if self.cara_cfg.method in ("linear", "full"):
+            return self.cara_cfg.trainable_param_count(self.cfg)
         return cara_lib.count_params(self.cara_params)
 
 

@@ -42,7 +42,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--method", default="cara",
                    choices=["cara", "lora", "fact_tt", "fact_tk",
                             "vpt_deep", "vpt_shallow", "ssf", "bitfit",
-                            "adapter", "adaptformer"],
+                            "adapter", "adaptformer", "linear", "full"],
                    help="Adapter family: cara = the reference CP "
                         "tensorisation; lora = per-matrix low-rank "
                         "baseline at the same four sites; fact_tt / "
@@ -53,11 +53,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "ssf = scale-and-shift feature adaptation; "
                         "bitfit = bias-only tuning; adapter / adaptformer "
                         "= Houlsby sequential / AdaptFormer parallel "
-                        "bottleneck modules (width = --dim).  All ride "
-                        "the same training loop / checkpoint / serving "
-                        "stack (low-rank families also the fused kernels "
-                        "and merged export; ssf/bitfit fold exactly into "
-                        "the frozen weights)")
+                        "bottleneck modules (width = --dim); linear / "
+                        "full = the non-adapter control rows (linear "
+                        "probe: head only; full fine-tuning: every "
+                        "weight).  All ride the same training loop / "
+                        "checkpoint / serving stack (low-rank families "
+                        "also the fused kernels and merged export; "
+                        "ssf/bitfit fold exactly into the frozen weights)")
     p.add_argument("--lora-alpha", default=None, type=float,
                    help="LoRA scaling alpha; the delta scale becomes "
                         "alpha/rank (default alpha = rank, i.e. scale 1)")
@@ -272,6 +274,12 @@ def adapter_scale_wd(args, hp_scale: float, hp_wd: float):
         if s is None:
             s = 0.1 if method == "adaptformer" else 1.0
         return float(s), 0.0
+    if method in ("linear", "full"):
+        if wd_flag:
+            raise SystemExit(
+                f"--weight-dropout does not apply to --method {method} "
+                "(no adapter at all)")
+        return 1.0, 0.0
     return hp_scale, (hp_wd if wd_flag is None else wd_flag)
 
 

@@ -72,7 +72,8 @@ def main(argv=None) -> float:
     tx = steps_lib.make_optimizer(
         args.lr, steps_per_epoch, total_epochs=args.epochs)
     frozen, state = steps_lib.init_train_state(
-        tx, model.params, model.cara_params)
+        tx, model.params, model.cara_params,
+        method=model.cara_cfg.method)
     keeper = ckpt_lib.BestCheckpointKeeper(args.out_dir, args.dataset, seed)
     # Ablation cadence: every 5 epochs, only from epoch 50
     # (dim_experiment.py:60).

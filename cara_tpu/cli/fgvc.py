@@ -114,7 +114,8 @@ def main(argv=None) -> float:
     tx = steps_lib.make_optimizer(
         args.lr, train_loader.steps_per_epoch(), total_epochs=args.epochs)
     frozen, state = steps_lib.init_train_state(
-        tx, model.params, model.cara_params)
+        tx, model.params, model.cara_params,
+        method=model.cara_cfg.method)
     keeper = ckpt_lib.BestCheckpointKeeper(args.out_dir, args.dataset, seed)
     fit_cfg = loop_lib.FitConfig(
         epochs=args.epochs, eval_every=10, eval_start=1,

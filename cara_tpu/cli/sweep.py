@@ -162,7 +162,8 @@ def run_task(task: str, args, results: dict,
             step_cache[cache_key] = (ts, es)
         train_step, eval_step = step_cache[cache_key]
     frozen, state = steps_lib.init_train_state(
-        tx, model.params, model.cara_params)
+        tx, model.params, model.cara_params,
+        method=model.cara_cfg.method)
     keeper = ckpt_lib.BestCheckpointKeeper(args.out_dir, task, seed)
     fit_cfg = loop_lib.FitConfig(
         epochs=args.epochs, eval_every=10, eval_start=1,
@@ -400,6 +401,12 @@ def main(argv=None):
                              "(the group step stacks plain adapter trees; "
                              "use --mesh d,1,1,x expert parallelism "
                              "instead)")
+        if args.method in ("linear", "full"):
+            raise SystemExit(
+                f"--method {args.method} is not supported under "
+                "--task-parallel (the group step stacks adapter trees over "
+                "a shared frozen backbone; linear/full have none — run the "
+                "sweep sequentially)")
         import collections
 
         if args.task_data < 1:

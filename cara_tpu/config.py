@@ -149,10 +149,15 @@ class CaraConfig:
     #: shallow prompt tuning (models/vpt.py), SSF scale-and-shift
     #: (models/ssf.py), BitFit bias tuning (models/bitfit.py), and the
     #: bottleneck-module pair — Houlsby sequential ("adapter") and
-    #: AdaptFormer parallel ("adaptformer") (models/adapter.py).
+    #: AdaptFormer parallel ("adaptformer") (models/adapter.py) — plus the
+    #: two universal non-adapter control rows of every PEFT comparison
+    #: table: "linear" (linear probe — classifier head only, backbone
+    #: frozen) and "full" (full fine-tuning — every backbone weight
+    #: trains).  Both have an EMPTY adapter tree; the trainable/frozen
+    #: split happens in train.steps.split_trainable.
     METHODS = ("cara", "lora", "fact_tt", "fact_tk",
                "vpt_deep", "vpt_shallow", "ssf", "bitfit",
-               "adapter", "adaptformer")
+               "adapter", "adaptformer", "linear", "full")
 
     def __post_init__(self):
         if self.method not in self.METHODS:
@@ -163,7 +168,7 @@ class CaraConfig:
                 "MoE adapters are CaRA-only (models.moe stacks CP factor "
                 "trees); use method='cara' with --moe")
         if (self.method in ("vpt_deep", "vpt_shallow", "ssf", "bitfit",
-                            "adapter", "adaptformer")
+                            "adapter", "adaptformer", "linear", "full")
                 and self.weight_dropout > 0.0):
             raise ValueError(
                 f"method={self.method!r} has no delta weight to drop — "
@@ -223,6 +228,23 @@ class CaraConfig:
 
             return sum(int(_prod(s)) for s in _shape_leaves(
                 adapter_param_shapes(model, self)))
+        if self.method in ("linear", "full"):
+            # Non-adapter control rows: the head-exclusion convention
+            # (reference print, vit_cp.py:175-183) is meaningless here —
+            # report what actually trains: the head alone (linear probe)
+            # or the whole model (full fine-tuning).
+            import jax
+
+            from cara_tpu.models.vit import init_vit_params
+
+            shapes = jax.eval_shape(
+                lambda k: init_vit_params(k, model), jax.random.key(0))
+            if self.method == "linear":
+                return sum(
+                    int(_prod(s.shape)) for s in
+                    jax.tree_util.tree_leaves(shapes.get("head", {})))
+            return sum(int(_prod(s.shape))
+                       for s in jax.tree_util.tree_leaves(shapes))
         from cara_tpu.models.cara import cara_param_shapes
 
         shapes = cara_param_shapes(model, self)

@@ -141,6 +141,12 @@ def init_cara_params(
         from cara_tpu.models.adapter import init_adapter_params
 
         return init_adapter_params(rng, model, cara, dtype)
+    if cara.method in ("linear", "full"):
+        # Non-adapter control rows (linear probe / full fine-tuning): no
+        # adapter params at all — the trainable/frozen split happens in
+        # train.steps.split_trainable, and the forward runs the plain
+        # backbone (vit_forward(cara_params=None)).
+        return {}
     shapes = cara_param_shapes(model, cara)
     inits = dict(_QKV_INITS[cara.cp_order])
     inits.update(P1="xavier", P2="zeros", P3="orthogonal")

@@ -984,10 +984,12 @@ def resolve_dense_impl(has_cara: bool, cara_cfg) -> str:
         # opts in explicitly.
         return "xla"
     if cara_cfg.method.startswith("vpt") or cara_cfg.method in (
-            "ssf", "bitfit", "adapter", "adaptformer"):
+            "ssf", "bitfit", "adapter", "adaptformer", "linear", "full"):
         # No low-rank delta to fuse: VPT lengthens the sequence, SSF/BitFit
-        # fold into the frozen weights in-trace, and the bottleneck
-        # adapters are nonlinear modules injected on the XLA block path —
+        # fold into the frozen weights in-trace, the bottleneck
+        # adapters are nonlinear modules injected on the XLA block path,
+        # and linear/full run the plain backbone (full additionally NEEDS
+        # the XLA path: the megakernel VJPs emit no dense-weight grads) —
         # all run the plain block math, where XLA dense + fused attention
         # wins (same measurement as the merged backbone above).  This also
         # keeps fused-TP (which slices factor trees) disengaged.

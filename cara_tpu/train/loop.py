@@ -298,7 +298,8 @@ def fit(
                 params_now = steps_lib.merge_params(
                     frozen_compute, state.trainable)
                 acc = evaluate(
-                    eval_step, params_now, state.trainable["cara"],
+                    eval_step, params_now,
+                    state.trainable["cara"] or None,  # {} = linear/full
                     eval_loader, mesh)
                 logger.log({"epoch": epoch, "val_acc": acc}, step=int(state.step))
                 if acc > best_acc:
@@ -306,7 +307,8 @@ def fit(
                     if keeper is not None:
                         host_params = jax.device_get(
                             steps_lib.merge_params(frozen, state.trainable))
-                        host_cara = jax.device_get(state.trainable["cara"])
+                        host_cara = (jax.device_get(state.trainable["cara"])
+                                     or None)
                         keeper.update(acc, host_params, host_cara, meta=meta)
 
     # If the log cadence never fired (log_every > total steps), still report
@@ -327,7 +329,8 @@ def fit(
     if not preempt.fired:
         params_now = steps_lib.merge_params(frozen_compute, state.trainable)
         final_acc = evaluate(
-            eval_step, params_now, state.trainable["cara"], eval_loader, mesh)
+            eval_step, params_now, state.trainable["cara"] or None,
+            eval_loader, mesh)
         if final_acc > best_acc:
             best_acc = final_acc
             if keeper is not None:
@@ -335,7 +338,8 @@ def fit(
                     final_acc,
                     jax.device_get(
                         steps_lib.merge_params(frozen, state.trainable)),
-                    jax.device_get(state.trainable["cara"]), meta=meta)
+                    jax.device_get(state.trainable["cara"]) or None,
+                    meta=meta)
     if keeper is not None:
         keeper.wait()  # join the async best-checkpoint write before return
     return {

@@ -55,6 +55,11 @@ def make_pp_train_step(
     same semantics (constant weight-dropout mask per step, per-chunk sample
     rng) as ``steps.make_train_step``'s grad_accum.
     """
+    if cara_cfg is not None and cara_cfg.method == "full":
+        raise ValueError(
+            "method='full' is not supported under pipeline parallelism "
+            "(the backbone weights would need gradients through the stage "
+            "sharding — untested transpose path); use data parallelism")
 
     def train_step(state: TrainState, frozen: Params, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -65,10 +70,12 @@ def make_pp_train_step(
                 tr = cast_floating(tr, compute_dtype)
             x = prep_images(mb["image"], compute_dtype)
             p = merge_params(frozen, tr)
+            cara = tr["cara"] or None  # {} = linear probe
             logits = pp_vit_forward(
                 p, x, cfg, mesh=mesh, microbatches=microbatches,
                 repeats=repeats,
-                cara_params=tr["cara"], cara_cfg=cara_cfg, train=True,
+                cara_params=cara,
+                cara_cfg=cara_cfg if cara is not None else None, train=True,
                 rng=step_rng, sample_rng=srng, remat=remat,
                 attn_impl=attn_impl, dense_impl=dense_impl,
                 scale_override=mb.get("delta_scale"),

@@ -49,17 +49,29 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def split_trainable(params: Params, cara_params: Params) -> Tuple[Params, Params]:
+def split_trainable(
+    params: Params, cara_params: Params, method: str = "cara"
+) -> Tuple[Params, Params]:
     """(frozen_backbone, trainable) — trainable = CP adapter + head, matching
     the reference's name-based freeze ("CP" or "head" in name,
-    ``vit_cp.py:176-182``)."""
+    ``vit_cp.py:176-182``).
+
+    ``method="full"`` (full fine-tuning, the non-adapter control row):
+    nothing is frozen — the backbone moves into ``trainable["backbone"]``
+    and the frozen tree is empty.  ``method="linear"`` (linear probe) is
+    the default split with an empty adapter tree: head-only training.
+    """
     frozen = {k: v for k, v in params.items() if k != "head"}
     trainable = {"cara": cara_params, "head": params["head"]}
+    if method == "full":
+        trainable["backbone"] = frozen
+        frozen = {}
     return frozen, trainable
 
 
 def merge_params(frozen: Params, trainable: Params) -> Params:
     full = dict(frozen)
+    full.update(trainable.get("backbone") or {})  # full fine-tuning
     full["head"] = trainable["head"]
     return full
 
@@ -80,9 +92,10 @@ def make_optimizer(
 
 
 def init_train_state(
-    tx: optax.GradientTransformation, params: Params, cara_params: Params
+    tx: optax.GradientTransformation, params: Params, cara_params: Params,
+    method: str = "cara",
 ) -> Tuple[Params, TrainState]:
-    frozen, trainable = split_trainable(params, cara_params)
+    frozen, trainable = split_trainable(params, cara_params, method)
     opt_state = tx.init(trainable)
     return frozen, TrainState(jnp.zeros((), jnp.int32), trainable, opt_state)
 
@@ -146,6 +159,20 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
         dense_impl = resolve_dense_impl(has_cara, cara_cfg)
+    if cara_cfg is not None and cara_cfg.method == "full":
+        # Full fine-tuning: gradients must flow to every dense weight.
+        # The megakernels' custom VJPs emit NO backbone-weight cotangents
+        # (they treat wq/wp/fc* as frozen constants) — a fused train step
+        # would silently zero the backbone gradients.
+        if dense_impl == "fused":
+            raise ValueError(
+                "method='full' trains the dense weights; the fused "
+                "megakernels' custom VJPs emit no backbone-weight "
+                "cotangents — use dense_impl='auto' or 'xla'")
+        if attn_impl == "fused":
+            # flash differentiates q/k/v (grad-tested); the weight grads
+            # flow through the surrounding XLA GEMMs.
+            attn_impl = "flash"
     moe = has_cara and cara_cfg is not None and cara_cfg.moe
     if moe:
         dense_impl = "xla"
@@ -320,6 +347,12 @@ def make_train_step(
     if data_axis is not None and mesh is not None:
         raise ValueError("data_axis composes inside an outer shard_map; "
                          "pass either mesh or data_axis, not both")
+    if fsdp and cara_cfg is not None and cara_cfg.method == "full":
+        raise ValueError(
+            "--fsdp shards the FROZEN backbone over the data axis; "
+            "method='full' trains every weight so nothing is frozen "
+            "(trainable/optimizer-state sharding is not implemented) — "
+            "drop --fsdp")
     (attn_impl, dense_impl, use_shard_map, tp_fused, sp, _,
      _ep) = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh, cfg=cfg, fsdp=fsdp)
@@ -344,9 +377,12 @@ def make_train_step(
                 trainable = cast_floating(trainable, compute_dtype)
             x = prep_images(mb["image"], compute_dtype)
             p = merge_params(frozen, trainable)
-            cara = trainable["cara"]
+            # Empty adapter tree (methods linear/full) -> the plain
+            # backbone forward (vit_forward requires cara/cfg together).
+            cara = trainable["cara"] or None
             logits = vit_forward(
-                p, x, cfg, cara_params=cara, cara_cfg=cara_cfg,
+                p, x, cfg, cara_params=cara,
+                cara_cfg=cara_cfg if cara is not None else None,
                 train=True, rng=wd_rng, sample_rng=srng, remat=remat,
                 attn_impl=attn_impl, dense_impl=dense_impl,
                 tp_axis=tp_axis, scale_override=mb.get("delta_scale"),
