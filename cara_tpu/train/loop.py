@@ -184,7 +184,14 @@ def fit(
         # owns the frozen placement.
         _fsdp = mesh is not None and mesh.shape.get(mesh_lib.DATA_AXIS, 1) > 1
     if mesh is not None:
-        state = mesh_lib.put_replicated(mesh, state)
+        if (_fsdp and cara_cfg is not None and cara_cfg.method == "full"):
+            # Full fine-tuning under FSDP: the memory is the TRAINABLE
+            # backbone + its AdamW moments (nothing is frozen) — shard
+            # all of it over the data axis (ZeRO; steps_lib docs).
+            state = steps_lib.prepare_fsdp_trainable_state(
+                state, mesh, tensor_parallel=_tp)
+        else:
+            state = mesh_lib.put_replicated(mesh, state)
         if _ep:
             # Expert parallelism: re-place the expert-stacked adapter
             # factors sharded over the expert axis (opt state stays

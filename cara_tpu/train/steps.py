@@ -281,6 +281,68 @@ def prepare_fsdp_frozen(frozen: Params, mesh, tensor_parallel: bool = False):
         frozen, specs, is_leaf=lambda x: isinstance(x, P))
 
 
+def prepare_fsdp_trainable_state(state: "TrainState", mesh,
+                                 tensor_parallel: bool = False):
+    """Full-fine-tuning ZeRO: shard the TRAINABLE backbone and its AdamW
+    moments over the data axis.
+
+    For adapter methods FSDP shards the frozen tree (ZeRO-3 weight
+    streaming, :func:`prepare_fsdp_frozen`); ``method="full"`` has no
+    frozen tree — the memory lives in ``trainable["backbone"]`` plus its
+    fp32 optimizer moments (3x model bytes with AdamW).  This places all
+    three with the same ``mesh.fsdp_param_specs`` layout: per-device
+    bytes / dp for params AND moments (ZeRO-1+3), one weight all-gather
+    per layer per step, gradients reduce-scattered by GSPMD from the
+    sharded-output layout — no step-code changes, the jit propagates the
+    input shardings through the optimizer update (elementwise, stays
+    sharded).
+
+    The optimizer-state specs are derived structurally: any ``opt_state``
+    subtree whose treedef equals the trainable's (optax's mu/nu moment
+    trees) gets the trainable specs; every other leaf (step counts etc.)
+    replicates.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cara_tpu.parallel import mesh as mesh_lib
+
+    trainable = state.trainable
+    backbone = trainable.get("backbone")
+    if not backbone:
+        raise ValueError(
+            "prepare_fsdp_trainable_state expects a full-fine-tuning "
+            "trainable tree (method='full', split_trainable's 'backbone' "
+            "key); adapter methods shard the frozen tree instead "
+            "(prepare_fsdp_frozen)")
+    tr_specs = {
+        "backbone": mesh_lib.fsdp_param_specs(
+            backbone, mesh.shape[mesh_lib.DATA_AXIS], tensor_parallel),
+        "cara": jax.tree_util.tree_map(lambda _: P(), trainable["cara"]),
+        "head": jax.tree_util.tree_map(lambda _: P(), trainable["head"]),
+    }
+    tr_treedef = jax.tree_util.tree_structure(trainable)
+
+    def is_tr(x):
+        try:
+            return jax.tree_util.tree_structure(x) == tr_treedef
+        except Exception:
+            return False
+
+    opt_specs = jax.tree_util.tree_map(
+        lambda sub: tr_specs if is_tr(sub)
+        else jax.tree_util.tree_map(lambda _: P(), sub),
+        state.opt_state, is_leaf=is_tr)
+
+    def put(tree, specs):
+        return jax.tree_util.tree_map(
+            lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+            tree, specs, is_leaf=lambda x: isinstance(x, P))
+
+    return TrainState(
+        jax.device_put(state.step, NamedSharding(mesh, P())),
+        put(trainable, tr_specs), put(state.opt_state, opt_specs))
+
+
 def prepare_moe_trainable(trainable: Params, mesh):
     """Trainable tree -> expert-parallel placement: the expert-stacked CaRA
     factors shard their leading (X) axis over the mesh's ``expert`` axis
@@ -347,12 +409,10 @@ def make_train_step(
     if data_axis is not None and mesh is not None:
         raise ValueError("data_axis composes inside an outer shard_map; "
                          "pass either mesh or data_axis, not both")
-    if fsdp and cara_cfg is not None and cara_cfg.method == "full":
-        raise ValueError(
-            "--fsdp shards the FROZEN backbone over the data axis; "
-            "method='full' trains every weight so nothing is frozen "
-            "(trainable/optimizer-state sharding is not implemented) — "
-            "drop --fsdp")
+    # fsdp + method='full': the caller (loop.fit) places the TRAINABLE
+    # backbone + optimizer moments with the data-axis shardings via
+    # prepare_fsdp_trainable_state; the step body is unchanged (GSPMD
+    # propagates the shardings through grads and the optimizer update).
     (attn_impl, dense_impl, use_shard_map, tp_fused, sp, _,
      _ep) = _resolve_impls(
         attn_impl, dense_impl, cara_cfg, mesh, cfg=cfg, fsdp=fsdp)

@@ -194,6 +194,45 @@ def test_full_ft_train_step_and_dp_equality(setup):
         ref_state.trainable["backbone"], got_state.trainable["backbone"])
 
 
+def test_full_ft_fsdp_matches_replicated(setup):
+    """ZeRO full-FT: trainable backbone + AdamW moments sharded over the
+    data axis produce the same step as the replicated run, and the result
+    state keeps the sharded layout (params and moments per-device bytes
+    / dp)."""
+    from jax.sharding import PartitionSpec as P
+
+    params, batch = setup
+    tx = steps_lib.make_optimizer(1e-2, steps_per_epoch=1, total_epochs=100)
+    frozen, state = steps_lib.init_train_state(tx, params, {}, "full")
+    ref_state, ref_metrics = jax.jit(
+        steps_lib.make_train_step(CFG, FULL, tx))(
+        state, frozen, batch, jax.random.key(7))
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    state_sh = steps_lib.prepare_fsdp_trainable_state(state, mesh)
+    # The big kernels actually went sharded (data axis in the spec).
+    qkv_spec = state_sh.trainable["backbone"]["blocks"]["qkv"][
+        "kernel"].sharding.spec
+    assert mesh_lib.DATA_AXIS in tuple(qkv_spec)
+    fsdp_step = jax.jit(steps_lib.make_train_step(
+        CFG, FULL, tx, mesh=mesh, fsdp=True))
+    got_state, got_metrics = fsdp_step(
+        state_sh, mesh_lib.put_replicated(mesh, frozen),
+        mesh_lib.put_batch(mesh, batch), jax.random.key(7))
+    np.testing.assert_allclose(float(ref_metrics["loss"]),
+                               float(got_metrics["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6),
+        ref_state.trainable, got_state.trainable)
+    # Output state preserved the ZeRO layout (the moments too).
+    out_spec = got_state.trainable["backbone"]["blocks"]["qkv"][
+        "kernel"].sharding.spec
+    assert mesh_lib.DATA_AXIS in tuple(out_spec)
+    mu = got_state.opt_state[0].mu["backbone"]["blocks"]["qkv"]["kernel"]
+    assert mesh_lib.DATA_AXIS in tuple(mu.sharding.spec)
+
+
 def test_full_ft_beats_linear_probe(setup):
     """On a task the head alone cannot fully solve, full FT reaches a lower
     loss than the probe given identical steps/lr — the expected ordering of
@@ -249,9 +288,12 @@ def test_guards(setup):
     # The megakernel VJPs emit no backbone-weight cotangents.
     with pytest.raises(ValueError, match="cotangent"):
         steps_lib.make_train_step(CFG, FULL, tx, dense_impl="fused")
-    # FSDP shards the frozen tree; full has none.
-    with pytest.raises(ValueError, match="FROZEN"):
-        steps_lib.make_train_step(CFG, FULL, tx, fsdp=True)
+    # The trainable-FSDP placement rejects adapter-style trees.
+    _, st = steps_lib.init_train_state(tx, vit_lib.init_vit_params(
+        jax.random.key(0), CFG), {}, "linear")
+    with pytest.raises(ValueError, match="full-fine-tuning"):
+        steps_lib.prepare_fsdp_trainable_state(
+            st, mesh_lib.make_mesh((8, 1)))
     # Pipeline parallelism excluded for full.
     from cara_tpu.train import pp as pp_lib
     with pytest.raises(ValueError, match="pipeline"):
