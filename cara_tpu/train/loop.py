@@ -183,13 +183,15 @@ def fit(
         # were built fsdp-aware (e.g. sweep's shared executables); fit only
         # owns the frozen placement.
         _fsdp = mesh is not None and mesh.shape.get(mesh_lib.DATA_AXIS, 1) > 1
+    _full = cara_cfg is not None and cara_cfg.method == "full"
     if mesh is not None:
-        if (_fsdp and cara_cfg is not None and cara_cfg.method == "full"):
-            # Full fine-tuning under FSDP: the memory is the TRAINABLE
+        if _full and (_fsdp or (_tp and not custom_steps)):
+            # Full fine-tuning at scale: the memory is the TRAINABLE
             # backbone + its AdamW moments (nothing is frozen) — shard
-            # all of it over the data axis (ZeRO; steps_lib docs).
+            # all of it: ZeRO over the data axis (--fsdp) and/or Megatron
+            # weight shards over the model axis (steps_lib docs).
             state = steps_lib.prepare_fsdp_trainable_state(
-                state, mesh, tensor_parallel=_tp)
+                state, mesh, tensor_parallel=_tp, fsdp=_fsdp)
         else:
             state = mesh_lib.put_replicated(mesh, state)
         if _ep:
@@ -225,9 +227,11 @@ def fit(
         if _tp_fused:
             frozen_compute = steps_lib.prepare_tp_frozen(
                 frozen_compute, cfg, mesh)
-        elif _tp and not _fsdp:
+        elif _tp and not _fsdp and not _full:
             # XLA TP fallback: apply the Megatron weight shardings to the
             # compute copy so the model axis actually participates.
+            # (method='full' has an empty frozen tree — its Megatron
+            # shardings went onto the TRAINABLE above.)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             specs = mesh_lib.vit_param_specs(

@@ -282,20 +282,27 @@ def prepare_fsdp_frozen(frozen: Params, mesh, tensor_parallel: bool = False):
 
 
 def prepare_fsdp_trainable_state(state: "TrainState", mesh,
-                                 tensor_parallel: bool = False):
-    """Full-fine-tuning ZeRO: shard the TRAINABLE backbone and its AdamW
-    moments over the data axis.
+                                 tensor_parallel: bool = False,
+                                 fsdp: bool = True):
+    """Full fine-tuning at scale: shard the TRAINABLE backbone and its
+    AdamW moments over the mesh.
 
     For adapter methods FSDP shards the frozen tree (ZeRO-3 weight
     streaming, :func:`prepare_fsdp_frozen`); ``method="full"`` has no
     frozen tree — the memory lives in ``trainable["backbone"]`` plus its
     fp32 optimizer moments (3x model bytes with AdamW).  This places all
-    three with the same ``mesh.fsdp_param_specs`` layout: per-device
-    bytes / dp for params AND moments (ZeRO-1+3), one weight all-gather
-    per layer per step, gradients reduce-scattered by GSPMD from the
-    sharded-output layout — no step-code changes, the jit propagates the
-    input shardings through the optimizer update (elementwise, stays
-    sharded).
+    three with the same ``mesh.fsdp_param_specs`` layout:
+
+    * ``fsdp=True``: data-axis (ZeRO) shards — per-device bytes / dp for
+      params AND moments, one weight all-gather per layer per step,
+      gradients reduce-scattered by GSPMD from the sharded-output layout.
+    * ``tensor_parallel=True``: Megatron weight shards on the model axis
+      (the production TP recipe for backbones past one chip's HBM) —
+      composes with ``fsdp`` on the disjoint axes exactly like the
+      frozen-tree case.
+
+    No step-code changes either way — the jit propagates the input
+    shardings through the gradients and the elementwise optimizer update.
 
     The optimizer-state specs are derived structurally: any ``opt_state``
     subtree whose treedef equals the trainable's (optax's mu/nu moment
@@ -314,9 +321,10 @@ def prepare_fsdp_trainable_state(state: "TrainState", mesh,
             "trainable tree (method='full', split_trainable's 'backbone' "
             "key); adapter methods shard the frozen tree instead "
             "(prepare_fsdp_frozen)")
+    fsdp_size = mesh.shape[mesh_lib.DATA_AXIS] if fsdp else 1
     tr_specs = {
         "backbone": mesh_lib.fsdp_param_specs(
-            backbone, mesh.shape[mesh_lib.DATA_AXIS], tensor_parallel),
+            backbone, fsdp_size, tensor_parallel),
         "cara": jax.tree_util.tree_map(lambda _: P(), trainable["cara"]),
         "head": jax.tree_util.tree_map(lambda _: P(), trainable["head"]),
     }

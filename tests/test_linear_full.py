@@ -233,6 +233,35 @@ def test_full_ft_fsdp_matches_replicated(setup):
     assert mesh_lib.DATA_AXIS in tuple(mu.sharding.spec)
 
 
+def test_full_ft_tensor_parallel_matches(setup):
+    """Full FT on a (4 data x 2 model) mesh with Megatron-sharded
+    TRAINABLE weights + moments == the single-device step (GSPMD inserts
+    the collectives; fsdp=False keeps the data axis replicated)."""
+    params, batch = setup
+    tx = steps_lib.make_optimizer(1e-2, steps_per_epoch=1, total_epochs=100)
+    frozen, state = steps_lib.init_train_state(tx, params, {}, "full")
+    ref_state, ref_metrics = jax.jit(
+        steps_lib.make_train_step(CFG, FULL, tx))(
+        state, frozen, batch, jax.random.key(7))
+
+    mesh = mesh_lib.make_mesh((4, 2))
+    state_sh = steps_lib.prepare_fsdp_trainable_state(
+        state, mesh, tensor_parallel=True, fsdp=False)
+    spec = state_sh.trainable["backbone"]["blocks"]["qkv"][
+        "kernel"].sharding.spec
+    assert mesh_lib.MODEL_AXIS in tuple(spec)
+    step = jax.jit(steps_lib.make_train_step(CFG, FULL, tx, mesh=mesh))
+    got_state, got_metrics = step(
+        state_sh, mesh_lib.put_replicated(mesh, frozen),
+        mesh_lib.put_batch(mesh, batch), jax.random.key(7))
+    np.testing.assert_allclose(float(ref_metrics["loss"]),
+                               float(got_metrics["loss"]), rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-6),
+        ref_state.trainable, got_state.trainable)
+
+
 def test_full_ft_beats_linear_probe(setup):
     """On a task the head alone cannot fully solve, full FT reaches a lower
     loss than the probe given identical steps/lr — the expected ordering of
