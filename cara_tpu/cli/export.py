@@ -10,6 +10,9 @@ New capability vs the reference (whose only artifact is the full state dict,
 * ``--mode stablehlo`` serializes the merged eval forward as a portable
   self-contained ``jax.export`` StableHLO module (weights embedded; loads
   anywhere with just jax — no model code or checkpoint needed).
+* ``--mode torch``   writes a reference-compatible ``.pt`` state dict
+  (timm-0.4.12 keys + root ``CP_*``) that upstream's ``--evaluate`` loads
+  unchanged (``vit_cp.py:168-173``) — the inverse of the ``.pt`` import.
 
 Run:  ``python -m cara_tpu.cli.export --ckpt vit_cifar_*.npz --mode merged \\
          --out merged.npz --model vit_base_patch16_224_in21k --dim 32``
@@ -30,7 +33,8 @@ def parse_args(argv=None):
                    help="Input full-model checkpoint (.npz)")
     p.add_argument("--out", required=True, type=str)
     p.add_argument("--mode", default="merged",
-                   choices=["merged", "adapter", "full", "stablehlo"])
+                   choices=["merged", "adapter", "full", "stablehlo",
+                            "torch"])
     p.add_argument("--batch-size", default=64, type=int,
                    help="stablehlo only: exported (static) batch size — "
                         "ExportedPredictor pads any request up to it; 0 "
@@ -93,22 +97,44 @@ def main(argv=None) -> str:
             meta["cp_order"] = info["cp_order"]
     else:
         params, cara_params, meta = ckpt_lib.load_model(args.ckpt)
-    if cara_params is None and args.mode not in ("full", "stablehlo"):
+    if cara_params is None and args.mode not in ("full", "stablehlo",
+                                                 "torch"):
+        # torch mode without an adapter is still useful: a merged
+        # checkpoint exports as a plain timm state dict.
         raise SystemExit("checkpoint has no adapter subtree")
     if args.scale is not None:
         scale = args.scale
     elif "scale" in meta:
         scale = float(meta["scale"])
-    elif args.mode == "full" or (args.mode == "stablehlo"
-                                 and cara_params is None):
-        scale = None  # not needed: no adapter to (re)apply
+    elif args.mode in ("full", "torch") or (args.mode == "stablehlo"
+                                            and cara_params is None):
+        # full/torch re-save the factors verbatim; the reference's
+        # --evaluate flow re-reads scale from its per-task table
+        # (vit_cp.py:126,156-163), so no scale travels in a .pt.
+        scale = None
     else:
         raise SystemExit(
             "checkpoint records no delta scale and --scale was not given; "
             "refusing to default to 1.0 (vtab_config scales span 0.1-100, "
             "a wrong scale silently mis-merges the adapter)")
 
-    if args.mode == "adapter":
+    if args.mode == "torch":
+        from cara_tpu.models.torch_export import save_torch_checkpoint
+
+        model_name = args.model or meta.get("model")
+        if model_name is None:
+            raise SystemExit(
+                "checkpoint records no model name and --model was not given")
+        mo = {k: v for k, v in meta.get("model_overrides", {}).items()
+              if k != "num_classes"}
+        cfg = get_model_config(model_name, **mo)
+        order = args.cp_order or int(meta.get("cp_order", 0)) or (
+            4 if cara_params is None else
+            max((int(k[1]) for k in cara_params
+                 if len(k) == 2 and k[0] == "A" and k[1].isdigit()),
+                default=4))
+        save_torch_checkpoint(args.out, params, cara_params, cfg, order)
+    elif args.mode == "adapter":
         ckpt_lib.save_adapter(args.out, cara_params, params.get("head"),
                               {**meta, "scale": scale})
     elif args.mode in ("merged", "stablehlo"):
