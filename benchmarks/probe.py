@@ -98,6 +98,34 @@ def run_variant(variant):
             donate_argnums=(0,))
         dt, cs = bench_async(
             lambda s: step_fn(s, frozen, batch, jax.random.key(0))[0], state)
+    elif variant.startswith("method"):
+        # Full train step for any PEFT method: method:<name> — the
+        # per-method cost table (default impls, exactly what the CLI
+        # --method flag runs).  Records the trainable-param count too.
+        _, method = variant.split(":")
+        model = api.build_model(
+            MODEL, method=method, rank=8, num_classes=100, seed=0,
+            weight_dropout_impl=WD_IMPL)
+        s = model.cfg.image_size
+        x = jax.random.normal(jax.random.key(1), (BS, s, s, 3), jnp.bfloat16)
+        y = jax.random.randint(jax.random.key(2), (BS,), 0, 100)
+        tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=15)
+        frozen, state = steps_lib.init_train_state(
+            tx, model.params, model.cara_params, method=method)
+        frozen = steps_lib.cast_floating(frozen, jnp.bfloat16)
+        n_train = sum(a.size
+                      for a in jax.tree_util.tree_leaves(state.trainable)
+                      if hasattr(a, "size"))
+        step_fn = jax.jit(steps_lib.make_train_step(
+            model.cfg, model.cara_cfg, tx, compute_dtype=jnp.bfloat16),
+            donate_argnums=(0,))
+        dt, cs = bench_async(
+            lambda st: step_fn(st, frozen, {"image": x, "label": y},
+                               jax.random.key(0))[0], state)
+        return {"variant": variant, "bs": BS, "wd": WD_IMPL,
+                "trainable_params": int(n_train),
+                "ms": round(dt * 1e3, 2),
+                "imgs_per_s": round(BS / dt, 1), "compile_s": round(cs, 1)}
     elif variant.startswith("tome"):
         # Merged-serving forward with ToMe token merging: tome:<r>, where
         # r=-1 is the baseline (standard merged vit_forward, default
