@@ -205,11 +205,23 @@ class Predictor:
         """Build from a checkpoint inferring num_classes from the stored
         head and the delta scale/rank/order from checkpoint meta — the
         shared CLI path (predict + serve).  Refuses to default a missing
-        scale (per-task scales span 0.1-100, ``vtab_config.py``)."""
+        scale (per-task scales span 0.1-100, ``vtab_config.py``).
+
+        Accepts the reference's ``.pt`` state dicts too (auto-detected,
+        converted in memory like ``vit_cp --evaluate``); those record no
+        scale, so ``scale=`` (CLI ``--scale``) is required when one
+        carries an adapter."""
         from cara_tpu.config import CaraConfig, get_model_config
+        from cara_tpu.models import torch_import
         from cara_tpu.train.checkpoint import load_model
 
-        params, cara_params, meta = load_model(ckpt)
+        if torch_import.is_torch_checkpoint(ckpt):
+            params, cara_params, info = torch_import.load_torch_checkpoint(
+                ckpt, get_model_config(model))
+            meta = ({"cp_order": info["cp_order"]}
+                    if cara_params is not None else {})
+        else:
+            params, cara_params, meta = load_model(ckpt)
         if num_classes is None and "head" in params:
             num_classes = int(params["head"]["kernel"].shape[-1])
         # Geometry overrides recorded at training time (--model-override);

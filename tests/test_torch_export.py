@@ -166,3 +166,32 @@ def test_torch_export_merged_plain_backbone(tmp_path):
                               cara_cfg=cara_cfg)
     got = vit_lib.vit_forward(p2, x, cfg)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-4)
+
+
+def test_predictor_accepts_torch_checkpoint(tmp_path):
+    """Serving surface interop: Predictor.from_checkpoint_auto consumes a
+    reference-format .pt (auto-detected) — scale comes from the caller,
+    exactly like the reference's per-task table flow."""
+    from cara_tpu.serving import Predictor
+
+    cfg = _tiny()
+    params, cara_params, cara_cfg = _make(cfg)
+    sd = torch_export.to_torch_state_dict(params, cara_params, cfg, 4)
+    import torch
+
+    pt = str(tmp_path / "ref.pt")
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, pt)
+
+    pred = Predictor.from_checkpoint_auto(
+        pt, "vit_tiny_test", scale=2.0, batch_size=4,
+        dtype=np.float32)
+    x = np.asarray(jax.random.normal(
+        jax.random.key(7), (3, cfg.image_size, cfg.image_size, 3)),
+        np.float32)
+    ref = vit_lib.vit_forward(params, x, cfg, cara_params=cara_params,
+                              cara_cfg=cara_cfg)
+    np.testing.assert_allclose(pred.logits(x), np.asarray(ref), atol=2e-4)
+
+    # Missing scale on an adapter-carrying .pt is refused, not defaulted.
+    with pytest.raises((ValueError, SystemExit)):
+        Predictor.from_checkpoint_auto(pt, "vit_tiny_test")
