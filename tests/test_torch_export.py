@@ -14,7 +14,7 @@ import jax
 import pytest
 
 from cara_tpu.cli import export as export_cli
-from cara_tpu.config import CaraConfig, MODEL_REGISTRY, get_model_config
+from cara_tpu.config import CaraConfig, MODEL_REGISTRY
 from cara_tpu.models import cara as cara_lib
 from cara_tpu.models import torch_export, torch_import
 from cara_tpu.models import vit as vit_lib
