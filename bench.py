@@ -390,6 +390,27 @@ def main():
     ref_imgs = ref.get("reference_images_per_sec")
     vs = round(imgs / ref_imgs, 3) if ref_imgs else None
 
+    # Checkable ref-GPU denominator (VERDICT r3 item 2): analytic estimate
+    # of the as-shipped torch reference on an A100, CPU-anchor-validated
+    # (benchmarks/ref_gpu_estimate.py, quoted in BASELINE.md).
+    gpu_est = None
+    if args.mode == "train":
+        try:
+            from benchmarks.ref_gpu_estimate import bands
+
+            est = bands()
+            den = est["ref_gpu_denominator_images_per_sec"]
+            gpu_est = {
+                "ref_gpu_images_per_sec": den,
+                "vs_ref_gpu": round(imgs / den, 2),
+                "scenarios": {
+                    k: round(imgs / (sum(v["images_per_sec_band"]) / 2), 2)
+                    for k, v in est["gpu_estimates"].items()},
+                "note": est["denominator_note"],
+            }
+        except Exception:
+            pass
+
     from cara_tpu.config import get_model_config
 
     cfg = get_model_config(args.model, num_classes=100)
@@ -449,6 +470,7 @@ def main():
             "math on the default path). "
             "All against the nominal 197 TFLOP/s bf16 peak."),
         "vs_baseline": vs,
+        "vs_ref_gpu_estimate": gpu_est,
         "baseline_hardware": ref.get("hardware", "n/a"),
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
