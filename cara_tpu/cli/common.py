@@ -86,6 +86,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="Override the adapter weight-dropout rate "
                         "(default: the per-task table value for CaRA, "
                         "0.0 for LoRA)")
+    p.add_argument("--paper-hparams", action="store_true",
+                   help="Use the PAPER-run per-task values where the "
+                        "reference code and its annotations diverge: the "
+                        "8 tasks annotated '# Dropout: 0.3' in the "
+                        "reference vtab_config train with weight-dropout "
+                        "0.3 instead of the code's hard-coded 0.1 "
+                        "(explicit --weight-dropout still wins)")
     p.add_argument("--delta-impl", default="factorized",
                    choices=["factorized", "materialized"],
                    help="CP delta path: factorized = rank-space chain "

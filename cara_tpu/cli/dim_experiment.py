@@ -45,7 +45,7 @@ def main(argv=None) -> float:
     common.setup_runtime(args)
     print(args)
 
-    hp = get_task_hparams(args.dataset)
+    hp = get_task_hparams(args.dataset, paper=getattr(args, 'paper_hparams', False))
     seed = args.seed if args.seed is not None else hp.seed
     num_classes = vtab_lib.get_classes_num(args.dataset)
     mo = common.resolve_model_overrides(args)

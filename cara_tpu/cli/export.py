@@ -133,7 +133,20 @@ def main(argv=None) -> str:
             max((int(k[1]) for k in cara_params
                  if len(k) == 2 and k[0] == "A" and k[1].isdigit()),
                 default=4))
-        save_torch_checkpoint(args.out, params, cara_params, cfg, order)
+        if cara_params is not None and "scale" in meta:
+            # A .pt carries no scale; upstream --evaluate applies its
+            # per-task table (vit_cp.py:126,156-163).  Surface the trained
+            # scale so a table mismatch is visible, not silent.
+            print(f"note: .pt carries no delta scale; upstream --evaluate "
+                  f"applies its per-task vtab_config table — this "
+                  f"checkpoint was trained with scale={meta['scale']}")
+        try:
+            save_torch_checkpoint(args.out, params, cara_params, cfg, order)
+        except ValueError as e:
+            # Non-CP adapter trees (LoRA/VPT/MoE/...) or a bad cp_order:
+            # present as a CLI usage error like every other validation
+            # failure, not a traceback.
+            raise SystemExit(str(e))
     elif args.mode == "adapter":
         ckpt_lib.save_adapter(args.out, cara_params, params.get("head"),
                               {**meta, "scale": scale})

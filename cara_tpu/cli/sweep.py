@@ -108,7 +108,7 @@ def run_task(task: str, args, results: dict,
              step_cache: dict = None, *, seed: int = None,
              key: str = None, lr: float = None,
              scale: float = None) -> float:
-    hp = get_task_hparams(task)
+    hp = get_task_hparams(task, paper=args.paper_hparams)
     if seed is None:
         seed = args.seed if args.seed is not None else hp.seed
     eff_lr = args.lr if lr is None else lr
@@ -223,7 +223,8 @@ def run_task_group(combos, args, results: dict, step_cache: dict) -> None:
     group = [c[0] for c in combos]
     keys = [c[4] or c[0] for c in combos]
     mesh = tp_lib.make_task_mesh(t, data=args.task_data)
-    hps = [get_task_hparams(task) for task in group]
+    hps = [get_task_hparams(task, paper=args.paper_hparams)
+           for task in group]
     seeds = [c[1] if c[1] is not None
              else (args.seed if args.seed is not None else hp.seed)
              for c, hp in zip(combos, hps)]
@@ -418,13 +419,15 @@ def main(argv=None):
                 f"--task-data {args.task_data} needs at least that many "
                 f"devices ({len(jax.devices())} visible)")
         # Group by (weight-dropout rate, lr) — the two remaining jit
-        # specializations (the rate is uniform 0.1 across VTAB; the lr
-        # schedule is baked into the optimizer) — then chunk to the mesh
+        # specializations (rate is uniform 0.1 across VTAB unless
+        # --paper-hparams raises 8 tasks to 0.3; the lr schedule is baked
+        # into the optimizer) — then chunk to the mesh
         # size; a short tail group compiles once at its own size.  Seeds
         # and scales are traced operands and never split a group.
         by_rate = collections.defaultdict(list)
         for combo in combos:
-            by_rate[(get_task_hparams(combo[0]).weight_dropout,
+            by_rate[(get_task_hparams(
+                combo[0], paper=args.paper_hparams).weight_dropout,
                      combo[2])].append(combo)
         for rate_combos in by_rate.values():
             for i in range(0, len(rate_combos), n):

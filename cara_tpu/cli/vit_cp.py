@@ -44,7 +44,7 @@ def main(argv=None) -> float:
     common.setup_runtime(args)
     print(args)
 
-    hp = get_task_hparams(args.dataset)
+    hp = get_task_hparams(args.dataset, paper=args.paper_hparams)
     seed = args.seed if args.seed is not None else hp.seed
     print(f"Seed: {seed}")
 

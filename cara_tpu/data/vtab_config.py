@@ -6,6 +6,10 @@ Values correspond to the reference's tuned per-task table
 annotates several tasks with "Dropout: 0.3" comments while the code always
 uses 0.1 (``src/cara/cara.py:148,158`` — SURVEY.md section 2.4); we expose
 that as a real per-task ``weight_dropout`` knob, defaulting to the code's 0.1.
+``get_task_hparams(task, paper=True)`` returns the PAPER-run values instead:
+the 8 annotated tasks (``image_classification/vtab_config.py:16,23,30,44,
+72,86,114,128``) get ``weight_dropout = 0.3`` so the paper rows reproduce
+unmodified when real data lands (CLI flag ``--paper-hparams``).
 """
 
 from __future__ import annotations
@@ -51,6 +55,17 @@ TASK_HPARAMS: Dict[str, TaskHParams] = {
     name: TaskHParams(*vals) for name, vals in _TABLE.items()
 }
 
+# Tasks the reference annotates "# Dropout: 0.3" in its per-task table
+# (image_classification/vtab_config.py:16,23,30,44,72,86,114,128) — the
+# paper runs used 0.3 there while the released code hard-codes 0.1.
+PAPER_DROPOUT_03 = frozenset({
+    "dtd", "oxford_flowers102", "oxford_iiit_pet", "sun397",
+    "diabetic_retinopathy", "clevr_dist", "dsprites_ori", "smallnorb_ele",
+})
 
-def get_task_hparams(task: str) -> TaskHParams:
-    return TASK_HPARAMS[task]
+
+def get_task_hparams(task: str, paper: bool = False) -> TaskHParams:
+    hp = TASK_HPARAMS[task]
+    if paper and task in PAPER_DROPOUT_03:
+        hp = dataclasses.replace(hp, weight_dropout=0.3)
+    return hp

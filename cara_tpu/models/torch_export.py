@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import numpy as np
 
 from cara_tpu.config import ViTConfig
@@ -81,28 +82,31 @@ def to_torch_state_dict(
     sd["patch_embed.proj.bias"] = _np32(params["embed"]["bias"])
 
     blocks = params["blocks"]
+    # One float32 conversion per stacked array (NOT per layer — converting
+    # inside the loop would copy each ~GB-scale stacked kernel L times).
+    blocks32 = jax.tree_util.tree_map(_np32, blocks)
 
-    def unstack(arr, i):
-        return _np32(arr)[i]
+    def unstack(arr32, i):
+        return arr32[i]
 
     for i in range(L):
         pre = f"blocks.{i}."
-        sd[pre + "norm1.weight"] = unstack(blocks["ln1_scale"], i)
-        sd[pre + "norm1.bias"] = unstack(blocks["ln1_bias"], i)
+        sd[pre + "norm1.weight"] = unstack(blocks32["ln1_scale"], i)
+        sd[pre + "norm1.bias"] = unstack(blocks32["ln1_bias"], i)
         sd[pre + "attn.qkv.weight"] = np.ascontiguousarray(
-            unstack(blocks["qkv"]["kernel"], i).T)  # (E,3E) -> (3E,E)
-        sd[pre + "attn.qkv.bias"] = unstack(blocks["qkv"]["bias"], i)
+            unstack(blocks32["qkv"]["kernel"], i).T)  # (E,3E) -> (3E,E)
+        sd[pre + "attn.qkv.bias"] = unstack(blocks32["qkv"]["bias"], i)
         sd[pre + "attn.proj.weight"] = np.ascontiguousarray(
-            unstack(blocks["proj"]["kernel"], i).T)
-        sd[pre + "attn.proj.bias"] = unstack(blocks["proj"]["bias"], i)
-        sd[pre + "norm2.weight"] = unstack(blocks["ln2_scale"], i)
-        sd[pre + "norm2.bias"] = unstack(blocks["ln2_bias"], i)
+            unstack(blocks32["proj"]["kernel"], i).T)
+        sd[pre + "attn.proj.bias"] = unstack(blocks32["proj"]["bias"], i)
+        sd[pre + "norm2.weight"] = unstack(blocks32["ln2_scale"], i)
+        sd[pre + "norm2.bias"] = unstack(blocks32["ln2_bias"], i)
         sd[pre + "mlp.fc1.weight"] = np.ascontiguousarray(
-            unstack(blocks["fc1"]["kernel"], i).T)
-        sd[pre + "mlp.fc1.bias"] = unstack(blocks["fc1"]["bias"], i)
+            unstack(blocks32["fc1"]["kernel"], i).T)
+        sd[pre + "mlp.fc1.bias"] = unstack(blocks32["fc1"]["bias"], i)
         sd[pre + "mlp.fc2.weight"] = np.ascontiguousarray(
-            unstack(blocks["fc2"]["kernel"], i).T)
-        sd[pre + "mlp.fc2.bias"] = unstack(blocks["fc2"]["bias"], i)
+            unstack(blocks32["fc2"]["kernel"], i).T)
+        sd[pre + "mlp.fc2.bias"] = unstack(blocks32["fc2"]["bias"], i)
 
     sd["norm.weight"] = _np32(params["norm"]["scale"])
     sd["norm.bias"] = _np32(params["norm"]["bias"])

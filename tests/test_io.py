@@ -226,6 +226,26 @@ def test_task_registry():
     assert hp.seed == 14 and hp.scale == 0.1
 
 
+def test_paper_hparams():
+    """--paper-hparams: the reference's 8 '# Dropout: 0.3'-annotated tasks
+    (image_classification/vtab_config.py:16,23,30,44,72,86,114,128) train
+    with weight_dropout 0.3; everything else — and the default paper=False
+    path — keeps the code's hard-coded 0.1 (cara.py:148,158)."""
+    from cara_tpu.data.vtab_config import PAPER_DROPOUT_03
+
+    assert len(PAPER_DROPOUT_03) == 8
+    for task in TASK_HPARAMS:
+        assert get_task_hparams(task).weight_dropout == 0.1
+        paper = get_task_hparams(task, paper=True)
+        want = 0.3 if task in PAPER_DROPOUT_03 else 0.1
+        assert paper.weight_dropout == want, task
+        # Everything else is untouched by the paper flag.
+        assert paper.scale == get_task_hparams(task).scale
+        assert paper.seed == get_task_hparams(task).seed
+    assert get_task_hparams("dtd", paper=True).weight_dropout == 0.3
+    assert get_task_hparams("cifar", paper=True).weight_dropout == 0.1
+
+
 def test_file_list_loader(tmp_path):
     """End-to-end file-list pipeline with real (tiny) image files."""
     from PIL import Image
