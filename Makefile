@@ -11,16 +11,19 @@ test:
 test-fast:
 	$(PY) -m pytest tests/ -x -q -k "not e2e"
 
-# Commit-gate subset (~2 min on one CPU): core math, init-scheme,
-# io/checkpoint, merge exactness, padded-class masking, and the linter's
-# own tests.  The full suite (~45 min single-process on this host:
-# megakernel parity, multihost, CLI e2e) runs in CI as two split jobs;
-# `make test` runs it in one process (conftest clears JAX caches per
-# module to keep the long-lived XLA CPU client stable).
+# Commit-gate subset (~3 min on one CPU): core math, init-scheme,
+# io/checkpoint, merge exactness, padded-class masking, the linter's own
+# tests, AND one fwd+bwd parametrization of every Pallas kernel
+# (test_kernel_smoke — a broken kernel VJP now fails the gate, not just
+# CI).  The full suite (~45 min single-process on this host: megakernel
+# parity, multihost, CLI e2e) runs in CI as five split jobs; `make test`
+# runs it in one process (conftest clears JAX caches per module to keep
+# the long-lived XLA CPU client stable); `pytest -m 'not slow'` skips the
+# four >5-min files for a faster local pass.
 test-smoke:
 	$(PY) -m pytest tests/test_cp_math.py tests/test_init_stats.py \
 		tests/test_io.py tests/test_merge.py tests/test_lint.py \
-		tests/test_pad_classes.py -x -q
+		tests/test_pad_classes.py tests/test_kernel_smoke.py -x -q
 
 lint:
 	$(PY) -m compileall -q cara_tpu tests benchmarks tools bench.py __graft_entry__.py

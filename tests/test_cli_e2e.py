@@ -8,6 +8,8 @@ import glob
 
 import pytest
 
+pytestmark = pytest.mark.slow  # >5 min; deselect with -m 'not slow'
+
 from cara_tpu.cli import dim_experiment as dim_cli
 from cara_tpu.cli import vit_cp as cli
 

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # >5 min; deselect with -m 'not slow'
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cara_tpu.config import CaraConfig, ViTConfig

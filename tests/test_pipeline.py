@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # >5 min; deselect with -m 'not slow'
+
 from cara_tpu.config import CaraConfig, ViTConfig
 from cara_tpu.models import cara as cara_lib
 from cara_tpu.models import vit as vit_lib

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # >5 min; deselect with -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
 from cara_tpu.config import CaraConfig, ViTConfig
