@@ -479,15 +479,16 @@ def main():
         "batch_size": args.batch_size,
         "baseline_note": ref.get("note", "n/a"),
         "absolute_note": (
-            "no reference GPU exists on this host (BASELINE.md targets >5x "
-            "ref GPU); vs_baseline is against the torch reference replica "
-            "on this host's single CPU core. Absolute context: after the "
-            "round-2 block megakernels the default train path is "
-            "COMPUTE-bound — both backward megakernels sit within ~20% of "
-            "their MXU FLOP floor, dominated by the exact element-dropout "
-            "cotangent dT = x^T g (benchmarks/RESULTS.md round-2 profile); "
-            "remaining MFU gap vs nominal peak is small-K attention GEMMs "
-            "(K=Dh=64) and VPU work, not HBM slack."),
+            "no reference GPU exists on this host (vs_ref_gpu_estimate "
+            "carries the analytic A100 denominator per BASELINE.md); "
+            "vs_baseline is against the torch reference replica on this "
+            "host's single CPU core. Absolute context (trace-measured, "
+            "RESULTS.md round-4): kernels run at 51-76% MXU (mlp "
+            "fwd/bwd 76/73%, attn 63/51% — the attention average "
+            "includes the per-head small-GEMM component the Mosaic "
+            "lowering ceiling pins, benchmarks/attn_ceiling_repro.py); "
+            "~12% of device time is lax.scan glue outside the kernels; "
+            "host gap ~1ms."),
     }
     print(json.dumps(record))
     try:  # watchdog breadcrumb for future wedged runs (clearly labeled)
