@@ -276,11 +276,19 @@ def _trace_kernels(step_once, sync, steps, compiled_text_fn):
         except Exception:
             pass  # labels stay raw HLO names
 
-        ranked = sorted(ops["ops"].items(),
+        # Group by resolved label (the unrolled layer loop splits each
+        # kernel into one closed_call per layer — same call site, same
+        # kernel) and by base HLO op name (fusion.1/fusion.2 -> fusion).
+        grouped: dict = {}
+        for name, rec in ops["ops"].items():
+            key = labels.get(name, re.sub(r"\.\d+$", "", name))
+            g = grouped.setdefault(key, {"count": 0, "total_ps": 0})
+            g["count"] += rec["count"]
+            g["total_ps"] += rec["total_ps"]
+        ranked = sorted(grouped.items(),
                         key=lambda kv: kv[1]["total_ps"], reverse=True)
         top = [{
-            "op": labels.get(name, name),
-            "hlo": name,
+            "op": name,
             "ms_per_step": round(rec["total_ps"] / n_exec / 1e9, 3),
             "pct_device": round(
                 100.0 * rec["total_ps"] / mods["busy_ps"], 1),
@@ -438,9 +446,16 @@ def main():
                 if (row["op"].startswith(prefix)
                         and f"[{direction}]" in row["op"]
                         and row["ms_per_step"] > 0):
-                    row["mxu_util"] = round(
-                        fl * row["calls_per_step"]
-                        / (row["ms_per_step"] * 1e-3) / V5E_PEAK_BF16, 3)
+                    util = (fl * row["calls_per_step"]
+                            / (row["ms_per_step"] * 1e-3) / V5E_PEAK_BF16)
+                    if util <= 1.0:
+                        row["mxu_util"] = round(util, 3)
+                    else:
+                        # Event count finer than kernel invocations (the
+                        # unrolled+remat fwd kernels emit several trace
+                        # events per call) — a >peak number is attribution
+                        # noise, not physics; suppress it.
+                        row["mxu_util"] = None
 
     record = {
         "metric": metric,

@@ -65,6 +65,27 @@ _MLP_MEGA = os.environ.get("CARA_MLP_MEGA", "1") == "1"
 # CARA_ATTN_MEGA=1/0 forces.
 _ATTN_MEGA = os.environ.get("CARA_ATTN_MEGA", "auto")
 
+# Layer-scan unroll factor.  The round-4 trace attribution (RESULTS.md)
+# measured ~9.5 ms/step (12% of device time) in lax.scan glue around the
+# megakernels — stacked-weight dynamic-slices, pads, update-slices.
+# FULL unroll removes the loop entirely (per-layer slicing becomes static
+# and folds away): measured 809 -> 850 img/s (+5.0%) at ViT-B bs64 rank-8
+# on the v5e; PARTIAL unrolls (2/4/6) measured WORSE than rolled (787/786/
+# 766) — they keep the loop and its glue while bloating the body.  "auto"
+# = full unroll on TPU, rolled on CPU (interpret-mode tests would pay the
+# 12x body compile for nothing); CARA_SCAN_UNROLL=<n> forces a factor.
+_SCAN_UNROLL = os.environ.get("CARA_SCAN_UNROLL", "auto")
+
+
+def _scan_unroll(n_layers: int) -> int:
+    if _SCAN_UNROLL == "auto":
+        return n_layers if jax.default_backend() == "tpu" else 1
+    try:
+        u = int(_SCAN_UNROLL)
+    except ValueError:
+        return 1
+    return max(1, min(u, n_layers))
+
 # Megakernel tile knobs (swept on v5e, .bench_tune3/4.jsonl): images per
 # attention program (8 fails VMEM, 4 beats 2 by ~3 ms/step at ViT-B) and
 # m-rows per MLP program — the wd (element-dropout) variant prefers 512
@@ -1284,7 +1305,7 @@ def vit_forward(
         xs = xs + (keys, skeys)
     if vpt_deep_stack is not None:
         xs = xs + (vpt_deep_stack,)
-    tokens, _ = jax.lax.scan(body, tokens, xs)
+    tokens, _ = jax.lax.scan(body, tokens, xs, unroll=_scan_unroll(L))
     if vpt_prompts is not None and not cfg.use_cls_token:
         # Mean-pool models average the PATCH tokens only; cls models read
         # position 0, which prompts never occupy (they sit at 1..P).
