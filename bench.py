@@ -355,10 +355,11 @@ def main():
     p.add_argument("--delta-impl", default="factorized",
                    choices=["factorized", "materialized"])
     p.add_argument("--weight-dropout-impl", default="element",
-                   choices=["element", "rank"],
+                   choices=["element", "rank", "row"],
                    help="element = exact reference regularizer (fused "
-                        "hash-mask kernels); rank = structured rank "
-                        "dropout (faster, different regularizer)")
+                        "hash-mask kernels); rank/row = structured "
+                        "alternatives (faster; row matches element's "
+                        "mean AND per-entry variance — CaraConfig docs)")
     p.add_argument("--no-remat", action="store_true",
                    help="Disable rematerialization (remat measured faster "
                         "on v5e: residual HBM traffic outweighs recompute)")

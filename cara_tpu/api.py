@@ -88,6 +88,11 @@ def build_model(
     (``models.moe``): ``cara_params`` becomes the ``{"experts", "router"}``
     tree and training adds the load-balance auxiliary loss."""
     cfg = get_model_config(model_name, **(model_overrides or {}))
+    if weight_dropout_impl not in ("element", "rank", "row"):
+        raise ValueError(
+            f"unknown weight_dropout_impl {weight_dropout_impl!r} "
+            "(element = exact reference semantics, rank / row = "
+            "structured alternatives — config.CaraConfig docs)")
     if weight_dropout is None:
         weight_dropout = 0.1 if method == "cara" else 0.0
     if adapter_dropout is None:

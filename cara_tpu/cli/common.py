@@ -99,13 +99,16 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "(fast); materialized = exact reference semantics "
                         "incl. element-wise weight dropout")
     p.add_argument("--weight-dropout-impl", default="element",
-                   choices=["element", "rank"],
+                   choices=["element", "rank", "row"],
                    help="Training weight-dropout semantics on the "
                         "factorized path: element = exact reference "
                         "(element-wise mask on the dense delta, fused "
                         "in-kernel via a coordinate hash); rank = "
                         "structured rank-component dropout (cheaper, "
-                        "different regularizer)")
+                        "different regularizer); row = structured "
+                        "input-row dropout — same mean AND per-entry "
+                        "variance as element, runs at the rank impl's "
+                        "speed (config.CaraConfig docs)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="Compute dtype (params/optimizer stay fp32)")

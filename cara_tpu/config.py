@@ -112,7 +112,18 @@ class CaraConfig:
     # "rank": structured rank-component dropout (mask over the r axis) —
     #   cheaper, native to the factorized form, but a different regularizer
     #   than the published method.
-    # Eval is identical for both (dropout off).  delta_impl="materialized"
+    # "row": structured input-row dropout — Bernoulli over the K input rows
+    #   of each site's effective (in, out) dense delta, applied via
+    #   (m 1^T) o (U V^T) == (diag(m) U) V^T, so it runs on the fast
+    #   non-wd kernels (no dense cotangent dT = x^T g in backward).
+    #   Expectation-equivalent to "element": identical mean AND identical
+    #   per-entry marginal variance ((1-p)/p scaled); only the within-row
+    #   covariance differs (element: independent entries, row: fully
+    #   correlated along the output axis).  K = 768-3072 independent draws
+    #   per site vs the rank impl's r (~8) — far closer to the element
+    #   regularizer's granularity at the rank impl's speed (measured 952
+    #   vs 850 img/s at ViT-B bs64, benchmarks/RESULTS.md round 4).
+    # Eval is identical for all (dropout off).  delta_impl="materialized"
     # always uses element-wise semantics.
     weight_dropout_impl: str = "element"
     # Mixture-of-expert adapters (framework extension — the reference is a

@@ -432,6 +432,7 @@ def _block(
         use_cara = False
         cara_params = None
     use_elem = False
+    row_wd = False
     lora = use_cara and cara_cfg.method == "lora"
     if use_cara:
         s = (cara_cfg.scale if scale_override is None
@@ -444,6 +445,23 @@ def _block(
         use_elem = (not materialized
                     and cara_cfg.weight_dropout_impl == "element"
                     and key is not None and cara_cfg.weight_dropout > 0.0)
+        # Row-structured weight dropout (--weight-dropout-impl row): drop
+        # whole INPUT-ROWS of each site's effective (in, out) dense delta.
+        # Expectation-equivalent to the exact element regularizer — the
+        # inverted mask has E[m_k] = 1, so E[delta] = U V^T, and because
+        # every entry (k, n) carries exactly one Bernoulli factor the
+        # per-entry marginal variance (1-p)/p * (UV^T)_{kn}^2 is IDENTICAL
+        # to element dropout's; only the within-row covariance differs
+        # (element: 0, row: fully correlated).  Unlike the rank impl's
+        # r~8 coarse components this draws K=768-3072 independent
+        # Bernoullis per site.  Runs on the fast non-wd kernels via the
+        # identity (m 1^T) o (U V^T) == (diag(m) U) V^T — no dense
+        # cotangent dT = x^T g in the backward (the exact impl's ~16
+        # ms/step floor, benchmarks/RESULTS.md "Element-dropout
+        # backward").
+        row_wd = (not materialized
+                  and cara_cfg.weight_dropout_impl == "row"
+                  and key is not None and cara_cfg.weight_dropout > 0.0)
         if lora:
             from cara_tpu.models import lora as lora_lib
 
@@ -456,6 +474,34 @@ def _block(
             cb_proj = cara_params["bias1"]
             cb_up = cara_params["bias2"]
             cb_down = cara_params["bias3"]
+
+        def _rank_comp(k):
+            """Rank-component mask for the structured impls (None under
+            row — the row mask rides U / the delta input instead)."""
+            if row_wd:
+                return None
+            return cp_ops.weight_dropout_mask(
+                k, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+
+        def _row_u(u, k):
+            """Apply the row mask to the collapsed input-side factor
+            ((m 1^T) o (U V^T) == (diag(m) U) V^T)."""
+            if not row_wd:
+                return u
+            m = cp_ops.weight_dropout_mask(
+                k, (u.shape[0], 1), cara_cfg.weight_dropout, u.dtype)
+            return u * m
+
+        def _row_x(t, k):
+            """Row mask on the XLA delta path: masking the delta INPUT's
+            features == masking the dense delta's input rows (the same
+            (K,) Bernoulli draw as _row_u, so the fused and XLA paths
+            realize the identical regularizer)."""
+            if not row_wd:
+                return t
+            m = cp_ops.weight_dropout_mask(
+                k, (t.shape[-1],), cara_cfg.weight_dropout, t.dtype)
+            return t * m
 
         def _adapter_uv(site, comp=None):
             """This layer's collapsed (U, V) delta factors for one of the
@@ -550,14 +596,12 @@ def _block(
             if use_elem:
                 comp_q = comp_p = None
             else:
-                comp_q = cp_ops.weight_dropout_mask(
-                    k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout,
-                    x.dtype)
-                comp_p = cp_ops.weight_dropout_mask(
-                    k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
-                    x.dtype)
+                comp_q = _rank_comp(k_wd_qkv)
+                comp_p = _rank_comp(k_wd_proj)
             u1, v1 = _adapter_uv("qkv", comp_q)
             u2, v2 = _adapter_uv("proj", comp_p)
+            u1 = _row_u(u1, k_wd_qkv)
+            u2 = _row_u(u2, k_wd_proj)
             cb2 = cb_proj
             if tp > 1:
                 v1 = _tp_slice_qkv_cols(v1, h, d, h_loc, tp_idx)
@@ -625,10 +669,9 @@ def _block(
                     1.0, cara_cfg.weight_dropout, 256, 1024, 768, None,
                     None, cfg.layernorm_eps)
             else:
-                comp = cp_ops.weight_dropout_mask(
-                    k_wd_qkv, (cara_cfg.rank,), cara_cfg.weight_dropout,
-                    x.dtype)
+                comp = _rank_comp(k_wd_qkv)
                 u, vmat = _adapter_uv("qkv", comp)
+                u = _row_u(u, k_wd_qkv)
                 qkv = cp_dense_ln(
                     x_p, bp["qkv"]["kernel"], bp["qkv"]["bias"],
                     u.astype(x.dtype), (vmat * s).astype(x.dtype),
@@ -668,10 +711,9 @@ def _block(
             # Attention + projection + CP delta in ONE kernel: attn_out
             # stays in VMEM (saves its HBM write+read per layer;
             # cara.py:50-58 in one pass).
-            comp = cp_ops.weight_dropout_mask(
-                k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
-                x.dtype)
+            comp = _rank_comp(k_wd_proj)
             u, vmat = _adapter_uv("proj", comp)
+            u = _row_u(u, k_wd_proj)
             proj = fused_qkv_attention_proj(
                 qkv, bp["proj"]["kernel"], bp["proj"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
@@ -691,13 +733,16 @@ def _block(
                     drop_rng=k_wd_qkv)
             elif lora:
                 delta = lora_lib.delta(
-                    xa, f1, rate=cara_cfg.weight_dropout,
-                    drop_rng=k_wd_qkv, element=materialized or use_elem,
+                    _row_x(xa, k_wd_qkv), f1,
+                    rate=0.0 if row_wd else cara_cfg.weight_dropout,
+                    drop_rng=None if row_wd else k_wd_qkv,
+                    element=materialized or use_elem,
                 ).reshape(b, n, 3, h, d)
             else:
                 delta = cara_lib.qkv_delta(
-                    xa, cara_params, f1, cfg, cara_cfg,
-                    materialized=materialized or use_elem, drop_rng=k_wd_qkv,
+                    _row_x(xa, k_wd_qkv), cara_params, f1, cfg, cara_cfg,
+                    materialized=materialized or use_elem,
+                    drop_rng=None if row_wd else k_wd_qkv,
                 )
             qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -723,10 +768,9 @@ def _block(
                 (cb_proj * s).astype(x.dtype),
                 _wd_seed(k_wd_proj), 1.0, cara_cfg.weight_dropout)
         else:
-            comp = cp_ops.weight_dropout_mask(
-                k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout,
-                x.dtype)
+            comp = _rank_comp(k_wd_proj)
             u, vmat = _adapter_uv("proj", comp)
+            u = _row_u(u, k_wd_proj)
             proj = cp_dense(
                 attn_out, bp["proj"]["kernel"], bp["proj"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
@@ -744,8 +788,10 @@ def _block(
             cb1 = moe_lib.moe_bias(moe_gates, cara_params["bias1"])
         elif lora:
             pd = lora_lib.delta(
-                attn_out, p1["proj"], rate=cara_cfg.weight_dropout,
-                drop_rng=k_wd_proj, element=materialized or use_elem)
+                _row_x(attn_out, k_wd_proj), p1["proj"],
+                rate=0.0 if row_wd else cara_cfg.weight_dropout,
+                drop_rng=None if row_wd else k_wd_proj,
+                element=materialized or use_elem)
             cb1 = cb_proj
         elif materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
@@ -755,11 +801,10 @@ def _block(
                 cara_params["R2"], mask)
             cb1 = cara_params["bias1"]
         else:
-            comp = cp_ops.weight_dropout_mask(
-                k_wd_proj, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            comp = _rank_comp(k_wd_proj)
             pd = cp_ops.rows_delta_out_factorized(
-                attn_out, p1[0:1], cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp)
+                _row_x(attn_out, k_wd_proj), p1[0:1], cara_params["P2"],
+                cara_params["P3"], cara_params["R2"], comp)
             cb1 = cara_params["bias1"]
         proj = proj + (pd + cb1) * s  # cara.py:57-58
       if ad is not None and ad_seq:
@@ -823,13 +868,12 @@ def _block(
         if use_elem:
             comp_up = comp_down = None
         else:
-            comp_up = cp_ops.weight_dropout_mask(
-                k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
-            comp_down = cp_ops.weight_dropout_mask(
-                k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout,
-                x.dtype)
+            comp_up = _rank_comp(k_wd_up)
+            comp_down = _rank_comp(k_wd_down)
         u1, v1 = _adapter_uv("fc1", comp_up)
         u2, v2 = _adapter_uv("fc2", comp_down)
+        u1 = _row_u(u1, k_wd_up)
+        u2 = _row_u(u2, k_wd_down)
         cb1, cb2 = cb_up, cb_down
         x_in, b2 = x, bp["fc2"]["bias"]
         if tp > 1:
@@ -883,9 +927,9 @@ def _block(
                 1.0, cara_cfg.weight_dropout, 256, 1024, 768, None,
                 cfg.activation, cfg.layernorm_eps)
         else:
-            comp = cp_ops.weight_dropout_mask(
-                k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            comp = _rank_comp(k_wd_up)
             u, vmat = _adapter_uv("fc1", comp)
+            u = _row_u(u, k_wd_up)
             act = cp_dense_ln(
                 x, bp["fc1"]["kernel"], bp["fc1"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
@@ -905,8 +949,10 @@ def _block(
             cb2 = moe_lib.moe_bias(moe_gates, cara_params["bias2"])
         elif lora:
             ud = lora_lib.delta(
-                xm, p1["fc1"], rate=cara_cfg.weight_dropout,
-                drop_rng=k_wd_up, element=materialized or use_elem)
+                _row_x(xm, k_wd_up), p1["fc1"],
+                rate=0.0 if row_wd else cara_cfg.weight_dropout,
+                drop_rng=None if row_wd else k_wd_up,
+                element=materialized or use_elem)
             cb2 = cb_up
         elif materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
@@ -916,11 +962,10 @@ def _block(
                 cara_params["R2"], mask)
             cb2 = cara_params["bias2"]
         else:
-            comp = cp_ops.weight_dropout_mask(
-                k_wd_up, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            comp = _rank_comp(k_wd_up)
             ud = cp_ops.rows_delta_out_factorized(
-                xm, p1_up, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp)
+                _row_x(xm, k_wd_up), p1_up, cara_params["P2"],
+                cara_params["P3"], cara_params["R2"], comp)
             cb2 = cara_params["bias2"]
         up = up + (ud + cb2) * s  # cara.py:81-82
       if cfg.activation == "quick_gelu":  # CLIP: x * sigmoid(1.702 x)
@@ -937,10 +982,9 @@ def _block(
                 (cb_down * s).astype(x.dtype),
                 _wd_seed(k_wd_down), 1.0, cara_cfg.weight_dropout)
         else:
-            comp = cp_ops.weight_dropout_mask(
-                k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout,
-                x.dtype)
+            comp = _rank_comp(k_wd_down)
             u, vmat = _adapter_uv("fc2", comp)
+            u = _row_u(u, k_wd_down)
             down = cp_dense(
                 act, bp["fc2"]["kernel"], bp["fc2"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
@@ -958,8 +1002,10 @@ def _block(
             cb3 = moe_lib.moe_bias(moe_gates, cara_params["bias3"])
         elif lora:
             dd = lora_lib.delta(
-                act, p1["fc2"], rate=cara_cfg.weight_dropout,
-                drop_rng=k_wd_down, element=materialized or use_elem)
+                _row_x(act, k_wd_down), p1["fc2"],
+                rate=0.0 if row_wd else cara_cfg.weight_dropout,
+                drop_rng=None if row_wd else k_wd_down,
+                element=materialized or use_elem)
             cb3 = cb_down
         elif materialized or use_elem:
             mask = cp_ops.weight_dropout_mask(
@@ -969,11 +1015,10 @@ def _block(
                 cara_params["R2"], mask)
             cb3 = cara_params["bias3"]
         else:
-            comp = cp_ops.weight_dropout_mask(
-                k_wd_down, (cara_cfg.rank,), cara_cfg.weight_dropout, x.dtype)
+            comp = _rank_comp(k_wd_down)
             dd = cp_ops.rows_delta_in_factorized(
-                act, p1_down, cara_params["P2"], cara_params["P3"],
-                cara_params["R2"], comp)
+                _row_x(act, k_wd_down), p1_down, cara_params["P2"],
+                cara_params["P3"], cara_params["R2"], comp)
             cb3 = cara_params["bias3"]
         down = down + (dd + cb3) * s  # cara.py:92-93
       if ad is not None and ad_seq:
