@@ -460,7 +460,14 @@ def make_train_step(
             maux = jnp.float32(0.0)
             if moe:
                 logits, maux = logits
-            logits = mask_padded_classes(logits.astype(jnp.float32), mb)
+            # Promote (never downcast): bf16/f16 logits go up to f32 for a
+            # stable softmax-CE as before, but an x64 run keeps f64 — the
+            # silent f64->f32 downcast was the chaos seed that defeated
+            # long-horizon cross-framework trajectory parity
+            # (tests/test_torch_grad_parity.py full-protocol test).
+            logits = mask_padded_classes(
+                logits.astype(jnp.promote_types(logits.dtype,
+                                                jnp.float32)), mb)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, mb["label"]).mean()
             if moe:
