@@ -117,7 +117,7 @@ class CaraConfig:
     #   (m 1^T) o (U V^T) == (diag(m) U) V^T, so it runs on the fast
     #   non-wd kernels (no dense cotangent dT = x^T g in backward).
     #   Expectation-equivalent to "element": identical mean AND identical
-    #   per-entry marginal variance ((1-p)/p scaled); only the within-row
+    #   per-entry marginal variance (p/(1-p) scaled, p = drop rate); only the within-row
     #   covariance differs (element: independent entries, row: fully
     #   correlated along the output axis).  K = 768-3072 independent draws
     #   per site vs the rank impl's r (~8) — far closer to the element

@@ -450,7 +450,7 @@ def _block(
         # Expectation-equivalent to the exact element regularizer — the
         # inverted mask has E[m_k] = 1, so E[delta] = U V^T, and because
         # every entry (k, n) carries exactly one Bernoulli factor the
-        # per-entry marginal variance (1-p)/p * (UV^T)_{kn}^2 is IDENTICAL
+        # per-entry marginal variance p/(1-p) * (UV^T)_{kn}^2 is IDENTICAL
         # to element dropout's; only the within-row covariance differs
         # (element: 0, row: fully correlated).  Unlike the rank impl's
         # r~8 coarse components this draws K=768-3072 independent
@@ -696,14 +696,15 @@ def _block(
                         drop_rng=k_wd_qkv).reshape(b, npad, 3 * e)
                 elif lora:
                     delta = lora_lib.delta(
-                        xa_p, f1, rate=cara_cfg.weight_dropout,
-                        drop_rng=k_wd_qkv,
+                        _row_x(xa_p, k_wd_qkv), f1,
+                        rate=0.0 if row_wd else cara_cfg.weight_dropout,
+                        drop_rng=None if row_wd else k_wd_qkv,
                         element=materialized or use_elem)
                 else:
                     delta = cara_lib.qkv_delta(
-                        xa_p, cara_params, f1, cfg, cara_cfg,
-                        materialized=materialized or use_elem,
-                        drop_rng=k_wd_qkv,
+                        _row_x(xa_p, k_wd_qkv), cara_params, f1, cfg,
+                        cara_cfg, materialized=materialized or use_elem,
+                        drop_rng=None if row_wd else k_wd_qkv,
                     ).reshape(b, npad, 3 * e)
                 qkv = qkv + delta.astype(qkv.dtype) * s  # cara.py:42
         if (fused_dense and _ATTNPROJ and not use_elem

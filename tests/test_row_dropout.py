@@ -57,14 +57,14 @@ def _batch(cfg, n=8):
 
 def test_row_mask_moments():
     """Inverted row mask: E[m]=1 and per-entry delta variance matches the
-    element regularizer's (1-p)/p * (UV^T)^2 marginal."""
+    element regularizer's p/(1-p) * (UV^T)^2 marginal (p = drop rate)."""
     rate, n_draws = 0.3, 4000
     keys = jax.random.split(jax.random.key(0), n_draws)
     masks = jax.vmap(lambda k: cp_ops.weight_dropout_mask(
         k, (16,), rate))(keys)  # (n_draws, 16)
     m = np.asarray(masks)
     np.testing.assert_allclose(m.mean(axis=0), 1.0, atol=0.06)
-    # Per-entry variance of m is (1-p)/p for inverted Bernoulli(keep)/keep
+    # Per-entry variance of m is p/(1-p) for inverted Bernoulli(1-p)/(1-p)
     # — identical to the element mask's, so var[(m_k u_k v_n)] matches
     # element dropout entry-wise.
     want = rate / (1 - rate)
@@ -86,6 +86,33 @@ def test_row_fused_equals_xla(setup):
             cfg, cc, tx, attn_impl=impl, dense_impl=impl))(
                 state, frozen, batch, rng)
         outs[impl] = (st, float(m["loss"]))
+    np.testing.assert_allclose(outs["fused"][1], outs["xla"][1], rtol=2e-4)
+    ref = jax.tree_util.tree_leaves(outs["xla"][0].trainable)
+    got = jax.tree_util.tree_leaves(outs["fused"][0].trainable)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=3e-4, rtol=3e-3)
+
+
+def test_row_mixed_attn_fused_dense_xla(setup):
+    """attn_impl='fused' + dense_impl='xla' must thread the ROW mask
+    through the qkv delta (vit.py fused-attn/XLA-dense branch), not fall
+    back to rank-component dropout: same key -> same Bernoulli draw as the
+    pure-XLA path, so the mixed step matches within kernel fp drift.
+    (Advisor round-4 medium finding: that branch passed the unmasked
+    activation with rate=weight_dropout, silently changing semantics.)"""
+    cfg, params, make_cara = setup
+    cc, cara = make_cara("row")
+    tx = steps_lib.make_optimizer(1e-3, steps_per_epoch=10)
+    frozen, state = steps_lib.init_train_state(tx, params, cara)
+    batch, rng = _batch(cfg), jax.random.key(7)
+
+    outs = {}
+    for ai, di in (("xla", "xla"), ("fused", "xla")):
+        st, m = jax.jit(steps_lib.make_train_step(
+            cfg, cc, tx, attn_impl=ai, dense_impl=di))(
+                state, frozen, batch, rng)
+        outs[ai] = (st, float(m["loss"]))
     np.testing.assert_allclose(outs["fused"][1], outs["xla"][1], rtol=2e-4)
     ref = jax.tree_util.tree_leaves(outs["xla"][0].trainable)
     got = jax.tree_util.tree_leaves(outs["fused"][0].trainable)
