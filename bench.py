@@ -506,7 +506,37 @@ def main():
             "~12% of device time is lax.scan glue outside the kernels; "
             "host gap ~1ms."),
     }
-    print(json.dumps(record))
+    # Two artifacts (VERDICT r4 weak 1 / next 1): the FULL record — trace
+    # table, notes, scenario bands — goes to a sidecar file; stdout gets a
+    # COMPACT one-line JSON carrying the headline numbers directly.  The
+    # round-4 regression was the full record outgrowing the driver's tail
+    # capture, leaving `parsed: null` with the headline img/s and trace
+    # MFU recoverable only by back-computation.  The compact line is
+    # printed LAST so the driver's tail always ends in parseable JSON.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        full_path = None
+    compact = {
+        "metric": metric,
+        "value": record["value"],
+        "unit": record["unit"],
+        "step_ms": round(wall_ms, 2) if wall_ms else None,
+        "device_ms_per_step": (trace or {}).get("device_ms_per_step"),
+        "mfu_vs_v5e_peak_measured_trace": mfu_trace,
+        "mfu_vs_v5e_peak_analytic": record["mfu_vs_v5e_peak_analytic"],
+        "vs_baseline": vs,
+        "vs_ref_gpu": gpu_est["vs_ref_gpu"] if gpu_est else None,
+        "device": record["device"],
+        "dtype": args.dtype,
+        "delta_impl": args.delta_impl,
+        "weight_dropout_impl": args.weight_dropout_impl,
+        "batch_size": args.batch_size,
+        "full_record": full_path,
+    }
     try:  # watchdog breadcrumb for future wedged runs (clearly labeled)
         with open(_LAST_GOOD_PATH, "w") as f:
             json.dump({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ",
@@ -514,6 +544,7 @@ def main():
                        "record": record}, f)
     except OSError:
         pass
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
