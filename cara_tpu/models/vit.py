@@ -148,6 +148,50 @@ def _attn_mega_on(use_elem: bool, training: bool) -> bool:
     return use_elem or not training
 
 
+def _stream_pad_eligible(params, cfg, cara_cfg, cara_params, attn_impl,
+                         dense_impl, use_rng, n_strm, tp_axis) -> bool:
+    """Whether vit_forward may carry the residual stream sublane-padded.
+
+    True ONLY when every block will take the attention-megakernel path
+    (``attn_mega`` in ``_block``) — that kernel masks keys/rows at
+    ``n_real`` so pad rows are inert, and every other block op (LN, MLP,
+    deltas, drop-path) is row-wise.  Any other attention impl would treat
+    the pad rows as real keys, so this predicate must mirror the
+    ``attn_mega`` condition in ``_block`` exactly; ``_block`` raises if
+    the two ever drift apart.
+
+    Why pad the stream at all: 197 tokens is not sublane-aligned, so every
+    per-layer (B, N, E) <-> (B*N, E) reshape around the MLP megakernels
+    materializes (plus a pad to the row-block multiple and a slice back)
+    — measured ~4.5 ms/step of pure HBM glue at ViT-B bs64.  At N=200
+    the reshapes are free bitcasts and 64*200 rows divide the MLP row
+    block exactly, for +1.5% MLP FLOPs on the 3 dead rows."""
+    if attn_impl != "fused" or cfg.attn_dropout_rate != 0.0:
+        return False
+    if cfg.dropout_rate != 0.0 or dense_impl != "fused":
+        return False
+    qkv_k = params["blocks"]["qkv"]["kernel"]
+    if isinstance(qkv_k, dict):
+        return False  # int8 quant rides the XLA path
+    use_cara = cara_params is not None
+    if use_cara and cara_cfg.method in ("adapter", "adaptformer"):
+        return False  # bottleneck adapters pin the XLA path
+    materialized = use_cara and cara_cfg.delta_impl == "materialized"
+    fused_dense = use_cara and not materialized and cara_cfg.cp_order != 2
+    if not (fused_dense or not use_cara):
+        return False
+    use_elem = (use_cara and not materialized
+                and cara_cfg.weight_dropout_impl == "element"
+                and use_rng and cara_cfg.weight_dropout > 0.0)
+    tp_on = (tp_axis is not None
+             and (3 * cfg.embed_dim) // qkv_k.shape[-1] > 1)
+    if not (_attn_mega_on(use_elem, use_rng) or tp_on):
+        return False
+    from cara_tpu.ops.pallas.fused_qkv_attention import MAX_NP_FULL_SCORES
+
+    return -(-n_strm // 128) * 128 <= MAX_NP_FULL_SCORES
+
+
 def matk(x, kernel):
     """``x @ kernel`` where ``kernel`` may be a weight-only int8 quant dict
     ``{"q": int8 (..., in, out), "scale": (..., 1, out)}`` (per-output-
@@ -356,9 +400,15 @@ def _block(
     tp_axis: Optional[str] = None,
     scale_override: Optional[jax.Array] = None,
     moe_gates: Optional[jax.Array] = None,
+    n_real: Optional[int] = None,
 ) -> jax.Array:
     """One transformer block with optional CaRA deltas (reference hot loop,
     SURVEY.md section 3.3).
+
+    ``n_real``: valid token count when ``vit_forward`` carries the residual
+    stream sublane-PADDED (``_stream_pad_eligible``) — the attention
+    megakernel masks keys/rows at ``n_real`` while every other op is
+    row-wise, so the pad rows are inert.  ``None`` = all rows valid.
 
     ``scale_override``: optional 0-d TRACED delta scale replacing the
     static ``cara_cfg.scale`` — lets one compiled executable serve tasks
@@ -538,6 +588,7 @@ def _block(
 
     # --- Attention ---------------------------------------------------------
     b, n = x.shape[:2]
+    nr = n if n_real is None else n_real
     # xa is skipped ONLY when the fused-attention branch below will actually
     # run and fuse LN1 into the qkv kernel — the condition must match that
     # branch exactly (attention dropout forces the xla path, which needs xa).
@@ -556,6 +607,15 @@ def _block(
 
         npad = -(-n // 128) * 128
         attn_mega = npad <= MAX_NP_FULL_SCORES
+    if nr != n and not attn_mega:
+        # The stream-padding decision in vit_forward must match the mega
+        # condition above EXACTLY: every other attention path would treat
+        # the pad rows as real keys.  Loud failure beats silent corruption.
+        raise ValueError(
+            "vit_forward padded the token stream (n_real="
+            f"{nr} != n={n}) but this block resolved to a non-megakernel "
+            "attention path — _stream_pad_eligible and the attn_mega "
+            "condition have drifted apart; fix them to match")
     if tp > 1 and not attn_mega:
         raise ValueError(
             "fused tensor parallelism requires the megakernel path "
@@ -566,9 +626,12 @@ def _block(
         # Whole attention half-block in ONE kernel (cara.py:25-58 + the
         # Block residual): LN1, the qkv GEMM + CP delta, per-head
         # attention, the projection GEMM + CP delta and the residual +
-        # drop-path add all run on resident VMEM tiles.
-        x_p = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0))) \
-            if npad != n else x
+        # drop-path add all run on resident VMEM tiles.  The kernel
+        # consumes the raw UNPADDED (B, N, E) residual and pads the token
+        # axis inside its own BlockSpec (clipped boundary DMAs + masked
+        # tail rows), so neither the pad-for-attention nor the
+        # slice-for-MLP HBM round-trip exists in the graph.
+        x_in = x
         dpm = _dp_gate(k_dp1, dpr, b, x.dtype)
         hh = h
         wq, bq = bp["qkv"]["kernel"], bp["qkv"]["bias"]
@@ -578,20 +641,20 @@ def _block(
             # the caller's psum over tp_axis reassembles x + dpm*sum(y_i);
             # the replicated proj bias (and CP bias1 below) ride at 1/tp.
             hh = h_loc
-            x_p = x_p * inv_tp
+            x_in = x_in * inv_tp
             bpj = bpj * inv_tp
         e3l = wq.shape[-1]
         if not use_cara:
             z1 = jnp.zeros((e, 1), x.dtype)
             zp = jnp.zeros((wp.shape[0], 1), x.dtype)  # (E/tp, 1) under TP
             x = cp_attn_block(
-                x_p, wq, bq,
+                x_in, wq, bq,
                 z1, jnp.zeros((1, e3l), x.dtype),
                 wp, bpj,
                 zp, jnp.zeros((1, e), x.dtype), jnp.zeros((e,), x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
-                hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None, b, use_elem), None,
-                cfg.layernorm_eps)[:, :n, :]
+                hh, d ** -0.5, nr, 1.0, _attn_bb(npad, e, key is not None, b, use_elem), None,
+                cfg.layernorm_eps)
         else:
             if use_elem:
                 comp_q = comp_p = None
@@ -612,7 +675,7 @@ def _block(
             # the kernel runs at s=1.0 — a STATIC kernel s makes every
             # distinct per-task scale (0.1-100, vtab_config) a fresh
             # Mosaic compile; folding keeps ONE kernel set for all tasks.
-            args = (x_p, wq, bq,
+            args = (x_in, wq, bq,
                     u1.astype(x.dtype), (v1 * s).astype(x.dtype),
                     wp, bpj,
                     u2.astype(x.dtype), (v2 * s).astype(x.dtype),
@@ -626,13 +689,13 @@ def _block(
                 off = tp_idx if tp > 1 else 0
                 x = cp_attn_block_wd(
                     *args, _wd_seed(k_wd_qkv) + off, _wd_seed(k_wd_proj) + off,
-                    hh, d ** -0.5, n, 1.0, cara_cfg.weight_dropout,
+                    hh, d ** -0.5, nr, 1.0, cara_cfg.weight_dropout,
                     _attn_bb(npad, e, key is not None, b, use_elem), None,
-                    cfg.layernorm_eps)[:, :n, :]
+                    cfg.layernorm_eps)
             else:
                 x = cp_attn_block(
-                    *args, hh, d ** -0.5, n, 1.0, _attn_bb(npad, e, key is not None, b, use_elem), None,
-                    cfg.layernorm_eps)[:, :n, :]
+                    *args, hh, d ** -0.5, nr, 1.0, _attn_bb(npad, e, key is not None, b, use_elem), None,
+                    cfg.layernorm_eps)
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)
     elif fused_attn:
@@ -1261,6 +1324,21 @@ def vit_forward(
         # Prompts sit between cls and patch tokens, after pos-embed/ln_pre
         # (the paper's placement); no positional embedding on prompts.
         tokens = vpt_lib.insert_prompts(tokens, vpt_prompts[0], vpt_pos0)
+    # Sublane-aligned residual stream: pad the token axis ONCE (197 -> 200)
+    # when every block takes the attention megakernel, so the per-layer
+    # (B, N, E) <-> (B*N, E) reshapes around the MLP kernels are free
+    # bitcasts and the MLP row pad/slice disappears (see
+    # _stream_pad_eligible).  The pad rows are masked inside the attention
+    # kernel (n_real) and inert everywhere else; sliced off after the scan.
+    n_tok_real = tokens.shape[1]
+    n_strm = -(-n_tok_real // 8) * 8
+    stream_pad = (n_strm != n_tok_real and token_sharding is None
+                  and _stream_pad_eligible(
+                      params, cfg, cara_cfg, cara_params, attn_impl,
+                      dense_impl, use_rng, n_strm, tp_axis))
+    if stream_pad:
+        tokens = jnp.pad(
+            tokens, ((0, 0), (0, n_strm - n_tok_real), (0, 0)))
     if token_sharding is not None:
         tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)
 
@@ -1332,7 +1410,8 @@ def vit_forward(
             key = skey = None
         out = _block(
             carry, bp, f1, p1, dpr_l, key, skey, cfg, cara_blocks, cara_cfg,
-            attn_impl, dense_impl, tp_axis, scale_override, moe_gates
+            attn_impl, dense_impl, tp_axis, scale_override, moe_gates,
+            n_real=n_tok_real if stream_pad else None,
         )
         if token_sharding is not None:
             out = jax.lax.with_sharding_constraint(out, token_sharding)
@@ -1352,6 +1431,8 @@ def vit_forward(
     if vpt_deep_stack is not None:
         xs = xs + (vpt_deep_stack,)
     tokens, _ = jax.lax.scan(body, tokens, xs, unroll=_scan_unroll(L))
+    if stream_pad:
+        tokens = tokens[:, :n_tok_real]
     if vpt_prompts is not None and not cfg.use_cls_token:
         # Mean-pool models average the PATCH tokens only; cls models read
         # position 0, which prompts never occupy (they sit at 1..P).

@@ -44,6 +44,27 @@ from cara_tpu.ops.pallas.fused_qkv_attention import (
 _DN_W = (((2,), (0,)), ((), ()))
 
 
+def _round_np(n):
+    """Token-axis block size: next multiple of 128 (MXU/lane alignment)."""
+    return -(-n // 128) * 128
+
+
+def _mask_tail_rows(t, n_real):
+    """Zero token rows >= ``n_real`` of a (bb, NP, E) tile.
+
+    The caller passes the UNPADDED residual; the token-axis BlockSpec is
+    rounded up to a 128 multiple, so the block's tail rows are DMA-clipped
+    (undefined VMEM contents).  Zeroing them in-register reproduces the
+    zero-pad semantics the graph-level ``jnp.pad`` used to provide —
+    without the pad's HBM write or the post-kernel slice's HBM read
+    (VERDICT r4 next 2 / docs/NEXT_ROUND.md:21-29)."""
+    bb, np_, _ = t.shape
+    if n_real >= np_:
+        return t
+    row = jax.lax.broadcasted_iota(jnp.int32, (bb, np_, 1), 1)
+    return jnp.where(row < n_real, t, jnp.zeros_like(t))
+
+
 def _ln3(x, ls, lb, eps):
     """Row LayerNorm on a (bb, NP, E) tile (fp32 math, input dtype out)."""
     xf = x.astype(jnp.float32)
@@ -72,7 +93,7 @@ def _attn_block_fwd_kernel(x_ref, wq_ref, bq_ref, u1_ref, v1_ref,
                            wp_ref, bp_ref, u2_ref, v2_ref, cb2_ref,
                            ls_ref, lb_ref, dpm_ref, y_ref,
                            *, heads, dh, sm_scale, n_real, s, ln_eps):
-    x = x_ref[...]
+    x = _mask_tail_rows(x_ref[...], n_real)
     xa = _ln3(x, ls_ref[...], lb_ref[...], ln_eps)
     qkv, _ = _site_fwd(xa, wq_ref, bq_ref, u1_ref, v1_ref, None, s)
     qkv = qkv.astype(xa.dtype)
@@ -119,8 +140,8 @@ def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
 
     bb, np_, e = x_ref.shape
     m = bb * np_
-    x2 = x_ref[...].reshape(m, e)
-    g2_res = g_ref[...].reshape(m, e)
+    x2 = _mask_tail_rows(x_ref[...], n_real).reshape(m, e)
+    g2_res = _mask_tail_rows(g_ref[...], n_real).reshape(m, e)
     # out = x + dpm*y: branch sees g*dpm, residual passes g through.
     g2 = (g2_res.astype(jnp.float32)
           * dpm_ref[...].astype(jnp.float32)).astype(g2_res.dtype)
@@ -186,10 +207,16 @@ def cp_attn_block(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale, ln_bias,
                   dpm, heads: int, sm_scale: float, n_real: int, s: float,
                   block_b: int = 2, interpret: Optional[bool] = None,
                   ln_eps: float = 1e-6):
-    """x (B, NP, E) raw residual (token axis pre-padded to a multiple of
-    128) -> LN1 -> qkv+delta (``cara.py:42``) -> attention -> proj+delta
-    (``cara.py:57-58``) -> ``x + dpm*y`` (residual + drop-path gate), all
-    in one kernel.  Returns (B, NP, E); the caller slices the valid tokens.
+    """x (B, N, E) raw UNPADDED residual -> LN1 -> qkv+delta
+    (``cara.py:42``) -> attention -> proj+delta (``cara.py:57-58``) ->
+    ``x + dpm*y`` (residual + drop-path gate), all in one kernel.
+    Returns (B, N, E) — no token padding before or slicing after: the
+    token-axis BlockSpec is rounded up to a 128 multiple internally
+    (boundary DMAs clip, tail rows are re-zeroed in-register, tail writes
+    are dropped), so neither the pad-for-attention nor the slice-for-MLP
+    HBM round-trip exists in the graph.  A pre-padded (B, NP, E) input
+    with ``n_real < NP`` still works identically (NP must then be the
+    128 multiple itself).
 
     ``u1`` (E, r) / ``v1`` (r, 3E) from ``cara.qkv_uv``; ``u2`` (E, r) /
     ``v2`` (r, E) from ``cara.rows_out_uv``; ``cb2`` = CP_bias1; ``dpm``
@@ -204,7 +231,8 @@ def cp_attn_block(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale, ln_bias,
 
 def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
             sm_scale, n_real, s, block_b, interpret, ln_eps):
-    bsz, np_, e = x.shape
+    bsz, n_tok, e = x.shape
+    np_ = _round_np(n_tok)
     _check_np(np_)
     # Attention geometry derives from the qkv WEIGHT width, not from the
     # residual width: under head-sharded tensor parallelism ``wq`` is the
@@ -235,7 +263,7 @@ def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=_tile(bb, np_, e),
-        out_shape=jax.ShapeDtypeStruct((bsz, np_, e), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_tok, e), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 2 ** 20),
@@ -254,7 +282,8 @@ def _ab_fwd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
 def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
                  res, g):
     x, wq, bq, u1, v1, wp, u2, v2, ls, lb, dpm2, dpm = res
-    bsz, np_, e = x.shape
+    bsz, n_tok, e = x.shape
+    np_ = _round_np(n_tok)
     e3l = wq.shape[1]
     eol = wp.shape[0]
     dh = (e3l // 3) // heads
@@ -285,7 +314,7 @@ def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
             _const((1, e3l)), _const((1, e)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, np_, e), g.dtype),
+            jax.ShapeDtypeStruct((bsz, n_tok, e), g.dtype),
             jax.ShapeDtypeStruct((e, rp1), jnp.float32),
             jax.ShapeDtypeStruct((rp1, e3l), jnp.float32),
             jax.ShapeDtypeStruct((eol, rp2), jnp.float32),
@@ -339,8 +368,8 @@ def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
     bb, np_, e = x_ref.shape
     m = bb * np_
     dn = (((1,), (1,)), ((), ()))
-    x2 = x_ref[...].reshape(m, e)
-    g2_res = g_ref[...].reshape(m, e)
+    x2 = _mask_tail_rows(x_ref[...], n_real).reshape(m, e)
+    g2_res = _mask_tail_rows(g_ref[...], n_real).reshape(m, e)
     g2 = (g2_res.astype(jnp.float32)
           * dpm_ref[...].astype(jnp.float32)).astype(g2_res.dtype)
     xa = _ln_rows(x2, ls_ref[...], lb_ref[...], ln_eps)
@@ -397,7 +426,8 @@ def cp_attn_block_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ln_scale,
 def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, seed1,
                seed2, heads, sm_scale, n_real, s, drop_rate, block_b,
                interpret, ln_eps):
-    bsz, np_, e = x.shape
+    bsz, n_tok, e = x.shape
+    np_ = _round_np(n_tok)
     _check_np(np_)
     e3l = wq.shape[1]          # 3*E/tp under head-sharded TP
     eol = wp.shape[0]          # E/tp under TP
@@ -426,7 +456,7 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, seed1,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=_tile(bb, np_, e),
-        out_shape=jax.ShapeDtypeStruct((bsz, np_, e), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_tok, e), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 2 ** 20),
@@ -450,7 +480,8 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
                     interpret, ln_eps, res, g):
     (x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, dpm2, dpm, seed1,
      seed2) = res
-    bsz, np_, e = x.shape
+    bsz, n_tok, e = x.shape
+    np_ = _round_np(n_tok)
     e3l = wqp.shape[1]
     eol = wpp.shape[0]
     dh = (e3l // 3) // heads
@@ -485,7 +516,7 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
             _const((1, e3l)), _const((1, e)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, np_, e), g.dtype),
+            jax.ShapeDtypeStruct((bsz, n_tok, e), g.dtype),
             jax.ShapeDtypeStruct((e, rp1), jnp.float32),
             jax.ShapeDtypeStruct((rp1, e3l), jnp.float32),
             jax.ShapeDtypeStruct((eol, rp2), jnp.float32),

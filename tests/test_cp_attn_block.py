@@ -111,6 +111,50 @@ def test_grads_match(n_real):
                                    atol=2e-3, rtol=1e-2, err_msg=name)
 
 
+@pytest.mark.parametrize("n", [100, 120])
+def test_unpadded_input_matches_ref(n):
+    """Raw UNPADDED x (B, n, E), n not a lane multiple: the kernel rounds
+    the token BlockSpec up internally (clipped DMA + in-register tail
+    zeroing), so the result must equal the dense reference computed
+    directly on the n-token input — fwd and grads (VERDICT r4 next 2)."""
+    p = _setup(4, 5, key=6)
+    p = dict(p, x=p["x"][:, :n])
+    s = 1.3
+    out = _call(p, s, n)
+    assert out.shape == p["x"].shape
+    ref = _ref(p, s, n)  # np_ == n -> mask is a no-op; pure dense math
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=5e-3)
+
+    def loss_fused(*args):
+        q = dict(p, **dict(zip(GRAD_ARGS, args)))
+        return jnp.sum(jnp.sin(_call(q, s, n)))
+
+    def loss_ref(*args):
+        q = dict(p, **dict(zip(GRAD_ARGS, args)))
+        return jnp.sum(jnp.sin(_ref(q, s, n)))
+
+    args = tuple(p[k] for k in GRAD_ARGS)
+    idx = tuple(range(len(GRAD_ARGS)))
+    gf = jax.grad(loss_fused, argnums=idx)(*args)
+    gr = jax.grad(loss_ref, argnums=idx)(*args)
+    for name, a, b in zip(GRAD_ARGS, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-2, err_msg=name)
+
+
+def test_unpadded_input_matches_ref_wd():
+    """Unpadded input through the element-weight-dropout variant."""
+    n = 100
+    p = _setup(2, 4, key=7)
+    p = dict(p, x=p["x"][:, :n])
+    out = _call_wd(p, 1.3, n, 11, 22)
+    assert out.shape == p["x"].shape
+    ref = _ref_wd(p, 1.3, n, 11, 22)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=5e-3)
+
+
 def test_frozen_cotangents_zero():
     p = _setup(2, 3, key=3)
 
