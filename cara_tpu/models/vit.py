@@ -152,13 +152,14 @@ def _stream_pad_eligible(params, cfg, cara_cfg, cara_params, attn_impl,
                          dense_impl, use_rng, n_strm, tp_axis) -> bool:
     """Whether vit_forward may carry the residual stream sublane-padded.
 
-    True ONLY when every block will take the attention-megakernel path
-    (``attn_mega`` in ``_block``) — that kernel masks keys/rows at
-    ``n_real`` so pad rows are inert, and every other block op (LN, MLP,
-    deltas, drop-path) is row-wise.  Any other attention impl would treat
-    the pad rows as real keys, so this predicate must mirror the
-    ``attn_mega`` condition in ``_block`` exactly; ``_block`` raises if
-    the two ever drift apart.
+    True when every block's ATTENTION will mask keys/rows at ``n_real`` —
+    that holds for the megakernel (``cp_attn_block``) AND the whole split
+    fused-attention family (``fused_qkv_attention[_proj]``, blockwise),
+    all of which take an explicit ``n_real``; every other block op (LN,
+    MLP, deltas, drop-path, activation dropout) is row-wise, so pad rows
+    are inert.  The XLA ``mha`` and ``flash`` paths have no valid-token
+    mask and would treat pad rows as real keys — ineligible.  ``_block``
+    raises if this predicate and its branch selection ever drift apart.
 
     Why pad the stream at all: 197 tokens is not sublane-aligned, so every
     per-layer (B, N, E) <-> (B*N, E) reshape around the MLP megakernels
@@ -167,29 +168,15 @@ def _stream_pad_eligible(params, cfg, cara_cfg, cara_params, attn_impl,
     the reshapes are free bitcasts and 64*200 rows divide the MLP row
     block exactly, for +1.5% MLP FLOPs on the 3 dead rows."""
     if attn_impl != "fused" or cfg.attn_dropout_rate != 0.0:
-        return False
-    if cfg.dropout_rate != 0.0 or dense_impl != "fused":
-        return False
-    qkv_k = params["blocks"]["qkv"]["kernel"]
-    if isinstance(qkv_k, dict):
-        return False  # int8 quant rides the XLA path
+        return False  # mha/flash fallbacks take no n_real mask
+    if cfg.dropout_rate != 0.0:
+        return False  # keep the activation-dropout rng stream unchanged
     use_cara = cara_params is not None
     if use_cara and cara_cfg.method in ("adapter", "adaptformer"):
-        return False  # bottleneck adapters pin the XLA path
-    materialized = use_cara and cara_cfg.delta_impl == "materialized"
-    fused_dense = use_cara and not materialized and cara_cfg.cp_order != 2
-    if not (fused_dense or not use_cara):
-        return False
-    use_elem = (use_cara and not materialized
-                and cara_cfg.weight_dropout_impl == "element"
-                and use_rng and cara_cfg.weight_dropout > 0.0)
-    tp_on = (tp_axis is not None
-             and (3 * cfg.embed_dim) // qkv_k.shape[-1] > 1)
-    if not (_attn_mega_on(use_elem, use_rng) or tp_on):
-        return False
-    from cara_tpu.ops.pallas.fused_qkv_attention import MAX_NP_FULL_SCORES
-
-    return -(-n_strm // 128) * 128 <= MAX_NP_FULL_SCORES
+        return False  # bottleneck adapters ride the plain XLA path
+    if use_cara and cara_cfg.moe:
+        return False  # the load-balance aux loss counts every token
+    return True
 
 
 def matk(x, kernel):
@@ -607,15 +594,16 @@ def _block(
 
         npad = -(-n // 128) * 128
         attn_mega = npad <= MAX_NP_FULL_SCORES
-    if nr != n and not attn_mega:
-        # The stream-padding decision in vit_forward must match the mega
-        # condition above EXACTLY: every other attention path would treat
-        # the pad rows as real keys.  Loud failure beats silent corruption.
+    if nr != n and not (attn_mega or fused_attn):
+        # The stream-padding decision in vit_forward requires an attention
+        # path that masks at n_real (megakernel or the fused_qkv family);
+        # mha/flash would treat the pad rows as real keys.  Loud failure
+        # beats silent corruption.
         raise ValueError(
             "vit_forward padded the token stream (n_real="
-            f"{nr} != n={n}) but this block resolved to a non-megakernel "
-            "attention path — _stream_pad_eligible and the attn_mega "
-            "condition have drifted apart; fix them to match")
+            f"{nr} != n={n}) but this block resolved to an attention path "
+            "with no valid-token mask — _stream_pad_eligible and the "
+            "branch selection have drifted apart; fix them to match")
     if tp > 1 and not attn_mega:
         raise ValueError(
             "fused tensor parallelism requires the megakernel path "
@@ -714,9 +702,10 @@ def _block(
         npad = -(-n // 128) * 128
         if npad > MAX_NP_FULL_SCORES:
             attn_fn = lambda qkv: blockwise_qkv_attention(
-                qkv, h, d ** -0.5, n)
+                qkv, h, d ** -0.5, nr)
         else:
-            attn_fn = lambda qkv: fused_qkv_attention(qkv, h, d ** -0.5, n)
+            attn_fn = lambda qkv: fused_qkv_attention(qkv, h, d ** -0.5,
+                                                      nr)
         if fused_dense:
             # LN1 fused into the qkv kernel prologue: pad the RAW residual
             # stream once; padded rows produce masked/sliced garbage only.
@@ -782,7 +771,7 @@ def _block(
                 qkv, bp["proj"]["kernel"], bp["proj"]["bias"],
                 u.astype(x.dtype), (vmat * s).astype(x.dtype),
                 (cb_proj * s).astype(x.dtype),
-                h, d ** -0.5, n, 1.0)[:, :n, :]
+                h, d ** -0.5, nr, 1.0)[:, :n, :]
         else:
             attn_out = attn_fn(qkv)[:, :n, :]
     else:
