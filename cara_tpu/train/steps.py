@@ -158,7 +158,7 @@ def _resolve_impls(attn_impl: str, dense_impl: str, cara_cfg, mesh,
     if attn_impl == "auto":
         attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if dense_impl == "auto":
-        dense_impl = resolve_dense_impl(has_cara, cara_cfg)
+        dense_impl = resolve_dense_impl(has_cara, cara_cfg, cfg, train=True)
     if cara_cfg is not None and cara_cfg.method == "full":
         # Full fine-tuning: gradients must flow to every dense weight.
         # The megakernels' custom VJPs emit NO backbone-weight cotangents

@@ -100,6 +100,18 @@ def attn_key(npad: int, e: int, train: bool = True,
             f"|elem={bool(elem)}")
 
 
+def dense_impl_key(e: int, hidden: int, train: bool = True,
+                   dev: Optional[str] = None) -> str:
+    """Key for the PATH-LEVEL winner (``dense_impl``: 0 = xla, 1 = fused)
+    per (device, geometry, mode).  Eval flips to XLA dense at ViT-H scale
+    (benchmarks/RESULTS.md "ViT-H/14": 50.6 vs 55.1 ms — the megakernel
+    m-tiles stop amortizing the weight streams) while every measured
+    train geometry prefers the fused VJPs; ``resolve_dense_impl``
+    consults this before its working-set heuristic."""
+    dev = dev if dev is not None else device_kind()
+    return f"{dev}|e={e}|h={hidden}|train={bool(train)}"
+
+
 def _read(path: str) -> Dict[str, dict]:
     try:
         with open(path) as f:
