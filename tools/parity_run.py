@@ -65,6 +65,11 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="parity_report.json")
     p.add_argument("--merged-eval", action="store_true",
                    help="also check the merged-weight serving path per task")
+    p.add_argument("--model", default=None,
+                   help="backbone config override (default: the CLI's "
+                        "ViT-B/16; tiny geometries let the full protocol "
+                        "drill in CI — tests/test_parity_run.py)")
+    p.add_argument("--eval-batch-size", default=None, type=int)
     args = p.parse_args(argv)
 
     tasks = sorted(VTAB_TASKS) if args.tasks == "all" \
@@ -88,6 +93,10 @@ def main(argv=None) -> int:
             f"--evaluate={ckpt}", f"--data-root={args.data_root}",
             f"--backbone={args.backbone}",
         ]
+        if args.model:
+            argv_task.append(f"--model={args.model}")
+        if args.eval_batch_size:
+            argv_task.append(f"--eval-batch-size={args.eval_batch_size}")
         if args.merged_eval:
             argv_task.append("--merged-eval")
         acc = float(vit_cp.main(argv_task))

@@ -94,6 +94,8 @@ def main(argv=None) -> int:
                    f"--dim={args.dim}", f"--out={args.out}"]
         if args.tasks:
             pr_argv.append(f"--tasks={args.tasks}")
+        if args.model:
+            pr_argv.append(f"--model={args.model}")
         return parity_run.main(pr_argv)
 
     from cara_tpu.cli import sweep
