@@ -121,8 +121,14 @@ class CaraConfig:
     #   covariance differs (element: independent entries, row: fully
     #   correlated along the output axis).  K = 768-3072 independent draws
     #   per site vs the rank impl's r (~8) — far closer to the element
-    #   regularizer's granularity at the rank impl's speed (measured 952
-    #   vs 850 img/s at ViT-B bs64, benchmarks/RESULTS.md round 4).
+    #   regularizer's granularity at the rank impl's speed (measured 982
+    #   vs 892 img/s at ViT-B bs64, benchmarks/RESULTS.md round 5).
+    #   SOLUTION QUALITY (measured, tests/test_wd_impl_quality.py): at
+    #   rate 0.1 row TIES element on the synthetic full protocol; at the
+    #   strong 0.3 rate (--paper-hparams tasks) element measurably wins
+    #   at tiny geometry — element stays the default, use row at rates
+    #   <= 0.1 when the ~10% speedup matters.  Rank degrades quality at
+    #   both rates on that study; treat it as a speed experiment only.
     # Eval is identical for all (dropout off).  delta_impl="materialized"
     # always uses element-wise semantics.
     weight_dropout_impl: str = "element"
