@@ -115,9 +115,36 @@ def _parse_line(buf) -> Dict:
     return {"name": display or name, "events": events}
 
 
-def _parse_event_metadata(buf) -> Tuple[int, str]:
-    """map<int64, XEventMetadata> entry -> (id, name)."""
+def _parse_stat(buf, stat_meta: Dict[int, str]) -> Tuple[str, object]:
+    """XStat -> (name, value).  str_value (5) and ref_value (7, a
+    stat_metadata id whose NAME is the value) cover everything this
+    report consumes; numeric values pass through raw."""
+    mid, val = None, None
+    for fno, _, v in _fields(buf):
+        if fno == 1:
+            mid = v
+        elif fno == 5:
+            val = _text(v)
+        elif fno == 7:
+            val = stat_meta.get(v, v)
+        elif fno in (3, 4):
+            val = v
+    return stat_meta.get(mid, mid), val
+
+
+def _parse_event_metadata(buf, stat_meta: Dict[int, str]
+                          ) -> Tuple[int, str, Dict]:
+    """map<int64, XEventMetadata> entry -> (id, short_name, info).
+
+    On TPU device planes the metadata ``name`` holds the FULL HLO op
+    line (result shape, operands) and per-op XStats carry exact
+    attribution — ``source`` (file:line) and ``deduplicated_name`` (the
+    canonical op all duplicates of one kernel point at).  ``info`` keeps
+    {hlo: full op text, source, dedup} for invocation-exact kernel
+    attribution (bench.py); the aggregate tables keep using the short
+    display name."""
     mid, name, display = 0, "", ""
+    stats: Dict[str, object] = {}
     for fno, _, val in _fields(buf):
         if fno == 1:
             mid = val
@@ -127,23 +154,49 @@ def _parse_event_metadata(buf) -> Tuple[int, str]:
                     name = _text(v2)
                 elif f2 == 4:
                     display = _text(v2)
-    return mid, display or name
+                elif f2 == 5:
+                    k, v = _parse_stat(v2, stat_meta)
+                    if isinstance(k, str):
+                        stats[k] = v
+    short = display or name
+    info = {"hlo": name if name != short else "",
+            "source": stats.get("source", ""),
+            "dedup": stats.get("deduplicated_name", "")}
+    return mid, short, info
 
 
 def _parse_plane(buf) -> Dict:
-    """XPlane -> {name, lines, meta: id->name}."""
+    """XPlane -> {name, lines, meta: id->name, meta_info: id->dict}."""
     name = ""
     lines: List[Dict] = []
     meta: Dict[int, str] = {}
+    meta_info: Dict[int, Dict] = {}
+    stat_meta: Dict[int, str] = {}
+    raw_event_meta: List = []
     for fno, _, val in _fields(buf):
         if fno == 2:
             name = _text(val)
         elif fno == 3:
             lines.append(_parse_line(val))
         elif fno == 4:
-            mid, mname = _parse_event_metadata(val)
-            meta[mid] = mname
-    return {"name": name, "lines": lines, "meta": meta}
+            raw_event_meta.append(val)
+        elif fno == 5:  # map<int64, XStatMetadata>
+            k, nm = None, ""
+            for f2, _, v2 in _fields(val):
+                if f2 == 1:
+                    k = v2
+                elif f2 == 2:
+                    for f3, _, v3 in _fields(v2):
+                        if f3 == 2:
+                            nm = _text(v3)
+            if k is not None:
+                stat_meta[k] = nm
+    for val in raw_event_meta:  # stat_meta must be complete first
+        mid, mname, info = _parse_event_metadata(val, stat_meta)
+        meta[mid] = mname
+        meta_info[mid] = info
+    return {"name": name, "lines": lines, "meta": meta,
+            "meta_info": meta_info}
 
 
 def parse_xspace(data: bytes) -> List[Dict]:
