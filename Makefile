@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast test-smoke lint native bench clean hooks
+.PHONY: test test-fast test-smoke lint check-format native bench clean hooks
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -28,6 +28,13 @@ test-smoke:
 lint:
 	$(PY) -m compileall -q cara_tpu tests benchmarks tools bench.py __graft_entry__.py
 	$(PY) tools/lint.py
+	$(PY) tools/format_check.py
+
+# Reference counterpart of `make check-format` (black/isort are not in
+# this image; tools/format_check.py enforces the mechanical invariants
+# the codebase holds and the isort section contract).
+check-format:
+	$(PY) tools/format_check.py
 
 native:
 	g++ -O3 -shared -fPIC -std=c++17 -pthread csrc/dataloader.cc \

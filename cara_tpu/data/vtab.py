@@ -3,7 +3,8 @@
 Reference behavior being reproduced (``image_classification/vtab.py``):
 
 * 19 VTAB-1k tasks with caffe-style ``impath label`` file lists under
-  ``<root>/<task>/{train800,val200,train800val200,test}.txt`` (``vtab.py:40-50,76-107``).
+  ``<root>/<task>/{train800,val200,train800val200,test}.txt``
+  (``vtab.py:40-50,76-107``).
 * Transform: bicubic resize to 224x224, scale to [0,1], ImageNet
   normalization (``vtab.py:79-82``).
 * Protocol: ``evaluate=True`` trains on the 1000-image ``train800val200``

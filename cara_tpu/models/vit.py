@@ -641,7 +641,8 @@ def _block(
                 wp, bpj,
                 zp, jnp.zeros((1, e), x.dtype), jnp.zeros((e,), x.dtype),
                 bp["ln1_scale"], bp["ln1_bias"], dpm,
-                hh, d ** -0.5, nr, 1.0, _attn_bb(npad, e, key is not None, b, use_elem), None,
+                hh, d ** -0.5, nr, 1.0,
+                _attn_bb(npad, e, key is not None, b, use_elem), None,
                 cfg.layernorm_eps)
         else:
             if use_elem:
@@ -682,7 +683,8 @@ def _block(
                     cfg.layernorm_eps)
             else:
                 x = cp_attn_block(
-                    *args, hh, d ** -0.5, nr, 1.0, _attn_bb(npad, e, key is not None, b, use_elem), None,
+                    *args, hh, d ** -0.5, nr, 1.0,
+                    _attn_bb(npad, e, key is not None, b, use_elem), None,
                     cfg.layernorm_eps)
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)
@@ -905,8 +907,8 @@ def _block(
             jnp.zeros((hid, 1), x.dtype), jnp.zeros((1, e), x.dtype),
             jnp.zeros((e,), x.dtype),
             bp["ln2_scale"], bp["ln2_bias"], dpm, 1.0,
-            _mlp_bm(False, x.shape[1], e, hid, key is not None, b), None, cfg.activation,
-            cfg.layernorm_eps)
+            _mlp_bm(False, x.shape[1], e, hid, key is not None, b), None,
+            cfg.activation, cfg.layernorm_eps)
         if tp > 1:
             x = jax.lax.psum(x, tp_axis)
         return x
@@ -1383,11 +1385,12 @@ def vit_forward(
         p1_stack = cara_params
     elif cara_params is not None:
         if not isinstance(cara_params, dict) or "A1" not in cara_params:
+            got = (sorted(cara_params) if isinstance(cara_params, dict)
+                   else type(cara_params))
             raise ValueError(
                 "cara_cfg.method='cara' wants the CP factor tree "
-                "(A1..., P1-P3, R1/R2, bias1-3); got keys "
-                f"{sorted(cara_params) if isinstance(cara_params, dict) else type(cara_params)}"
-                " — did you load a LoRA checkpoint without method='lora'?")
+                f"(A1..., P1-P3, R1/R2, bias1-3); got keys {got} "
+                "— did you load a LoRA checkpoint without method='lora'?")
         a1_stack, p1_stack = cara_lib.stacked_layer_slices(
             cara_params, cfg, cara_cfg)
     else:
