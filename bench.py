@@ -31,7 +31,8 @@ enable_compilation_cache()
 
 
 def measure_inference(model_name: str, rank: int, batch_size: int,
-                      steps: int, dtype, merged: bool) -> float:
+                      steps: int, dtype, merged: bool,
+                      trace_steps: int = 0) -> float:
     """Eval-forward throughput: adapter path, or merged dense weights
     (the serving configuration — zero adapter overhead)."""
     from cara_tpu import api
@@ -63,7 +64,16 @@ def measure_inference(model_name: str, rank: int, batch_size: int,
         out = fwd(params, cara, x)
     jax.device_get(out)
     imgs = batch_size * steps / (time.perf_counter() - t0)
-    return imgs, _hlo_flops(fwd, params, cara, x), None
+    trace = None
+    if trace_steps:
+        holder = {}
+
+        def once():
+            holder["out"] = fwd(params, cara, x)
+
+        trace = _trace_kernels(
+            once, lambda: jax.device_get(holder["out"]), trace_steps)
+    return imgs, _hlo_flops(fwd, params, cara, x), trace
 
 
 def measure_train_step(model_name: str, rank: int, batch_size: int,
@@ -161,24 +171,32 @@ def _kernel_flops(cfg, batch: int) -> dict:
     """Analytic matmul FLOPs per *kernel invocation* (one layer, one step)
     for the two Pallas megakernels, keyed by call-name prefix.
 
-    The kernels run on the 128-padded token axis (vit.py megakernel path),
-    so N here is the padded count.  Backward = 2x forward (dx = g W^T plus
-    the dW-shaped element-dropout cotangent dT = x^T g — the frozen
-    backbone wouldn't need dW, but the exact reference regularizer does,
-    see benchmarks/RESULTS.md round-2 profile).
+    The numerator is EXECUTED work (pad rows the hardware actually
+    multiplies count; tokens it never touches don't): the attention
+    kernel runs the 128-padded token block (qkv/proj GEMMs and full
+    score tiles over NP), while the MLP kernels run the sublane-aligned
+    residual stream (round-8 rows — 200/img at ViT-B, NOT the 128-pad;
+    counting 256 here inflated the round-4 mlp utils ~28%).  Backward =
+    2x forward (dx = g W^T plus the dW-shaped element-dropout cotangent
+    dT = x^T g — the frozen backbone wouldn't need dW, but the exact
+    reference regularizer does, see benchmarks/RESULTS.md round-2).
+    Keys are call-name prefixes: "cp_attn"/"cp_mlp" match both the
+    vit.py call-site labels (cp_attn_block_wd) and the eval-mode
+    module-stem labels (cp_mlp).
     """
     n = -(-cfg.seq_len // 128) * 128
+    nm = -(-cfg.seq_len // 8) * 8
     e, hid, h, d = cfg.embed_dim, cfg.hidden_dim, cfg.num_heads, \
         cfg.embed_dim // cfg.num_heads
     attn = (2 * batch * n * e * 3 * e        # qkv GEMM
             + 2 * 2 * batch * h * n * n * d  # scores + p@v
             + 2 * batch * n * e * e)         # proj GEMM
-    mlp = 2 * 2 * batch * n * e * hid        # fc1 + fc2
+    mlp = 2 * 2 * batch * nm * e * hid       # fc1 + fc2
     return {
-        ("cp_attn_block", "fwd"): attn,
-        ("cp_attn_block", "bwd"): 2 * attn,
-        ("cp_mlp_block", "fwd"): mlp,
-        ("cp_mlp_block", "bwd"): 2 * mlp,
+        ("cp_attn", "fwd"): attn,
+        ("cp_attn", "bwd"): 2 * attn,
+        ("cp_mlp", "fwd"): mlp,
+        ("cp_mlp", "bwd"): 2 * mlp,
     }
 
 
@@ -307,8 +325,15 @@ def _trace_kernels(step_once, sync, steps):
                     # like %custom-call.39 inside unrelated reshapes).
                     if " custom-call(" in mi.get("hlo", "") and src:
                         call = call_name(src)
-                        kind = _kernel_kind(mi.get("hlo", ""), call)
                         base = os.path.basename(src)
+                        if call in ("", "pallas_call", "pl"):
+                            # Eval forwards attribute to the pallas_call
+                            # inside the kernel module, not the vit.py
+                            # call site — use the module stem as the
+                            # kernel family name so the FLOP table still
+                            # matches (cp_mlp.py -> cp_mlp).
+                            call = base.split(":")[0].rsplit(".", 1)[0]
+                        kind = _kernel_kind(mi.get("hlo", ""), call)
                         key = (f"{call or short} [{kind}] ({base})"
                                if kind != "wd-build"
                                else f"wd_weight_build [aux] ({base})")
@@ -438,7 +463,8 @@ def main():
     else:
         imgs, hlo_flops, trace = measure_inference(
             args.model, args.rank, args.batch_size, args.steps, dtype,
-            merged=args.mode == "merged")
+            merged=args.mode == "merged",
+            trace_steps=0 if args.no_trace else 5)
         metric = (f"{args.mode} inference images/sec/chip "
                   f"({args.model}, rank {args.rank})")
 

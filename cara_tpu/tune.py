@@ -85,6 +85,13 @@ def mlp_key(use_elem: bool, n: Optional[int], e: Optional[int],
     # from the tuned global one — such lookups miss and fall back to the
     # heuristic (tune at your per-trace batch to cover them).
     dev = dev if dev is not None else device_kind()
+    # The token axis is NORMALIZED to the sublane multiple: vit_forward
+    # carries the stream padded (197 -> 200, _stream_pad_eligible) and
+    # _mlp_bm keys on the runtime x.shape[1], while cli/tune records at
+    # the nominal seq_len — rounding both means one entry serves either
+    # caller (existing cache files are migrated, tools/migrate docs).
+    if n is not None:
+        n = -(-int(n) // 8) * 8
     return (f"{dev}|n={n}|e={e}|h={hidden}|elem={bool(use_elem)}"
             f"|train={bool(train)}|b={b}")
 

@@ -7,6 +7,7 @@ with a stubbed measurement function.
 """
 
 import json
+import re
 
 import pytest
 
@@ -154,8 +155,14 @@ def test_shipped_defaults_file_is_valid():
     data = json.loads(open(path).read())
     assert data, "shipped defaults snapshot must not be empty"
     for k, v in data.items():
-        assert k.split("|")[0] in ("mlp_bm", "attn_bb"), k
+        assert k.split("|")[0] in ("mlp_bm", "attn_bb", "dense_impl"), k
         assert isinstance(v["value"], int), (k, v)
+        if k.startswith("mlp_bm|"):
+            # Token-axis keys are NORMALIZED to the sublane multiple
+            # (tune.mlp_key) so the stream-padded runtime lookup
+            # (197 -> 200) hits the shipped winners.
+            m = re.search(r"\|n=(\d+)\|", k)
+            assert m and int(m.group(1)) % 8 == 0, k
 
 
 def test_freeze_defaults_roundtrip(tmp_cache, tmp_path, monkeypatch):
