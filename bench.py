@@ -577,9 +577,9 @@ def main():
             "vs_baseline is against the torch reference replica on this "
             "host's single CPU core. Absolute context (invocation-exact "
             "trace, RESULTS.md round-5): the four megakernels are 98% of "
-            "device time at 50-77% MXU (mlp fwd/bwd 77/73%, attn fwd/bwd "
-            "62/50% — the attention numbers include the per-head "
-            "small-GEMM component the Mosaic lowering ceiling pins, "
+            "device time at 50-65% MXU on executed work (mlp fwd/bwd "
+            "58/60%, attn fwd/bwd 65/50% — the attention numbers include "
+            "the per-head small-GEMM component the Mosaic ceiling pins, "
             "benchmarks/attn_ceiling_repro.py); residual glue ~1.5% of "
             "device time after the aligned-stream change; host gap "
             "~1 ms."),
