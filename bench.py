@@ -235,7 +235,12 @@ def _kernel_kind(hlo: str, call: str) -> str:
     if not m:
         return "fwd"
     if m.group(1) == "(":
-        return "bwd"
+        # Tuple result: the custom-VJP backward returns dx + the factor
+        # grads (>=3 elements); a SMALL tuple is a forward with an extra
+        # saved residual (save-pre mode returns (out, pre)).
+        head = hlo.split(" custom-call(")[0]
+        n_results = len(re.findall(r"\w+\[[\d,]*\]", head))
+        return "bwd" if n_results >= 3 else "fwd"
     ndim = len([d for d in m.group(2).split(",") if d])
     if (ndim == 2 and "s32[1,1]" in hlo
             and call.startswith(("cp_attn_block", "cp_mlp_block"))):
