@@ -26,12 +26,28 @@ split kernels past that.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Save-qkv mode (CARA_ATTN_SAVE_QKV=1/0/auto): the forward also writes
+# the (B, NP, 3E) qkv activation and the backward consumes it instead of
+# recomputing LN -> qkv GEMM (+ delta chain) — the cp_mlp save-pre trade
+# applied to the attention site (round-3's negative measurement predates
+# the aligned stream; re-measured in round 5, RESULTS.md).  The
+# attention-proper recompute (scores/softmax from qkv) stays — saving
+# the (B, H, NP, NP) probabilities is never affordable.
+_SAVE_QKV = os.environ.get("CARA_ATTN_SAVE_QKV", "auto")
+
+
+def _save_qkv_on() -> bool:
+    if _SAVE_QKV in ("0", "1"):
+        return _SAVE_QKV == "1"
+    return jax.default_backend() == "tpu"
 
 from cara_tpu.ops.pallas.cp_dense import (
     _build_wd_weight, _f0, _fit_block, _ln_rows, _pad_rank,
@@ -108,6 +124,24 @@ def _attn_block_fwd_kernel(x_ref, wq_ref, bq_ref, u1_ref, v1_ref,
     y_ref[...] = (x.astype(jnp.float32) + dpm3 * y).astype(y_ref.dtype)
 
 
+def _attn_block_fwd_save_kernel(x_ref, wq_ref, bq_ref, u1_ref, v1_ref,
+                                wp_ref, bp_ref, u2_ref, v2_ref, cb2_ref,
+                                ls_ref, lb_ref, dpm_ref, y_ref, qkv_ref,
+                                *, heads, dh, sm_scale, n_real, s, ln_eps):
+    """_attn_block_fwd_kernel that ALSO writes the qkv activation (full
+    np_ block rows, exact reload in the backward — save-qkv mode)."""
+    x = _mask_tail_rows(x_ref[...], n_real)
+    xa = _ln3(x, ls_ref[...], lb_ref[...], ln_eps)
+    qkv, _ = _site_fwd(xa, wq_ref, bq_ref, u1_ref, v1_ref, None, s)
+    qkv = qkv.astype(xa.dtype)
+    qkv_ref[...] = qkv
+    o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
+    y, _ = _site_fwd(o, wp_ref, bp_ref, u2_ref, v2_ref, cb2_ref, s)
+    bb, np_, _ = x.shape
+    dpm3 = dpm_ref[...].astype(jnp.float32).reshape(bb, np_, 1)
+    y_ref[...] = (x.astype(jnp.float32) + dpm3 * y).astype(y_ref.dtype)
+
+
 def _site_bwd_dx2(g2, w_ref, u_ref, v_ref, s):
     """2-D ``dx = g W^T + s (g V^T) U^T`` (Mosaic-native lane contraction);
     also returns gv.  The batch/token axes are pre-flattened — tpu.matmul
@@ -128,9 +162,14 @@ _DN_T = (((0,), (0,)), ((), ()))  # (M, A)^T @ (M, B_) -> (A, B_)
 
 def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
                            wp_ref, u2_ref, v2_ref, ls_ref, lb_ref, dpm_ref,
-                           dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
-                           dsq_ref, dsp_ref, dqkv_ref,
-                           *, heads, dh, sm_scale, n_real, s, ln_eps):
+                           *refs, heads, dh, sm_scale, n_real, s, ln_eps,
+                           saved_qkv=False):
+    if saved_qkv:
+        (qkv_ref, dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
+         dsq_ref, dsp_ref, dqkv_ref) = refs
+    else:
+        (dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
+         dsq_ref, dsp_ref, dqkv_ref) = refs
     mm = pl.program_id(0)
 
     @pl.when(mm == 0)
@@ -147,14 +186,20 @@ def _attn_block_bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, u1_ref, v1_ref,
           * dpm_ref[...].astype(jnp.float32)).astype(g2_res.dtype)
     # Forward recompute (x -> xa -> qkv -> attention output); GEMMs run on
     # the flattened (M, E) view, only the attention math is per-image 3-D.
+    # In save-qkv mode the LN + rank-r z1 GEMM stay (both feed the factor
+    # grads) but the full-width qkv GEMM is replaced by the saved tile.
     xa = _ln_rows(x2, ls_ref[...], lb_ref[...], ln_eps)
     z1 = jax.lax.dot(xa, u1_ref[...], preferred_element_type=jnp.float32)
     z1c = z1.astype(xa.dtype)
-    qkv2 = (jax.lax.dot(xa, wq_ref[...], preferred_element_type=jnp.float32)
-            + bq_ref[...].astype(jnp.float32)
-            + s * jax.lax.dot(z1c, v1_ref[...],
-                              preferred_element_type=jnp.float32))
-    qkv = qkv2.astype(xa.dtype).reshape(bb, np_, -1)
+    if saved_qkv:
+        qkv = qkv_ref[...]
+    else:
+        qkv2 = (jax.lax.dot(xa, wq_ref[...],
+                            preferred_element_type=jnp.float32)
+                + bq_ref[...].astype(jnp.float32)
+                + s * jax.lax.dot(z1c, v1_ref[...],
+                                  preferred_element_type=jnp.float32))
+        qkv = qkv2.astype(xa.dtype).reshape(bb, np_, -1)
     o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
     o2 = o.reshape(m, heads * dh)
 
@@ -247,8 +292,18 @@ def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
     rp1, rp2 = u1p.shape[1], u2p.shape[1]
     dpm2 = jnp.broadcast_to(dpm.reshape(bsz, 1, 1), (bsz, np_, 1)
                             ).reshape(bsz * np_, 1).astype(x.dtype)
+    save = _save_qkv_on()
+    kern = _attn_block_fwd_save_kernel if save else _attn_block_fwd_kernel
+    out_specs = _tile(bb, np_, e)
+    out_shape = jax.ShapeDtypeStruct((bsz, n_tok, e), x.dtype)
+    if save:
+        # qkv saved at FULL block rows (bsz, np_, 3E): exact reload in
+        # the backward, no tail-clipping subtleties.
+        out_specs = (out_specs, _tile(bb, np_, e3l))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bsz, np_, e3l), x.dtype))
     out = pl.pallas_call(
-        functools.partial(_attn_block_fwd_kernel, heads=heads, dh=dh,
+        functools.partial(kern, heads=heads, dh=dh,
                           sm_scale=sm_scale, n_real=n_real, s=s,
                           ln_eps=ln_eps),
         grid=(bsz // bb,),
@@ -262,15 +317,17 @@ def _ab_fwd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
             pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=_tile(bb, np_, e),
-        out_shape=jax.ShapeDtypeStruct((bsz, n_tok, e), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x, wq, bq.reshape(1, -1), u1p, v1p, wp, bp.reshape(1, -1), u2p, v2p,
       cb2.reshape(1, -1), ls.reshape(1, -1), lb.reshape(1, -1), dpm2)
-    return out, (x, wq, bq, u1, v1, wp, u2, v2, ls, lb, dpm2, dpm)
+    out, qkv_saved = out if save else (out, None)
+    return out, (x, wq, bq, u1, v1, wp, u2, v2, ls, lb, dpm2, dpm,
+                 qkv_saved)
 
 
 def _ab_fwd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
@@ -281,7 +338,7 @@ def _ab_fwd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, heads,
 
 def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
                  res, g):
-    x, wq, bq, u1, v1, wp, u2, v2, ls, lb, dpm2, dpm = res
+    x, wq, bq, u1, v1, wp, u2, v2, ls, lb, dpm2, dpm, qkv_saved = res
     bsz, n_tok, e = x.shape
     np_ = _round_np(n_tok)
     e3l = wq.shape[1]
@@ -293,10 +350,13 @@ def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
     u2p, v2p = _pad_rank(u2, v2)
     rp1, rp2 = u1p.shape[1], u2p.shape[1]
     nm = bsz // bb
+    extra_specs, extra_args = [], ()
+    if qkv_saved is not None:
+        extra_specs, extra_args = [_tile(bb, np_, e3l)], (qkv_saved,)
     dx, du1, dv1, du2, dv2, dsq, dsp = pl.pallas_call(
         functools.partial(_attn_block_bwd_kernel, heads=heads, dh=dh,
                           sm_scale=sm_scale, n_real=n_real, s=s,
-                          ln_eps=ln_eps),
+                          ln_eps=ln_eps, saved_qkv=qkv_saved is not None),
         grid=(nm,),
         in_specs=[
             _tile(bb, np_, e), _tile(bb, np_, e),
@@ -306,7 +366,7 @@ def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
             _const((1, e)), _const((1, e)),
             pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=(
             _tile(bb, np_, e),
             _const((e, rp1)), _const((rp1, e3l)),
@@ -328,7 +388,7 @@ def _ab_bwd_rule(heads, sm_scale, n_real, s, block_b, interpret, ln_eps,
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x, g, wq, bq.reshape(1, -1), u1p, v1p, wp, u2p, v2p,
-      ls.reshape(1, -1), lb.reshape(1, -1), dpm2)
+      ls.reshape(1, -1), lb.reshape(1, -1), dpm2, *extra_args)
     dt = g.dtype
     return (dx.astype(dt), jnp.zeros_like(wq), dsq[0].astype(dt),
             (s * du1[:, :r1]).astype(dt), (s * dv1[:r1]).astype(dt),
@@ -348,15 +408,20 @@ cp_attn_block.defvjp(_ab_fwd_rule, _ab_bwd_rule)
 
 def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
                               u1_ref, v1_ref, u2_ref, v2_ref,
-                              ls_ref, lb_ref, dpm_ref, seed1_ref, seed2_ref,
-                              dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref,
-                              dsq_ref, dsp_ref,
-                              dqkv_ref, dt1_ref, dt2_ref,
-                              *, heads, dh, sm_scale, n_real, s, drop_rate,
-                              ln_eps, nm, chunk1, chunk2):
+                              ls_ref, lb_ref, dpm_ref, *refs,
+                              heads, dh, sm_scale, n_real, s, drop_rate,
+                              ln_eps, nm, chunk1, chunk2, saved_qkv=False):
     """Backward with folded masked weights; the dense site cotangents
     ``dT1 = xa^T dqkv`` (E, 3E) and ``dT2 = o^T g`` (E, E) accumulate in
     VMEM scratch, masked chunk-wise at the last grid step."""
+    if saved_qkv:
+        (qkv_ref, seed1_ref, seed2_ref,
+         dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref, dsq_ref, dsp_ref,
+         dqkv_ref, dt1_ref, dt2_ref) = refs
+    else:
+        (seed1_ref, seed2_ref,
+         dx_ref, du1_ref, dv1_ref, du2_ref, dv2_ref, dsq_ref, dsp_ref,
+         dqkv_ref, dt1_ref, dt2_ref) = refs
     mm = pl.program_id(0)
 
     @pl.when(mm == 0)
@@ -372,10 +437,16 @@ def _attn_block_bwd_wd_kernel(x_ref, g_ref, wqp_ref, bq_ref, wpp_ref,
     g2_res = _mask_tail_rows(g_ref[...], n_real).reshape(m, e)
     g2 = (g2_res.astype(jnp.float32)
           * dpm_ref[...].astype(jnp.float32)).astype(g2_res.dtype)
+    # xa stays in save-qkv mode too (dT1 = xa^T dqkv); only the
+    # full-width qkv GEMM is replaced by the saved tile.
     xa = _ln_rows(x2, ls_ref[...], lb_ref[...], ln_eps)
-    qkv2 = (jax.lax.dot(xa, wqp_ref[...], preferred_element_type=jnp.float32)
-            + bq_ref[...].astype(jnp.float32)).astype(xa.dtype)
-    qkv = qkv2.reshape(bb, np_, -1)
+    if saved_qkv:
+        qkv = qkv_ref[...]
+    else:
+        qkv2 = (jax.lax.dot(xa, wqp_ref[...],
+                            preferred_element_type=jnp.float32)
+                + bq_ref[...].astype(jnp.float32)).astype(xa.dtype)
+        qkv = qkv2.reshape(bb, np_, -1)
     o = _attn_heads(qkv, sm_scale, n_real, heads, dh, xa.dtype)
     o2 = o.reshape(m, heads * dh)
 
@@ -439,8 +510,16 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, seed1,
     u0bp, v0bp = _pad_rank(*_zero_uv(eol, e, x.dtype))
     dpm2 = jnp.broadcast_to(dpm.reshape(bsz, 1, 1), (bsz, np_, 1)
                             ).reshape(bsz * np_, 1).astype(x.dtype)
+    save = _save_qkv_on()
+    kern = _attn_block_fwd_save_kernel if save else _attn_block_fwd_kernel
+    out_specs = _tile(bb, np_, e)
+    out_shape = jax.ShapeDtypeStruct((bsz, n_tok, e), x.dtype)
+    if save:
+        out_specs = (out_specs, _tile(bb, np_, e3l))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bsz, np_, e3l), x.dtype))
     out = pl.pallas_call(
-        functools.partial(_attn_block_fwd_kernel, heads=heads, dh=dh,
+        functools.partial(kern, heads=heads, dh=dh,
                           sm_scale=sm_scale, n_real=n_real, s=s,
                           ln_eps=ln_eps),
         grid=(bsz // bb,),
@@ -455,8 +534,8 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, seed1,
             pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=_tile(bb, np_, e),
-        out_shape=jax.ShapeDtypeStruct((bsz, n_tok, e), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 2 ** 20),
@@ -464,8 +543,9 @@ def _ab_fwd_wd(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm, seed1,
     )(x, wqp, bq.reshape(1, -1), u0ap, v0ap, wpp, bp.reshape(1, -1),
       u0bp, v0bp, cb2.reshape(1, -1), ls.reshape(1, -1), lb.reshape(1, -1),
       dpm2)
+    out, qkv_saved = out if save else (out, None)
     return out, (x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, dpm2, dpm,
-                 seed1, seed2)
+                 seed1, seed2, qkv_saved)
 
 
 def _ab_fwd_wd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm,
@@ -479,7 +559,7 @@ def _ab_fwd_wd_rule(x, wq, bq, u1, v1, wp, bp, u2, v2, cb2, ls, lb, dpm,
 def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
                     interpret, ln_eps, res, g):
     (x, wqp, bq, u1, v1, wpp, u2, v2, ls, lb, dpm2, dpm, seed1,
-     seed2) = res
+     seed2, qkv_saved) = res
     bsz, n_tok, e = x.shape
     np_ = _round_np(n_tok)
     e3l = wqp.shape[1]
@@ -492,12 +572,15 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
     rp1, rp2 = u1p.shape[1], u2p.shape[1]
     nm = bsz // bb
     smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    extra_specs, extra_args = [], ()
+    if qkv_saved is not None:
+        extra_specs, extra_args = [_tile(bb, np_, e3l)], (qkv_saved,)
     dx, du1, dv1, du2, dv2, dsq, dsp = pl.pallas_call(
         functools.partial(
             _attn_block_bwd_wd_kernel, heads=heads, dh=dh,
             sm_scale=sm_scale, n_real=n_real, s=s, drop_rate=drop_rate,
             ln_eps=ln_eps, nm=nm, chunk1=_fit_block(e3l, 512),
-            chunk2=_fit_block(e, 512)),
+            chunk2=_fit_block(e, 512), saved_qkv=qkv_saved is not None),
         grid=(nm,),
         in_specs=[
             _tile(bb, np_, e), _tile(bb, np_, e),
@@ -507,8 +590,7 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
             _const((1, e)), _const((1, e)),
             pl.BlockSpec((bb * np_, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            smem, smem,
-        ],
+        ] + extra_specs + [smem, smem],
         out_specs=(
             _tile(bb, np_, e),
             _const((e, rp1)), _const((rp1, e3l)),
@@ -534,7 +616,7 @@ def _ab_bwd_wd_rule(heads, sm_scale, n_real, s, drop_rate, block_b,
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=_resolve_interpret(interpret),
     )(x, g, wqp, bq.reshape(1, -1), wpp, u1p, v1p, u2p, v2p,
-      ls.reshape(1, -1), lb.reshape(1, -1), dpm2,
+      ls.reshape(1, -1), lb.reshape(1, -1), dpm2, *extra_args,
       seed1.reshape(1, 1), seed2.reshape(1, 1))
     dt = g.dtype
     return (dx.astype(dt), jnp.zeros_like(wqp), dsq[0].astype(dt),
